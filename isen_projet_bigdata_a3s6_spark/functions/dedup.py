@@ -1,0 +1,222 @@
+"""Deduplication operators for the training-data surface
+(BASELINE.json north_star): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale posture: every variant is groupBy/equi-join shaped — candidate
+generation via hash buckets (band LSH / simhash prefix), then pairwise
+verification ONLY within buckets. Nothing here is O(n²) over the corpus;
+the worst case is O(Σ bucket²) which LSH keeps small by construction.
+All hashing is Spark's builtin xxhash64 (JVM-side, seeded, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .text import char_ngrams, fingerprint
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    One shuffle on the 64-bit fingerprint (never on the full text)."""
+    w = W.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def minhash_signature(col, num_hashes: int = 64, ngram: int = 5):
+    """MinHash signature of a text column: per-shingle xxhash64 under
+    ``num_hashes`` seeds, min per seed. Pure builtin expressions."""
+    grams = F.array_distinct(char_ngrams(col, ngram))
+    return F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate PAIRS: signature → band buckets →
+    self-join within buckets → verify estimated Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b, distinct.
+    Candidate generation is an equi-join on (band, band-hash); at 100 TB
+    the band-bucket join is the only shuffle and is uniformly keyed by
+    construction (hash buckets).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, ngram).alias("__sig"),
+    ).filter(F.size(F.filter("__sig", lambda x: x.isNotNull())) == num_hashes)
+
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__sig", "__b.band", "__b.bh")
+
+    a = banded.select(
+        F.col("band"), F.col("bh"),
+        F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("bh"),
+        F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"),
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jacc = (
+        F.size(
+            F.filter(
+                F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("jaccard_est", jacc)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, **kwargs
+) -> DataFrame:
+    """MinHash dedup: drop every doc that near-matches a lower-id doc.
+    (Connected-component clustering is the full variant; keep-lowest-per-pair
+    is the standard one-pass approximation.)"""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(col, ngram: int = 3, bits: int = 64):
+    """SimHash of a text column: per-shingle xxhash64, per-bit weighted vote,
+    sign → bit. Expressed as builtin array ops (one aggregate over shingle
+    array per row, no shuffle)."""
+    grams = char_ngrams(col, ngram)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    bit_votes = F.array(
+        *[
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+            )
+            for i in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, ngram: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: 4-block decomposition (any pair within
+    Hamming distance ≤3 of a 64-bit hash agrees exactly on ≥1 of 4
+    16-bit blocks) → equi-join per block → verify Hamming distance.
+    Returns (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), ngram).alias("__sh"))
+    blocks = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("__sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__sh", "__b.blk", "__b.bv")
+    a = blocks.select("blk", "bv", F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = blocks.select("blk", "bv", F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    ham = F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b")))
+    return (
+        a.join(b, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 5,
+    threshold: float = 0.5,
+    band_grams: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at least
+    one of their ``band_grams`` rarest shingles (a cheap blocking key that
+    bounds the join). Returns (id_a, id_b, jaccard) with exact Jaccard.
+    At corpus scale swap the blocking key for MinHash bands
+    (:func:`minhash_dedup_pairs`) — this exact variant is the verifier."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(char_ngrams(text_col, ngram)).alias("__g"),
+    ).filter(F.size("__g") > 0)
+    # block on the lexicographically-smallest shingles (deterministic)
+    keyed = grams.select(
+        "__id", "__g", F.explode(F.slice(F.array_sort("__g"), 1, band_grams)).alias("__k")
+    )
+    a = keyed.select(F.col("__k"), F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
+    b = keyed.select(F.col("__k"), F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size(F.array_union("__ga", "__gb")).cast("double")
+    return (
+        a.join(b, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

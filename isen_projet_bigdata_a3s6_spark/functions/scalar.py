@@ -1,0 +1,105 @@
+"""Scalar/column function library (SURVEY §2.9 C1-C7) plus the
+oracle-exactness helpers every aggregate query uses.
+
+Reference behaviors covered:
+- C1 empty/whitespace string → NULL (``gsub("^\\s*$", NA, x)``, R_groupe4.R:45)
+- C2 literal substring replace (R_groupe4.R:90-91)
+- C3 case normalization ``str_to_title(tolower(x))`` (R_groupe4.R:178)
+- C4 arithmetic: Euclidean distance (R_groupe4.R:113,131)
+- C5 conditional scalar: if_else / case_when / coalesce
+- C6 date functions (dead code in reference, live here)
+
+Float-exactness convention (``dec_sum``/``dec_avg``): money-like double
+sums are computed in DECIMAL (exact, associative → partition-order
+independent) then cast to double once. This makes Spark results
+bit-identical to the DuckDB oracle AND makes results reproducible across
+cluster topologies — at 100 TB a plain double sum differs run-to-run with
+partition count; a decimal sum does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# oracle-exactness helpers
+# --------------------------------------------------------------------------
+def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dec_sum(col: str | Column, scale: int = 4) -> Column:
+    """Exact, order-independent SUM of a money-like double: sum in decimal,
+    cast to double once. SQL twin: CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE)."""
+    return F.sum(dec(col, 28, scale)).cast("double")
+
+
+def dec_avg(col: str | Column, scale: int = 4) -> Column:
+    """Exact mean: decimal sum / non-null count, single double division.
+    SQL twin: CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE) / COUNT(x)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, 28, scale)).cast("double") / F.count(c)
+
+
+def round6(c: Column) -> Column:
+    """For genuinely float-path aggregates (corr, stddev, percentile
+    interpolation): round to 6 so ~1e-12 accumulation-order noise between
+    engines/runs can't flip the value hash."""
+    return F.round(c, 6)
+
+
+# --------------------------------------------------------------------------
+# C1-C5 scalar functions
+# --------------------------------------------------------------------------
+def empty_to_null(col: str | Column) -> Column:
+    """C1: blank/whitespace-only string → NULL (R_groupe4.R:45)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(None)).otherwise(c)
+
+
+def replace_literal(col: str | Column, find: str, repl: str) -> Column:
+    """C2: literal (non-regex) substring replace (R_groupe4.R:90-91)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(c, F.lit(find), F.lit(repl))
+
+
+def title_case(col: str | Column) -> Column:
+    """C3: ``str_to_title(tolower(x))`` → initcap(lower(x)); capitalizes
+    after any non-letter incl. '-' ("saint-jean" → "Saint-Jean")."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.initcap(F.lower(c))
+
+
+def euclidean_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """C4: the reference's one named UDF (R_groupe4.R:113,131) as a pure
+    builtin expression — stays inside whole-stage codegen."""
+    return F.sqrt(F.pow(x1 - x2, 2) + F.pow(y1 - y2, 2))
+
+
+def bucketize(col: str | Column, thresholds: list[tuple[float, str]], default: str) -> Column:
+    """P9/C5: threshold bucketing (case_when chain, R_groupe4.R:725-730).
+
+    ``thresholds`` = [(upper_bound_exclusive, label), ...] ascending.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for bound, label in thresholds:
+        cond = c < F.lit(bound)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(default) if expr is not None else F.lit(default)
+
+
+def outlier_cap(col: str | Column, threshold: float, cap: float) -> Column:
+    """P4: conditional outlier rewrite (R_groupe4.R:80:
+    ``if_else(age_estim > 300, 200, age_estim)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c > threshold, F.lit(cap)).otherwise(c)
+
+
+def binary_label(col: str | Column, positive_values: list[str]) -> Column:
+    """P8: set-membership → 0/1 label (R_groupe4.R:1000)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isin(positive_values), F.lit(1)).otherwise(F.lit(0))

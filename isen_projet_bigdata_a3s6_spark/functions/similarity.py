@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (``array<float>``) —
+BASELINE.json north_star surface.
+
+Two paths:
+- ``cosine_topk``: brute-force exact top-k — one broadcast of the (small)
+  query set against the corpus, per-corpus-row dot products via builtin
+  array ops (``zip_with``/``aggregate``, JVM-side), then a per-query top-k
+  window. The correctness baseline.
+- ``lsh_topk``: random-hyperplane (signed random projection) LSH — each
+  vector gets a ``num_bits`` signature; candidates = corpus rows sharing a
+  band with the query; exact re-rank inside candidates. The 100 TB path:
+  candidate generation is an equi-join on (band, band-bits), so the corpus
+  is never fully scanned per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns — builtin fold, stays
+    in codegen, deterministic order (index order) so results are stable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × corpus → score → per-query
+    top-k. Returns (query_id, vec_id, score, rank). Ties break on corpus id
+    for determinism."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    scored = corpus.join(F.broadcast(q), how="cross").select(
+        "query_id",
+        F.col(corpus_id).alias("vec_id"),
+        F.round(cosine(F.col(corpus_vec), F.col("__qv")), 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_bits, dim))
+
+
+def srp_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Signed-random-projection signature: bit i = sign(vec · plane_i).
+    Planes are embedded as literals (they're num_bits×dim floats — tiny)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, pw: x.cast("double") * pw,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig.bitwiseOR(F.shiftleft(b.cast("long"), i))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    num_bits: int = 16,
+    bands: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH banding for candidates, exact cosine
+    re-rank within candidates. Recall improves with more bands/bits;
+    candidates ≪ corpus so the per-query cost is sublinear."""
+    planes = _hyperplanes(dim, num_bits, seed)
+    bits_per_band = num_bits // bands
+
+    def banded(df: DataFrame, idc: str, vecc: str, role: str) -> DataFrame:
+        sig = srp_signature(F.col(vecc), planes)
+        mask = (1 << bits_per_band) - 1
+        return df.select(
+            F.col(idc).alias(f"{role}_id"),
+            F.col(vecc).alias(f"__{role}v"),
+            sig.alias("__sig"),
+        ).select(
+            f"{role}_id",
+            f"__{role}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bnd).alias("band"),
+                            F.shiftrightunsigned("__sig", bnd * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bb"),
+                        )
+                        for bnd in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        ).select(f"{role}_id", f"__{role}v", "__b.band", "__b.bb")
+
+    cq = banded(queries, query_id, query_vec, "query")
+    cc = banded(corpus, corpus_id, corpus_vec, "vec")
+    cand = (
+        cq.join(cc, ["band", "bb"])
+        .select("query_id", "vec_id", "__queryv", "__vecv")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__vecv"), F.col("__queryv")), 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,106 @@
+"""Cleaning operators (SURVEY §2.2 P1-P11, §2.3 F1-F7, §2.6 W1-W4).
+
+Reference Part 1 (R_groupe4.R:38-209): dedup → null-drops → rewrites →
+imputation. The 13 sequential ``filter(!is.na(col))`` passes
+(R_groupe4.R:55-70) become ONE ``dropna`` — Catalyst collapses it into a
+single scan-level filter pushed into parquet.
+
+Scale notes: every fill here is either a pure map (fillna, caps) or one
+window/aggregation shuffle on the group key; nothing is quadratic. The
+keep-first dedup needs a stable order column — at scale that is an ingest
+timestamp / file offset column, never ``monotonically_increasing_id``
+recomputed per run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalar import empty_to_null
+
+
+def blank_strings_to_null(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """C1 applied whole-table (R_groupe4.R:45-46): ''/whitespace → NULL on
+    every string column. One map pass, no shuffle."""
+    targets = cols or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    return df.withColumns({c: empty_to_null(c) for c in targets})
+
+
+def distinct_rows(df: DataFrame) -> DataFrame:
+    """F1: full-row distinct (R_groupe4.R:49) — hash aggregate on all cols."""
+    return df.distinct()
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """F2: keyed dedup keeping the FIRST row per key in ``order_by`` order
+    (R ``!duplicated(...)`` keeps first occurrence, R_groupe4.R:52).
+
+    ``order_by`` must give a total order within a key for determinism.
+    One shuffle on ``keys``.
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.asc(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_any(df: DataFrame, keys: list[str]) -> DataFrame:
+    """F2 relaxed: arbitrary survivor per key — cheaper (no sort, pure
+    hash-agg) when the reference's keep-first order doesn't matter."""
+    return df.dropDuplicates(keys)
+
+
+def drop_null_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+    """F3: the 13-filter null-drop chain (R_groupe4.R:55-70) as one filter."""
+    return df.dropna(subset=cols)
+
+
+def fill_string_nulls(df: DataFrame, value: str, cols: list[str] | None = None) -> DataFrame:
+    """W4: global string-null fill (``"Inconnue"``, R_groupe4.R:209)."""
+    targets = cols or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    return df.fillna(value, subset=targets)
+
+
+def groupwise_first_fill(
+    df: DataFrame, col: str, group_col: str, ignore_nulls: bool = True
+) -> DataFrame:
+    """W1/W2: fill NULLs with the group's first value (R_groupe4.R:181-190).
+
+    ``ignore_nulls=True`` = W1 (``first(na.omit(x))``); ``False`` = W2 — the
+    reference's fk_situation fill, where a NULL-first group fills NULL.
+    W2's 'first' is row-order dependent in R; documented as any-value
+    semantics here (Spark window order within a partition without orderBy
+    is arbitrary too — parity of *kind*, not of row identity).
+    """
+    w = W.partitionBy(group_col)
+    fill = F.first(F.col(col), ignorenulls=ignore_nulls).over(w)
+    return df.withColumn(col, F.coalesce(F.col(col), fill))
+
+
+def groupwise_mode_fill(
+    df: DataFrame, col: str, group_col: str, default: str
+) -> DataFrame:
+    """W3: fill NULLs with the group's modal value, residual NULLs → literal
+    default (R_groupe4.R:194-205, default "AUTRE").
+
+    mode-per-group is computed on the aggregate side and broadcast back —
+    the join's right side is |groups| rows, so Catalyst broadcasts it
+    (never a shuffle of the fact table at 100 TB).
+    """
+    from .aggregations import mode_per_group
+
+    modes = mode_per_group(df.filter(F.col(col).isNotNull()), group_col, col, "__mode")
+    return (
+        df.join(F.broadcast(modes), group_col, "left")
+        .withColumn(col, F.coalesce(F.col(col), F.col("__mode"), F.lit(default)))
+        .drop("__mode")
+    )

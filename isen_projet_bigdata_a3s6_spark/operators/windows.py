@@ -1,0 +1,59 @@
+"""Window-function operators (SURVEY §2.6, §2.7; extensions per §2.6 note).
+
+The reference uses windows only implicitly (group-wise fills, top-1 per
+group). The engine exposes the full surface — ranking, lag/lead, running
+aggregates, sessionization — exercised by the oracle suite over ``events``.
+
+Scale: a window = one shuffle on partitionBy keys + per-partition sort.
+Sessionization is the lag→cumsum composition (two passes over one
+partitioning, no self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def with_row_number(df: DataFrame, partition_by: list[str], order_by: list[Column], name: str = "rn") -> DataFrame:
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(name, F.row_number().over(w))
+
+
+def with_rank(df: DataFrame, partition_by: list[str], order_by: list[Column], dense: bool = False, name: str = "rnk") -> DataFrame:
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    fn = F.dense_rank() if dense else F.rank()
+    return df.withColumn(name, fn.over(w))
+
+
+def with_lag(df: DataFrame, col: str, partition_by: list[str], order_by: list[Column], offset: int = 1, name: str | None = None) -> DataFrame:
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(name or f"{col}_lag{offset}", F.lag(col, offset).over(w))
+
+
+def with_running_sum(df: DataFrame, col: str, partition_by: list[str], order_by: list[Column], name: str | None = None) -> DataFrame:
+    w = (
+        W.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(name or f"{col}_running", F.sum(col).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event of the same user exceeds ``gap_seconds``. lag → boolean → running
+    sum, all over one (user, ts) partitioning/sort."""
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("__new", is_new).withColumn(
+        session_col, F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).drop("__new")

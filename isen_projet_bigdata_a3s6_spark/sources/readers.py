@@ -1,0 +1,73 @@
+"""Scans (SURVEY §2.1 S1/S3).
+
+Reference behavior: one CSV read (``R_groupe4.R:41-42``) producing an untyped
+all-string frame with types recovered by cast-at-use. We instead declare
+schemas and cast once at ingest — same observable semantics, sane types, and
+it lets the parquet reader prune columns / push filters (free via Catalyst).
+
+At 100 TB: parquet scans here inherit predicate pushdown, column pruning and
+partition pruning; keep filters/selects on the raw reader output so they
+reach the scan (verify with ``df.explain`` → ``PushedFilters`` /
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: driver-generated test tables (TESTDATA.md); one parquet file per table
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1: columnar scan — pushdown + pruning come free."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    all_string: bool = False,
+) -> DataFrame:
+    """S1: CSV scan (reference ``read.csv`` at R_groupe4.R:41-42).
+
+    ``all_string=True`` reproduces the reference's untyped read exactly
+    (every column StringType, cast later); otherwise pass an explicit
+    ``schema`` — never infer in production (two passes over the data).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not all_string:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """S3: binary scan (reference ``readPNG`` at R_groupe4.R:653) →
+    columns (path, modificationTime, length, content:binary)."""
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,30 @@
+"""Sinks (SURVEY §2.1 S2).
+
+Reference: one ``write.csv(..., row.names=FALSE)`` at R_groupe4.R:1074.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """S2: CSV sink. ``single_file=True`` gives the reference's one-file
+    output via coalesce(1) — fine for small exports, never at 100 TB
+    (serializes the write through one task)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.option("header", "true").mode(mode).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Columnar sink; ``partition_by`` enables partition pruning for readers
+    downstream (the 100 TB default)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
