@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end through the noop sink (full materialization,
+no driver collect overhead) — the honest analog of a cluster job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from isen_projet_bigdata_a3s6_spark import queries as registry  # noqa: E402
+from isen_projet_bigdata_a3s6_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_grouped_agg",        # scan + 6-agg groupBy (TPC-H Q1 shape)
+    "q03_summary_stats_grouped",  # exact grouped percentiles
+    "q04_dedup_keep_first",   # window dedup over full lineitem
+    "q11_join_topk_revenue",  # 3-way join + agg + top-k
+    "q12_join_multiway",      # 6-way join
+    "q16_knn_1nn",            # broadcast-NL 1-NN + min_by
+    "q18_running_sum",        # window running aggregate
+    "q24_tumbling_window",    # event-time tumbling windows
+    "q26_sessionize",         # lag+cumsum sessionization
+    "q29_json_extract",       # JSON path extraction
+    "q36_language_id",        # text: n-gram language ID
+    "q37_dedup_exact",        # text: exact dedup via fingerprint
+    "q38_minhash_pairs",      # text: MinHash LSH near-dup
+    "q41_ann_bruteforce",     # embeddings: exact cosine top-k
+    "q30_cov_corr",           # stats as aggregation
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

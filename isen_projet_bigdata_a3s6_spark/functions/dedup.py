@@ -29,16 +29,31 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(col, num_hashes: int = 64, ngram: int = 5):
-    """MinHash signature of a text column: per-shingle xxhash64 under
-    ``num_hashes`` seeds, min per seed. Pure builtin expressions."""
-    grams = F.array_distinct(char_ngrams(col, ngram))
-    return F.array(
-        *[
-            F.array_min(F.transform(grams, lambda g: F.xxhash64(g, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    ngram: int = 5,
+) -> DataFrame:
+    """(id, signature) via the scale shape: explode shingles → one narrow
+    (id, gram) stream → groupBy(id) with ``num_hashes`` min-aggregates
+    (map-side combined, one shuffle on id). A single per-row array
+    expression with N seeds would duplicate the shingle subtree N times and
+    fall out of codegen — this form keeps every stage compiled and scales
+    to arbitrary corpus size."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(char_ngrams(text_col, ngram))).alias("__g"),
     )
+    sig = grams.groupBy("__id").agg(
+        F.array(
+            *[F.min(F.xxhash64("__g", F.lit(i))) for i in range(num_hashes)]
+        ).alias("__sig")
+    )
+    return sig
 
 
 def minhash_dedup_pairs(
@@ -59,10 +74,7 @@ def minhash_dedup_pairs(
     construction (hash buckets).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, ngram).alias("__sig"),
-    ).filter(F.size(F.filter("__sig", lambda x: x.isNotNull())) == num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
 
     banded = sig.select(
         "__id",
@@ -123,32 +135,38 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(col, ngram: int = 3, bits: int = 64):
-    """SimHash of a text column: per-shingle xxhash64, per-bit weighted vote,
-    sign → bit. Expressed as builtin array ops (one aggregate over shingle
-    array per row, no shuffle)."""
-    grams = char_ngrams(col, ngram)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    bit_votes = F.array(
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, ngram: int = 3, bits: int = 64
+) -> DataFrame:
+    """(id, simhash) via the scale shape: explode shingles → per-bit
+    conditional-sum votes in ONE groupBy (map-side combined) → sign → bit.
+    64 simple agg expressions over a narrow (id, hash) stream stay inside
+    codegen (a per-row 64-fold array expression would not)."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_ngrams(text_col, ngram)).alias("__g"),
+    ).select("__id", F.xxhash64("__g").alias("__h"))
+    votes = grams.groupBy("__id").agg(
         *[
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-            )
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(
+                        F.lit(1 << i) if i < 63 else F.lit(-(2**63))
+                    )
+                    != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
             for i in range(bits)
         ]
     )
-    return F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = F.lit(1 << i) if i < 63 else F.lit(-(2**63))
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("__id", sig.alias("__sh"))
 
 
 def simhash_dedup_pairs(
@@ -158,7 +176,7 @@ def simhash_dedup_pairs(
     Hamming distance ≤3 of a 64-bit hash agrees exactly on ≥1 of 4
     16-bit blocks) → equi-join per block → verify Hamming distance.
     Returns (id_a, id_b, hamming)."""
-    sh = df.select(F.col(id_col).alias("__id"), simhash(F.col(text_col), ngram).alias("__sh"))
+    sh = simhash_signatures(df, text_col, id_col, ngram)
     blocks = sh.select(
         "__id",
         "__sh",

@@ -67,10 +67,15 @@ def replace_literal(col: str | Column, find: str, repl: str) -> Column:
 
 
 def title_case(col: str | Column) -> Column:
-    """C3: ``str_to_title(tolower(x))`` → initcap(lower(x)); capitalizes
-    after any non-letter incl. '-' ("saint-jean" → "Saint-Jean")."""
+    """C3: ``str_to_title(tolower(x))`` (R_groupe4.R:178) — capitalizes after
+    any word boundary including '-' and '''  ("saint-jean" → "Saint-Jean").
+
+    Spark's ``initcap`` only breaks on whitespace, so hyphen/apostrophe
+    boundaries get a temporary marker+space inserted, then removed after —
+    still a pure builtin expression chain."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.initcap(F.lower(c))
+    marked = F.regexp_replace(F.lower(c), "([-'])", "$1\u0001 ")
+    return F.regexp_replace(F.initcap(marked), "\u0001 ", "")
 
 
 def euclidean_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:

@@ -47,13 +47,19 @@ def sessionize(
     ts_col: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the previous
     event of the same user exceeds ``gap_seconds``. lag → boolean → running
-    sum, all over one (user, ts) partitioning/sort."""
-    w = W.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sum, all over one (user, ts) partitioning/sort. Pass ``tiebreak`` columns
+    for a total order when timestamps can collide."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = W.partitionBy(user_col).orderBy(*order)
+    # microsecond precision: a cast-to-long would truncate to seconds and
+    # misclassify sub-second gaps straddling the threshold
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0))
     ).drop("__new")

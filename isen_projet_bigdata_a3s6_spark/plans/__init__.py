@@ -1,1 +1,3 @@
+from .trees_pipeline import clean_trees, trees_fixture
 
+__all__ = ["clean_trees", "trees_fixture"]

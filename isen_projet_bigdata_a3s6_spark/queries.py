@@ -126,3 +126,959 @@ def q02_summary_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_summary_stats_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return agg.summary_stats(li, "l_quantity", group_by=["l_returnflag"])
+
+
+# ---------------------------------------------------------------------------
+# F2 + O-order: keyed dedup keep-first (R !duplicated, R_groupe4.R:52)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_dedup_keep_first",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+      FROM lineitem)
+    WHERE rn = 1
+    """,
+)
+def q04_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import dedup_keep_first
+
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # the keep-first order must totally order the projected columns
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return dedup_keep_first(li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_quantity"])
+
+
+# ---------------------------------------------------------------------------
+# F1: full-row distinct (R_groupe4.R:49)
+# ---------------------------------------------------------------------------
+@register(
+    "q05_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q05_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import distinct_rows
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    return distinct_rows(li)
+
+
+# ---------------------------------------------------------------------------
+# F4 + P9 + P11: filter, case_when bucketing, constant arithmetic
+# (R_groupe4.R:284-535 filters; :725-730 buckets; :103-104 shift)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_filter_bucketize",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'vert'
+                WHEN o_totalprice < 150000 THEN 'jaune'
+                ELSE 'rouge' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice - 1000.5 AS DECIMAL(28,4))) AS DOUBLE) AS sum_shifted
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+)
+def q06_filter_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import bucketize, dec_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .withColumn("bucket", bucketize("o_totalprice", [(50000.0, "vert"), (150000.0, "jaune")], "rouge"))
+        .withColumn("shifted", F.col("o_totalprice") - F.lit(1000.5))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("shifted").alias("sum_shifted"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 + W4: blank→null then fillna (R_groupe4.R:45, :209)
+# ---------------------------------------------------------------------------
+@register(
+    "q07_null_handling",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(NULLIF(TRIM(source), ''), 'Inconnue') AS source_clean,
+           COALESCE(NULLIF(TRIM(lang), ''), 'Inconnue') AS lang_clean
+    FROM documents
+    """,
+)
+def q07_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import blank_strings_to_null, fill_string_nulls
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    d = blank_strings_to_null(d, ["source", "lang"])
+    d = fill_string_nulls(d, "Inconnue", ["source", "lang"])
+    return d.select(
+        "doc_id",
+        F.col("source").alias("source_clean"),
+        F.col("lang").alias("lang_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 + C3 + P5/P7: string functions and casts (R_groupe4.R:90-91, :178)
+# ---------------------------------------------------------------------------
+@register(
+    "q08_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           REPLACE(c_name, 'Customer', 'Client') AS renamed,
+           LENGTH(c_name) AS name_len,
+           UPPER(c_mktsegment) AS seg_upper,
+           CAST(c_acctbal AS DOUBLE) AS bal_double
+    FROM customer
+    """,
+)
+def q08_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import replace_literal
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        replace_literal("c_name", "Customer", "Client").alias("renamed"),
+        F.length("c_name").alias("name_len"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.col("c_acctbal").cast("double").alias("bal_double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3: title-case normalization (initcap(lower), R_groupe4.R:178)
+# ---------------------------------------------------------------------------
+@register(
+    "q09_title_case",
+    oracle="""
+    SELECT DISTINCT p_brand,
+           UPPER(SUBSTR(LOWER(p_brand), 1, 1)) || SUBSTR(LOWER(p_brand), 2) AS brand_title
+    FROM part
+    """,
+)
+def q09_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # p_brand values are single words (Brand#xx) so initcap == ucfirst;
+    # the hyphen-crossing behavior is unit-tested in tests/test_scalar.py
+    from .functions.scalar import title_case
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_brand", title_case("p_brand").alias("brand_title")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# P4 + P8: outlier cap and binary label (R_groupe4.R:80, :1000)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_cap_and_label",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus IN ('F', 'P') THEN 1 ELSE 0 END AS closed_label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_totalprice > 300000 THEN 200000.0 ELSE o_totalprice END AS DECIMAL(28,4))) AS DOUBLE) AS sum_capped
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q10_cap_and_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import binary_label, dec_sum, outlier_cap
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("closed_label", binary_label("o_orderstatus", ["F", "P"]))
+        .withColumn("capped", outlier_cap("o_totalprice", 300000.0, 200000.0))
+        .groupBy("closed_label")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("capped").alias("sum_capped"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: inner join + agg + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_join_topk_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q11_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import dec
+    from .operators.aggregations import top_k
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    joined = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4))
+        .cast("double")
+        .alias("revenue")
+    )
+    return top_k(agg, [F.desc("revenue"), F.asc("l_orderkey")], 10).select(
+        "l_orderkey", "revenue", "o_orderdate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: 6-way join (TPC-H Q5 shape — broadcast dims, shuffle facts)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_join_multiway",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q12_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import dec
+
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    joined = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+)
+def q13_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q14_anti_join",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """,
+)
+def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2: left join against own aggregate (R_groupe4.R:200-203, 630-631)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_join_agg_decorate",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, COALESCE(a.n_orders, 0) AS n_orders
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+    ) a ON c.c_custkey = a.o_custkey
+    """,
+)
+def q15_join_agg_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import decorate_with_group_agg
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg_df = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return decorate_with_group_agg(c, agg_df, "c_custkey").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/G3: 1-nearest-neighbor join (numeric analog of the spatial imputation,
+# R_groupe4.R:110-142)
+# ---------------------------------------------------------------------------
+@register(
+    "q16_knn_1nn",
+    oracle="""
+    SELECT c_custkey, s_suppkey AS nearest_supp FROM (
+      SELECT c.c_custkey, s.s_suppkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_custkey
+               ORDER BY SQRT(POW(c.c_acctbal - s.s_acctbal, 2) + POW(0.0, 2)), s.s_suppkey
+             ) AS rn
+      FROM customer c CROSS JOIN supplier s)
+    WHERE rn = 1
+    """,
+)
+def q16_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import knn_join_1nn
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("cx"), F.lit(0.0).alias("cy")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal").alias("sx"), F.lit(0.0).alias("sy")
+    )
+    out = knn_join_1nn(
+        c, s, probe_id="c_custkey",
+        probe_coords=("cx", "cy"), known_coords=("sx", "sy"),
+        payload_cols=["s_suppkey"], tiebreak="s_suppkey",
+    )
+    return out.select("c_custkey", F.col("s_suppkey").alias("nearest_supp"))
+
+
+# ---------------------------------------------------------------------------
+# full outer join
+# ---------------------------------------------------------------------------
+@register(
+    "q17_full_outer",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM (SELECT * FROM region WHERE r_regionkey < 3) r
+    FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey % 2 = 0) n
+      ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def q17_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_regionkey") < 3)
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 2 == 0)
+    return r.join(n, r.r_regionkey == n.n_regionkey, "full_outer").select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# W-extensions: running sum, lag/delta, rank (SURVEY §2.6 note — exercised
+# over events per the fixture mapping)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM events WHERE user_id < 50
+    """,
+)
+def q18_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import with_running_sum
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = with_running_sum(
+        e, "value", ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], name="running_value"
+    )
+    return out.select("event_id", "user_id", F.round("running_value", 6).alias("running_value"))
+
+
+@register(
+    "q19_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events WHERE user_id < 50
+    """,
+)
+def q19_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import with_lag
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = with_lag(e, "value", ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], name="prev")
+    return out.select(
+        "event_id", "user_id", F.round(F.col("value") - F.col("prev"), 6).alias("delta")
+    )
+
+
+@register(
+    "q20_rank_dense_rank",
+    oracle="""
+    SELECT event_id, event_type,
+           RANK() OVER (PARTITION BY event_type ORDER BY ROUND(value, 2) DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY event_type ORDER BY ROUND(value, 2) DESC) AS drnk
+    FROM events WHERE user_id < 20
+    """,
+)
+def q20_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("event_type").orderBy(F.round("value", 2).desc())
+    return e.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/W3/O1: mode per group; A8 crosstab; O1 top-k per group
+# ---------------------------------------------------------------------------
+@register(
+    "q21_mode_per_group",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS mode_val FROM (
+      SELECT c_nationkey, c_mktsegment,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    WHERE rn = 1
+    """,
+)
+def q21_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregations import mode_per_group
+
+    c = load_table(spark, sf_dir, "customer")
+    return mode_per_group(c, "c_nationkey", "c_mktsegment")
+
+
+@register(
+    "q22_crosstab",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q22_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregations import crosstab_long
+
+    o = load_table(spark, sf_dir, "orders")
+    return crosstab_long(o, "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "q23_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def q23_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregations import top_k_per_group
+
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
+    return top_k_per_group(c, ["c_nationkey"], [F.desc("c_acctbal"), F.asc("c_custkey")], 3)
+
+
+# ---------------------------------------------------------------------------
+# time windows: tumbling, sliding, session (batch forms — SURVEY §2.12)
+# ---------------------------------------------------------------------------
+@register(
+    "q24_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q24_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import tumbling_window_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(e, "ts", "1 hour", ["event_type"])
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+@register(
+    "q25_sliding_window",
+    oracle="""
+    WITH contrib AS (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events)
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM contrib GROUP BY 1
+    """,
+)
+def q25_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import sliding_window_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(e, "ts", "2 hours", "1 hour", [])
+    return out.select("window_start", "n", "sum_value")
+
+
+@register(
+    "q26_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      FROM events WHERE user_id < 50),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import sessionize
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operators (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+@register(
+    "q27_setops",
+    oracle="""
+    WITH h1 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+         h2 AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+    SELECT 'both' AS tag, COUNT(*) AS n FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+    UNION ALL
+    SELECT 'only_early', COUNT(*) FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+    UNION ALL
+    SELECT 'union_distinct', COUNT(*) FROM (SELECT o_custkey FROM h1 UNION SELECT o_custkey FROM h2)
+    """,
+)
+def q27_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.setops import except_, intersect, union_distinct
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    h1 = o.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    h2 = o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    spark_rows = [
+        intersect(h1, h2).agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("tag"), "n"),
+        except_(h1, h2).agg(F.count(F.lit(1)).alias("n")).select(F.lit("only_early").alias("tag"), "n"),
+        union_distinct(h1, h2).agg(F.count(F.lit(1)).alias("n")).select(F.lit("union_distinct").alias("tag"), "n"),
+    ]
+    out = spark_rows[0]
+    for r in spark_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C6: date/timestamp functions (dead code in reference R_groupe4.R:150-172;
+# live surface here)
+# ---------------------------------------------------------------------------
+@register(
+    "q28_date_functions",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           COUNT(*) AS n,
+           CAST(MIN(DATE_DIFF('day', DATE '1992-01-01', o_orderdate)) AS BIGINT) AS min_days_since,
+           CAST(MAX(EXTRACT(quarter FROM o_orderdate)) AS BIGINT) AS max_quarter
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q28_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")))
+            .cast("long")
+            .alias("min_days_since"),
+            F.max(F.quarter("o_orderdate")).cast("long").alias("max_quarter"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props (north-star; SURVEY §2.9 note)
+# ---------------------------------------------------------------------------
+@register(
+    "q29_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q29_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import dec_sum
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1/M2: covariance + Pearson correlation as exact aggregations
+# (R_groupe4.R:799-818)
+# ---------------------------------------------------------------------------
+@register(
+    "q30_cov_corr",
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.stats.descriptive", fromlist=["x"]
+    ).pairwise_stats_oracle_sql(
+        "lineitem",
+        [("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"), ("l_extendedprice", "l_tax")],
+    ),
+)
+def q30_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stats.descriptive import pairwise_stats_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return pairwise_stats_df(
+        li,
+        [("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"), ("l_extendedprice", "l_tax")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3: chi-square independence (R_groupe4.R:836-841, 882-900)
+# ---------------------------------------------------------------------------
+@register(
+    "q31_chi_square",
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.stats.inference", fromlist=["x"]
+    ).chi_square_oracle_sql("lineitem", "l_returnflag", "l_linestatus"),
+)
+def q31_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stats.inference import chi_square_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return chi_square_df(li, "l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# M5: one-way ANOVA (R_groupe4.R:873-874)
+# ---------------------------------------------------------------------------
+@register(
+    "q32_anova",
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.stats.inference", fromlist=["x"]
+    ).anova_oneway_oracle_sql("lineitem", "l_quantity", "l_returnflag"),
+)
+def q32_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stats.inference import anova_oneway_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return anova_oneway_df(li, "l_quantity", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# M6: simple OLS closed form (R_groupe4.R:983-996)
+# ---------------------------------------------------------------------------
+@register(
+    "q33_simple_ols",
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.stats.regression", fromlist=["x"]
+    ).simple_ols_oracle_sql("lineitem", "l_extendedprice", "l_quantity"),
+)
+def q33_simple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .stats.regression import simple_ols_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return simple_ols_df(li, "l_extendedprice", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents (north-star surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q34_text_stats",
+    oracle="""
+    SELECT doc_id,
+           LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t <> '')) AS n_tokens,
+           LENGTH(text) AS n_chars_computed,
+           LEN(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+    FROM documents
+    """,
+)
+def q34_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.regexp_count("text", F.lit("[A-Za-z]")).alias("n_alpha"),
+    )
+
+
+@register(
+    "q35_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(LEN(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) AS n_punct,
+             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tok
+      FROM documents)
+    SELECT doc_id,
+           (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN n_tok > 0 AND n_chars / n_tok >= 2 AND n_chars / n_tok <= 12 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN n_chars > 0 AND n_alpha / n_chars >= 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN n_chars > 0 AND n_punct / n_chars <= 0.2 THEN 0.25 ELSE 0.0 END) AS quality
+    FROM t
+    """,
+)
+def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "q36_language_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t <> '') AS tk
+      FROM documents),
+    scores AS (
+      SELECT doc_id, lang,
+        LEN(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','zu','mit'], t))) AS s_de,
+        LEN(list_filter(tk, t -> list_contains(['the','and','of','to','is','in','that','it','was','for'], t))) AS s_en,
+        LEN(list_filter(tk, t -> list_contains(['el','la','los','las','de','que','es','en','un','una'], t))) AS s_es,
+        LEN(list_filter(tk, t -> list_contains(['le','la','les','de','des','et','est','un','une','que'], t))) AS s_fr
+      FROM toks)
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de >= GREATEST(s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en >= GREATEST(s_es, s_fr) THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+)
+def q36_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+@register(
+    "q37_dedup_exact",
+    oracle="""
+    SELECT doc_id FROM (
+      SELECT doc_id, ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q37_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    w = W.partitionBy(F.md5(F.encode(norm, "UTF-8"))).orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id")
+    )
+
+
+# minhash/simhash/ngram-jaccard near-dup: deterministic but hash-based —
+# not expressible in DuckDB SQL → rows-only oracle checks
+@register("q38_minhash_pairs")
+def q38_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5)
+
+
+@register("q39_simhash_pairs")
+def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import simhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@register("q40_ngram_jaccard_pairs")
+def q40_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", ngram=5, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (north-star surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q41_ann_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS score
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q41_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, q, k=10, query_id="query_id")
+
+
+@register("q42_ann_lsh")
+def q42_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, q, k=10, dim=64, num_bits=16, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# M4/M7/M8: Spark ML — multiple OLS w/ inference, logistic + confusion
+# matrix (rows-only: model fitting isn't SQL-expressible)
+# ---------------------------------------------------------------------------
+@register("q43_multiple_ols")
+def q43_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ml.pipeline import fit_multiple_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _, summary = fit_multiple_ols(
+        li, "l_extendedprice", ["l_quantity", "l_discount"], ["l_returnflag"]
+    )
+    return summary.select(
+        "feature",
+        F.round("coefficient", 4).alias("coefficient"),
+        F.round("t_value", 2).alias("t_value"),
+    )
+
+
+@register("q44_logistic_confusion")
+def q44_logistic_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import binary_label
+    from .ml.pipeline import confusion_matrix, fit_logistic
+
+    o = load_table(spark, sf_dir, "orders")
+    o = o.withColumn("is_closed", binary_label("o_orderstatus", ["F"]).cast("double"))
+    _, scored = fit_logistic(o, "is_closed", ["o_totalprice"], ["o_orderpriority"])
+    return confusion_matrix(scored, "is_closed")
+
+
+# ---------------------------------------------------------------------------
+# G1/G2: CRS reprojection (pandas UDF; rows-only — no SQL equivalent)
+# ---------------------------------------------------------------------------
+@register("q45_crs_transform")
+def q45_crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.geo import with_wgs84
+
+    c = load_table(spark, sf_dir, "customer")
+    synth = c.select(
+        "c_custkey",
+        (F.lit(700000.0) + (F.col("c_custkey") % 1000) * 30.0).alias("X"),
+        (F.lit(6960000.0) + ((F.col("c_custkey") * 7) % 1000) * 30.0).alias("Y"),
+    )
+    out = with_wgs84(synth, "X", "Y")
+    return out.select(
+        "c_custkey",
+        F.round("longitude", 9).alias("longitude"),
+        F.round("latitude", 9).alias("latitude"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: tumbling window as a real stream, same oracle as
+# the batch q24 (SURVEY §2.12)
+# ---------------------------------------------------------------------------
+@register(
+    "q46_streaming_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .streaming.windows import streaming_tumbling_counts
+
+    return streaming_tumbling_counts(
+        spark, os.path.join(sf_dir, "events.parquet"), query_name="q46_stream_out"
+    )

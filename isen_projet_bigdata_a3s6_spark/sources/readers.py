@@ -66,7 +66,35 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_ns_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan tolerant of TIMESTAMP(NANOS) columns (e.g. the driver's
+    ``events.ts``), which Spark rejects by default. Nanos columns are read
+    as long via the legacy conf and converted back to timestamps with exact
+    integer division (a double round-trip would lose precision past 2^53 ns).
+    Same truncation DuckDB applies reading ns parquet, so oracle parity holds.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    try:
+        footer = pq.read_schema(path)
+        ns_cols = [
+            f.name
+            for f in footer
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        ns_cols = []
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,1 +1,3 @@
+from . import descriptive, distributions, inference, regression
 
+__all__ = ["descriptive", "distributions", "inference", "regression"]

@@ -1,0 +1,129 @@
+"""Event-time windows — batch and Structured Streaming (SURVEY §2.12).
+
+The reference is pure batch, so tumbling/sliding/session aggregations over
+``events.ts`` are engine extensions. Each has a batch form (F.window /
+F.session_window — ordinary shuffled aggregations, oracle-checkable) and a
+streaming form (readStream → watermark → windowed agg → memory sink) proving
+the same logical plan runs incrementally with late-data handling.
+
+At scale: watermark + windowed agg is Spark's mergeable stateful operator —
+state is keyed by (window, keys) and pruned at the watermark, so memory is
+bounded by window-span × key cardinality, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import dec_sum
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling windows: every event in exactly one bucket. Epoch-aligned,
+    so for whole-unit durations window_start == date_trunc(unit, ts)."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value")]
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Sliding windows: each event lands in duration/slide buckets."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value")]
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session windows (gap-based) via the native session_window operator."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    parquet_path: str,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: list[str] = ("event_type",),
+    watermark: str = "1 hour",
+    query_name: str = "stream_out",
+) -> DataFrame:
+    """Run the tumbling aggregation as a real Structured Streaming query over
+    the parquet file (file source), drain it synchronously into a memory
+    sink, and return the materialized result — identical semantics to the
+    batch form, so it shares its DuckDB oracle."""
+    from ..sources.readers import read_parquet_ns_safe
+
+    # batch read resolves the schema (incl. nanos-timestamp handling)
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    import os
+    import tempfile
+
+    # FileStreamSource wants a directory; stage the single file via symlink
+    stage_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(parquet_path, os.path.join(stage_dir, os.path.basename(parquet_path)))
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    # apply the same ns→timestamp conversion the batch reader applied
+    for f in batch.schema.fields:
+        if f.name in [rf.name for rf in raw_schema.fields] and str(
+            raw_schema[f.name].dataType
+        ) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

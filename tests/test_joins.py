@@ -1,0 +1,56 @@
+"""Join operators: 1-NN broadcast vs grid-bucketed parity, as-of join."""
+
+from pyspark.sql import functions as F
+
+from isen_projet_bigdata_a3s6_spark.operators.joins import (
+    asof_join,
+    knn_join_1nn,
+    knn_join_1nn_grid,
+)
+
+
+def _toy_points(spark):
+    probes = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 10.0), (3, 5.1, 5.1)], "pid int, px double, py double"
+    )
+    known = spark.createDataFrame(
+        [(100, 0.5, 0.5, "a"), (200, 9.0, 9.0, "b"), (300, 5.0, 5.0, "c")],
+        "kid int, kx double, ky double, lbl string",
+    )
+    return probes, known
+
+
+def test_knn_1nn_broadcast(spark):
+    probes, known = _toy_points(spark)
+    out = knn_join_1nn(
+        probes, known, "pid", ("px", "py"), ("kx", "ky"), ["lbl"], tiebreak="kid"
+    )
+    got = {(r["pid"], r["lbl"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_knn_grid_matches_broadcast(spark):
+    probes, known = _toy_points(spark)
+    bc = knn_join_1nn(
+        probes, known, "pid", ("px", "py"), ("kx", "ky"), ["lbl"], tiebreak="kid"
+    )
+    grid = knn_join_1nn_grid(
+        probes, known, "pid", ("px", "py"), ("kx", "ky"), ["lbl"],
+        cell_size=20.0, tiebreak="kid",
+    )
+    assert sorted(map(tuple, bc.select("pid", "lbl").collect())) == sorted(
+        map(tuple, grid.select("pid", "lbl").collect())
+    )
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 5, "t3")], "k int, t int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 9, 300.0)], "k int, t int, px double"
+    )
+    out = asof_join(left, right, "k", "t", "t", ["px"])
+    got = {(r["k"], r["t"], r["px"]) for r in out.collect()}
+    # k=1 t=10 -> px@8; k=1 t=20 -> px@15; k=2 t=5 -> nothing at/before
+    assert got == {(1, 10, 100.0), (1, 20, 200.0), (2, 5, None)}
