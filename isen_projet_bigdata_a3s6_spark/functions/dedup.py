@@ -44,7 +44,8 @@ def minhash_signatures(
     expression with N seeds would duplicate the shingle subtree N times and
     fall out of codegen — this form keeps every stage compiled and scales
     to arbitrary corpus size."""
-    grams = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(par).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(char_ngrams(text_col, ngram))).alias("__g"),
     )
@@ -142,7 +143,8 @@ def simhash_signatures(
     conditional-sum votes in ONE groupBy (map-side combined) → sign → bit.
     64 simple agg expressions over a narrow (id, hash) stream stay inside
     codegen (a per-row 64-fold array expression would not)."""
-    grams = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(par).select(
         F.col(id_col).alias("__id"),
         F.explode(char_ngrams(text_col, ngram)).alias("__g"),
     ).select("__id", F.xxhash64("__g").alias("__h"))

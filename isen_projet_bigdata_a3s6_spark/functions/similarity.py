@@ -58,7 +58,9 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )
-    scored = corpus.join(F.broadcast(q), how="cross").select(
+    # |queries| dot products per corpus row — parallelize the corpus scan
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = corpus.repartition(par).join(F.broadcast(q), how="cross").select(
         "query_id",
         F.col(corpus_id).alias("vec_id"),
         F.round(cosine(F.col(corpus_vec), F.col("__qv")), 6).alias("score"),

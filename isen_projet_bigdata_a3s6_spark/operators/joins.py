@@ -59,7 +59,14 @@ def knn_join_1nn(
         *( [F.col(tiebreak).alias("__tb")] if tiebreak else [] ),
     )
     dist = euclidean_distance(F.col(px), F.col(py), F.col("__kx"), F.col("__ky"))
-    joined = probes.join(F.broadcast(k), how="cross").withColumn("__dist", dist)
+    # the cross join multiplies per-row work by |known| — spread probes over
+    # all cores first (single-row-group inputs otherwise scan as ONE task)
+    par = probes.sparkSession.sparkContext.defaultParallelism
+    joined = (
+        probes.repartition(par)
+        .join(F.broadcast(k), how="cross")
+        .withColumn("__dist", dist)
+    )
     order = F.struct(
         *( [F.col("__dist"), F.col("__tb")] if tiebreak else [F.col("__dist")] )
     )
