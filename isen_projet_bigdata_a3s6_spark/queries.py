@@ -1082,3 +1082,333 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(
         spark, os.path.join(sf_dir, "events.parquet"), query_name="q46_stream_out"
     )
+
+
+# ---------------------------------------------------------------------------
+# A8 matrix form: pivot (R ``table`` wide form, R_groupe4.R:880-894)
+# ---------------------------------------------------------------------------
+@register(
+    "q47_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregations import crosstab_pivot
+
+    o = load_table(spark, sf_dir, "orders")
+    out = crosstab_pivot(o, "o_orderpriority", "o_orderstatus", ["F", "O", "P"])
+    return out.select(
+        "o_orderpriority",
+        F.col("F").cast("long").alias("F"),
+        F.col("O").cast("long").alias("O"),
+        F.col("P").cast("long").alias("P"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube / grouping sets (SURVEY §2.5 note: free in Spark, exercised)
+# ---------------------------------------------------------------------------
+@register(
+    "q48_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q48_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "q49_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q49_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# count distinct, exact + approx (approx is engine-specific → exact twin
+# for the oracle, approx exposed alongside as a rows-only extra)
+# ---------------------------------------------------------------------------
+@register(
+    "q50_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q50_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register("q51_approx_distinct_quantile")
+def q51_approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based forms for 100 TB: HLL++ distinct + GK quantiles —
+    mergeable, single-pass (rows-only check; sketches are engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 + S1: CSV sink → scan round-trip (reference export + read-back check,
+# R_groupe4.R:1074-1076)
+# ---------------------------------------------------------------------------
+@register(
+    "q52_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY 1
+    """,
+)
+def q52_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .functions.scalar import dec_sum
+    from .sources.writers import write_csv
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    out_dir = tempfile.mkdtemp(prefix="csv_sink_") + "/orders_csv"
+    write_csv(o.select("o_orderstatus", "o_totalprice"), out_dir)
+    back = (
+        spark.read.option("header", "true")
+        .schema("o_orderstatus string, o_totalprice double")
+        .csv(out_dir)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: group-wise first fill (R_groupe4.R:181-190) — windowed form
+# ---------------------------------------------------------------------------
+@register(
+    "q53_groupwise_fill",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(qn, FIRST_VALUE(qn IGNORE NULLS) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_filled
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                 NULLIF(l_quantity, 1.0) AS qn FROM lineitem)
+    """,
+)
+def q53_groupwise_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qn", F.nullif(F.col("l_quantity"), F.lit(1.0))
+    )
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fill = F.first("qn", ignorenulls=True).over(w)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.coalesce(F.col("qn"), fill).alias("q_filled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: group-mode fill with default (R_groupe4.R:194-205)
+# ---------------------------------------------------------------------------
+@register(
+    "q54_mode_fill",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer),
+    modes AS (
+      SELECT c_nationkey, seg AS mode_seg FROM (
+        SELECT c_nationkey, seg,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY COUNT(*) DESC, seg) AS rn
+        FROM base WHERE seg IS NOT NULL GROUP BY c_nationkey, seg)
+      WHERE rn = 1)
+    SELECT b.c_custkey, COALESCE(b.seg, m.mode_seg, 'AUTRE') AS seg_filled
+    FROM base b LEFT JOIN modes m ON b.c_nationkey = m.c_nationkey
+    """,
+)
+def q54_mode_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleaning import groupwise_mode_fill
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    out = groupwise_mode_fill(c, "seg", "c_nationkey", default="AUTRE")
+    return out.select("c_custkey", F.col("seg").alias("seg_filled"))
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P3/P7: projection surface (drop/select/lit/rename,
+# R_groupe4.R:77, 83-87, 101, 1071-1072)
+# ---------------------------------------------------------------------------
+@register(
+    "q55_projection_ops",
+    oracle="""
+    SELECT p_partkey AS part_id, p_brand, 'Orthophoto' AS src_geo,
+           p_retailprice * 1.1 AS price_taxed
+    FROM part
+    """,
+)
+def q55_projection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    out = (
+        p.drop("p_name", "p_type", "p_size")
+        .withColumn("src_geo", F.lit("Orthophoto"))
+        .withColumn("price_taxed", F.col("p_retailprice") * 1.1)
+        .withColumnRenamed("p_partkey", "part_id")
+    )
+    return out.select("part_id", "p_brand", "src_geo", "price_taxed")
+
+
+# ---------------------------------------------------------------------------
+# text: BPE-ish token counting + fingerprint-distinct (north-star)
+# ---------------------------------------------------------------------------
+@register(
+    "q56_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q56_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+@register(
+    "q57_fingerprint_distinct",
+    oracle="""
+    SELECT source, COUNT(DISTINCT md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'))) AS n_unique_docs,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q57_fingerprint_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(fingerprint("text")).alias("n_unique_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: vector arithmetic via builtin array ops (north-star)
+# ---------------------------------------------------------------------------
+@register(
+    "q58_vector_normalize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
+           ROUND(embedding[1] / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS first_unit
+    FROM embeddings
+    """,
+)
+def q58_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.similarity import norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(n, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / n, 6).alias("first_unit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of style carry-forward (engine asof_join surface; window form)
+# ---------------------------------------------------------------------------
+@register(
+    "q59_last_purchase_carryforward",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events WHERE user_id < 30
+    """,
+)
+def q59_last_purchase_carryforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lastp = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return e.select("event_id", "user_id", lastp.alias("last_purchase_value"))
+
+
+# ---------------------------------------------------------------------------
+# native session_window operator (streaming-capable form of q26)
+# ---------------------------------------------------------------------------
+@register(
+    "q60_session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q60_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import session_window_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = session_window_agg(e, "ts", "30 minutes", ["user_id"])
+    return out.select("user_id", "session_start", "session_end", "n")
