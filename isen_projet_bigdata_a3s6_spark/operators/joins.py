@@ -192,3 +192,35 @@ def asof_join(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__pay_{c}").alias(c) for c in payload_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side across buckets,
+    then join on (key, salt). Turns one hot key's single straggler task into
+    ``salt_buckets`` parallel tasks.
+
+    AQE's skew-join splitting (enabled in the session factory) handles most
+    cases automatically; explicit salting is for deterministic layouts or
+    non-AQE engines. Replication factor = salt_buckets on the right side —
+    keep it small and the right side the smaller input.
+    """
+    salted_l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_r = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        ),
+        how="cross",
+    )
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")

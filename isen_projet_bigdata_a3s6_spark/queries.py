@@ -1412,3 +1412,335 @@ def q60_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     out = session_window_agg(e, "ts", "30 minutes", ["user_id"])
     return out.select("user_id", "session_start", "session_end", "n")
+
+
+# ---------------------------------------------------------------------------
+# correlated subqueries (Catalyst decorrelation — TPC-H Q4/Q17 shapes)
+# ---------------------------------------------------------------------------
+@register(
+    "q61_exists_correlated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate)
+    GROUP BY 1
+    """,
+)
+def q61_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("__orders_v")
+    li.createOrReplaceTempView("__lineitem_v")
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM __orders_v
+        WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-03-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM __lineitem_v WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "q62_scalar_subquery",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY 1
+    """,
+)
+def q62_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li62")
+    return spark.sql("""
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+        FROM __li62 l1
+        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM __li62 l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+    """)
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary: term frequencies + top-k terms (training-data op)
+# ---------------------------------------------------------------------------
+@register(
+    "q63_vocabulary_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t <> '')) AS term
+      FROM documents)
+    SELECT term, n FROM (
+      SELECT term, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+      FROM tok GROUP BY term)
+    WHERE rn <= 25
+    """,
+)
+def q63_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import tokens
+    from .operators.aggregations import top_k
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return top_k(tf, [F.desc("n"), F.asc("term")], 25)
+
+
+# ---------------------------------------------------------------------------
+# embedding centroids per label (posexplode → groupBy — the scalable
+# element-wise array mean)
+# ---------------------------------------------------------------------------
+@register(
+    "q64_embedding_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, u.pos AS pos, u.val AS val
+      FROM embeddings,
+           LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
+                           unnest(CAST(embedding AS DOUBLE[])) AS val) u)
+    SELECT label, pos, ROUND(AVG(val), 6) AS centroid_val
+    FROM flat WHERE pos <= 4 GROUP BY 1, 2
+    """,
+)
+def q64_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val")
+    ).withColumn("pos", F.col("pos0") + 1)
+    return (
+        flat.filter(F.col("pos") <= 4)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "centroid_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct users per tumbling window (stream-shaped distinct aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "q65_window_distinct_users",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q65_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stopword ratio per declared language (text quality × grouping)
+# ---------------------------------------------------------------------------
+@register(
+    "q66_stopword_ratio_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                  x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS DOUBLE) AS hits,
+             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t2 -> t2 <> '')) AS DOUBLE) AS toks
+      FROM documents)
+    SELECT lang,
+           ROUND(SUM(hits) / SUM(toks), 6) AS en_stopword_ratio,
+           COUNT(*) AS n_docs
+    FROM t GROUP BY 1
+    """,
+)
+def q66_stopword_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import stopword_hits, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        stopword_hits("text", "en").cast("double").alias("hits"),
+        token_count("text").cast("double").alias("toks"),
+    )
+    return t.groupBy("lang").agg(
+        F.round(F.sum("hits") / F.sum("toks"), 6).alias("en_stopword_ratio"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary media column metadata (decode stubbed; metadata ops
+# are real and SQL-checkable over the bytes)
+# ---------------------------------------------------------------------------
+@register(
+    "q67_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS media_bytes,
+           md5(text) AS media_md5
+    FROM documents
+    """,
+)
+def q67_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return media.select(
+        "doc_id",
+        F.length("content").cast("long").alias("media_bytes"),
+        F.md5("content").alias("media_md5"),
+    )
+
+
+@register("q68_multimodal_features")
+def q68_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction over mapInPandas (decoder stubbed
+    deterministically — container has no codecs; the distributed plumbing is
+    the real path). Rows-only check."""
+    from .multimodal import extract_image_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# clustering + IVF-style ANN over embeddings (extension; rows-only —
+# iterative fitting isn't SQL-expressible)
+# ---------------------------------------------------------------------------
+@register("q69_kmeans_clusters")
+def q69_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans over the embedding column: cluster sizes + intra-cluster
+    cosine stats. Deterministic seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=3, seed=42, maxIter=20, featuresCol="features")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs)
+    return assigned.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@register("q70_ann_ivf")
+def q70_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer → probe the nearest ``nprobe``
+    cell lists per query → exact cosine re-rank inside probed cells. The
+    standard big-corpus layout: the inverted lists are the partition key, so
+    each query touches |corpus|·nprobe/k rows instead of the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window as W
+
+    from .functions.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("features", array_to_vector("emb"))
+    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "emb", F.col("prediction").alias("cell")
+    )
+    # queries: first 5 vectors; probe nprobe=2 nearest centroids
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = e.sparkSession.createDataFrame(centroids, "cell int, cvec array<double>")
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
+    )
+    qcells = (
+        q.join(F.broadcast(cdf), how="cross")
+        .withColumn("csim", cosine(F.col("qv"), F.col("cvec")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("crank") <= 2)
+        .select("query_id", "qv", "cell")
+    )
+    cand = qcells.join(assigned, "cell")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("emb"), F.col("qv")), 6).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: sliding windows with watermark (shares q25 logic)
+# ---------------------------------------------------------------------------
+@register(
+    "q71_streaming_sliding",
+    oracle="""
+    WITH contrib AS (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value FROM events)
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM contrib GROUP BY 1
+    """,
+)
+def q71_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .sources.readers import read_parquet_ns_safe
+
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = read_parquet_ns_safe(spark, path)
+    raw_schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix="stream_slide_")
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    from .functions.scalar import dec_sum
+
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    qname = "q71_stream_out"
+    sq = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    return spark.table(qname)

@@ -28,3 +28,21 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: later equi-joins/aggregations on
+    ``bucket_cols`` read co-located buckets and skip the shuffle entirely —
+    the 100 TB answer for repeatedly-joined fact tables. (Requires a
+    catalog; bucketing metadata doesn't survive in plain parquet paths.)"""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

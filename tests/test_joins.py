@@ -54,3 +54,30 @@ def test_asof_join(spark):
     got = {(r["k"], r["t"], r["px"]) for r in out.collect()}
     # k=1 t=10 -> px@8; k=1 t=20 -> px@15; k=2 t=5 -> nothing at/before
     assert got == {(1, 10, 100.0), (1, 20, 200.0), (2, 5, None)}
+
+
+def test_salted_join_matches_plain(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(50)] + [(2, "x")], "k int, lv string"
+    )
+    right = spark.createDataFrame([(1, "r1"), (2, "r2"), (3, "r3")], "k int, rv string")
+    plain = left.join(right, "k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k").select("k", "lv", "rv")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_write_join(spark):
+    import uuid
+
+    from isen_projet_bigdata_a3s6_spark.sources.writers import write_bucketed
+
+    # default warehouse dir (./spark-warehouse, gitignored) — the conf is
+    # static and cannot be set per-test
+    name = f"bt_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, v long")
+    write_bucketed(df, name, ["k"], num_buckets=4)
+    back = spark.table(name)
+    assert back.count() == 100
+    spark.sql(f"DROP TABLE {name}")
