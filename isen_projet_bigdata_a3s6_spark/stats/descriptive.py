@@ -89,29 +89,33 @@ def pairwise_stats_df(df: DataFrame, pairs: list[tuple[str, str]], scale: int = 
     from ..functions.scalar import round6
 
     cols = sorted({c for p in pairs for c in p})
-    clean = df.dropna(subset=cols)
+    # decimal cross-product sums are CPU-heavy: spread the partial
+    # aggregation across cores (single-row-group files scan as one task)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    clean = df.select(*cols).dropna(subset=cols).repartition(par)
     agg = clean.agg(*_moment_aggs(cols, scale=scale))
-    rows = []
+    # ONE aggregation pass; the per-pair rows come from exploding an array
+    # of structs over the single aggregate row (a union of per-pair selects
+    # would re-scan and re-aggregate once per pair)
+    pair_structs = []
     for a, b in pairs:
-        key_ab = f"s_{a}__{b}"
-        key = key_ab if a <= b else f"s_{b}__{a}"
+        key = f"s_{a}__{b}" if a <= b else f"s_{b}__{a}"
         n = F.col("n").cast("double")
         sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
         saa, sbb, sab = F.col(f"s_{a}__{a}"), F.col(f"s_{b}__{b}"), F.col(key)
         cov = (sab - sa * sb / n) / (n - F.lit(1.0))
         corr = (n * sab - sa * sb) / F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
-        rows.append(
-            agg.select(
+        pair_structs.append(
+            F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 round6(cov).alias("cov_samp"),
                 round6(corr).alias("pearson_r"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return agg.select(F.explode(F.array(*pair_structs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.cov_samp", "p.pearson_r"
+    )
 
 
 def pairwise_stats_oracle_sql(table: str, pairs: list[tuple[str, str]], scale: int = 4) -> str:

@@ -47,3 +47,45 @@ def test_media_metadata_and_features(spark):
     # deterministic: same bytes → same features
     feats2 = extract_image_features(df).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_report_queries_run(spark):
+    from isen_projet_bigdata_a3s6_spark.plans.report_queries import (
+        QUARTIERS,
+        quartier_breakdown,
+        run_report,
+    )
+    from isen_projet_bigdata_a3s6_spark.plans.trees_pipeline import (
+        clean_trees,
+        trees_fixture,
+    )
+
+    trees = clean_trees(trees_fixture(spark, n=300)).cache()
+    report = run_report(trees)
+    assert set(report) == {
+        "stadedev_counts", "quartier_counts", "situation_counts",
+        "secteur_by_quartier", "species_by_quartier", "remarkable_by_quartier",
+        "feuillage_x_villeca", "revetement_x_villeca", "secteur_map_buckets",
+        "villeca_mode",
+    }
+    for name, df in report.items():
+        assert df.count() >= 0, name
+    # single per-quartier chart equals the slice of the one-pass version
+    q = QUARTIERS[0]
+    single = {
+        (r["clc_secteur"], r["n"])
+        for r in quartier_breakdown(trees, q, "clc_secteur").collect()
+    }
+    combined = {
+        (r["clc_secteur"], r["n"])
+        for r in report["secteur_by_quartier"]
+        .filter(F.col("clc_quartier") == q)
+        .select("clc_secteur", "n")
+        .collect()
+    }
+    assert single == combined
+    # map buckets are one of the three colors
+    assert {
+        r["couleur"] for r in report["secteur_map_buckets"].collect()
+    } <= {"vert", "jaune", "rouge"}
+    trees.unpersist()
