@@ -253,3 +253,78 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_bits: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    cosine ≥ threshold.
+
+    ``exact=True`` scores ALL pairs via a self cross join — the oracle
+    baseline, quadratic, only for verification at small scale.
+    ``exact=False`` (default) generates candidates via SRP-LSH banding
+    (same hyperplane family as similarity.lsh_topk) and scores only
+    bucket-colliding pairs — the 100 TB path.
+    """
+    from .similarity import _hyperplanes, cosine, srp_signature
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if exact:
+        a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+        b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        par = df.sparkSession.sparkContext.defaultParallelism
+        cand = a.repartition(par).join(b, how="cross").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            first = df.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"])
+        planes = _hyperplanes(dim, num_bits)
+        bits_per_band = num_bits // bands
+        mask = (1 << bits_per_band) - 1
+        sig = base.withColumn("__sig", srp_signature(F.col("__v"), planes))
+        banded = sig.select(
+            "__id",
+            "__v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned("__sig", i * bits_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bb"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        ).select("__id", "__v", "__b.band", "__b.bb")
+        a = banded.select("band", "bb", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+        b = banded.select("band", "bb", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        cand = (
+            a.join(b, ["band", "bb"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_dedup(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, **kwargs
+) -> DataFrame:
+    """Drop every row whose embedding near-matches a lower-id row."""
+    pairs = embedding_dedup_pairs(df, vec_col, id_col, threshold, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

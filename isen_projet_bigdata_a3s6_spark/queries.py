@@ -1744,3 +1744,36 @@ def q71_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sq.stop()
     return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup dedup (north-star): exact variant is the
+# SQL-checkable oracle; LSH variant is the scale path (rows-only)
+# ---------------------------------------------------------------------------
+@register(
+    "q72_embedding_dedup_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+    """,
+)
+def q72_embedding_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import embedding_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(e, "embedding", "vec_id", threshold=0.35, exact=True)
+
+
+@register("q73_embedding_dedup_lsh")
+def q73_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.dedup import embedding_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kept = embedding_dedup(e, "embedding", "vec_id", threshold=0.35, num_bits=16, bands=8)
+    return kept.select("vec_id", "label")
