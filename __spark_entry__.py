@@ -30,6 +30,10 @@ def _ensure_pkg_on_workers(spark: SparkSession) -> None:
     the driver runs outside the repo dir, pandas-UDF closures referencing
     this package fail to unpickle. Shipping the package as a zip via
     addPyFile fixes every UDF path (geo, multimodal) in any session."""
+    # timestamps from the nanos-parquet reader are session-tz LTZ; DuckDB's
+    # are UTC-naive — a non-UTC driver session would shift event-time
+    # windows. Pin UTC for every contract query.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = spark.sparkContext.applicationId
     if key in _PKG_SHIPPED:
         return

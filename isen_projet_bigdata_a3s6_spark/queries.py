@@ -661,8 +661,8 @@ def q25_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE user_id < 50),
     sess AS (
       SELECT user_id, ts, event_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM sess GROUP BY 1, 2
@@ -1091,9 +1091,9 @@ def q46_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q47_pivot",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders GROUP BY 1
     """,
 )

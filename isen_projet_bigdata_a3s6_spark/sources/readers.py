@@ -90,6 +90,9 @@ def read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
         ns_cols = []
     if not ns_cols:
         return spark.read.parquet(path)
+    # the converted column is session-tz TIMESTAMP — pin UTC so its calendar
+    # fields match DuckDB's UTC-naive reading in any host session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
