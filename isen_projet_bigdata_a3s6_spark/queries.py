@@ -39,8 +39,50 @@ def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
 
+def _harden_decimal_to_double(sql: str) -> str:
+    """Rewrite every ``CAST(SUM(...) AS DOUBLE)`` in an oracle into
+    ``CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE)``.
+
+    DuckDB's decimal→double cast is not correctly rounded (1-ULP-low cases
+    observed at sf0.1: 2706323975.3561 → ...3560996), while its
+    string→double parse and Spark/Java's BigDecimal→double are both
+    correctly rounded. Routing the oracle's cast through VARCHAR makes both
+    engines produce bit-identical doubles from the identical exact decimal
+    sums."""
+    out = []
+    i = 0
+    pat = "CAST(SUM("
+    suffix = " AS DOUBLE)"
+    while True:
+        j = sql.find(pat, i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        # find the close paren matching SUM(
+        depth = 0
+        k = j + len("CAST(")
+        start = k
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = sql[start : k + 1]  # SUM( ... )
+        if sql[k + 1 : k + 1 + len(suffix)] == suffix:
+            out.append(sql[i:j])
+            out.append(f"CAST(CAST({inner} AS VARCHAR) AS DOUBLE)")
+            i = k + 1 + len(suffix)
+        else:
+            out.append(sql[i : k + 1])
+            i = k + 1
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return {name: _harden_decimal_to_double(sql) for name, sql in _ORACLE.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -1777,3 +1819,74 @@ def q73_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     kept = embedding_dedup(e, "embedding", "vec_id", threshold=0.35, num_bits=16, bands=8)
     return kept.select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt (wide→long; the inverse of q47)
+# ---------------------------------------------------------------------------
+@register(
+    "q74_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail', p_retailprice FROM part)
+    """,
+)
+def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.unpivot(
+        ["p_partkey"],
+        [F.col("p_size").cast("double").alias("size"), F.col("p_retailprice").alias("retail")],
+        "metric",
+        "val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / ntile / cume_dist (remaining ranking surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q75_rank_family",
+    oracle="""
+    SELECT c_custkey,
+           PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS prk,
+           NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile,
+           CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    """,
+)
+def q75_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    # no rounding: prk/cd are integer ratios -- IEEE division of identical
+    # ints is bit-identical in both engines, while ROUND at an exact decimal
+    # midpoint (e.g. 0.5203125) splits HALF_UP (Java) vs half-even (C)
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("prk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation (listagg) + sorted array_agg
+# ---------------------------------------------------------------------------
+@register(
+    "q76_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation GROUP BY 1
+    """,
+)
+def q76_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
