@@ -37,3 +37,23 @@ def test_ns_parquet_reader(spark, sf_dir):
     # non-ns tables untouched
     o = read_parquet_ns_safe(spark, os.path.join(sf_dir, "orders.parquet"))
     assert dict(o.dtypes)["o_orderdate"].startswith("timestamp")
+
+
+def test_partitioned_write_and_pruning(spark, sf_dir, tmp_path):
+    """Partitioned parquet + partition pruning: the scan of a filtered read
+    must only touch the matching partition directories."""
+    from pyspark.sql import functions as F
+
+    from isen_projet_bigdata_a3s6_spark.sources.writers import write_parquet
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_part")
+    write_parquet(e, out, partition_by=["dt"])
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("dt") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # partition filter must appear as a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    assert one_day.count() == e.filter(F.col("dt") == "2024-01-05").count()
