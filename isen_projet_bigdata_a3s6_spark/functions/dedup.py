@@ -328,3 +328,70 @@ def embedding_dedup(
     pairs = embedding_dedup_pairs(df, vec_col, id_col, threshold, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive duplicate clusters from near-dup PAIRS: iterative
+    min-label propagation (a.k.a. hash-to-min). Returns (id, component)
+    where component = min id reachable.
+
+    Each iteration: every node adopts the smallest label among itself and
+    its neighbors — one join + one groupBy per iteration, converging in
+    O(diameter) rounds (dup clusters are near-cliques → 2-3 rounds).
+    This is the standard large-graph CC shape on Spark; checkpointing the
+    label frame per round keeps the plan from growing unboundedly.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each dst, the min label among its srcs
+        neighbor = (
+            edges.join(labels, edges.src == labels.id, "inner")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_transitive(
+    df: DataFrame, pairs: DataFrame, id_col: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Keep one survivor (the min id) per transitive near-dup cluster."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

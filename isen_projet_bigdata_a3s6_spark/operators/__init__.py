@@ -1,3 +1,3 @@
-from . import aggregations, cleaning, joins, setops, windows
+from . import aggregations, cleaning, joins, merge, setops, windows
 
-__all__ = ["aggregations", "cleaning", "joins", "setops", "windows"]
+__all__ = ["aggregations", "cleaning", "joins", "merge", "setops", "windows"]

@@ -224,3 +224,58 @@ def salted_join(
     )
     out = salted_l.join(salted_r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def knn_join_1nn_grid_exact(
+    probes: DataFrame,
+    known: DataFrame,
+    probe_id: str,
+    probe_coords: tuple[str, str],
+    known_coords: tuple[str, str],
+    payload_cols: list[str],
+    cell_size: float,
+    tiebreak: str | None = None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact big×big 1-NN: grid-bucketed rounds with doubling cell size.
+
+    A 3×3-neighborhood candidate is provably the true NN only if its
+    distance ≤ cell_size (anything outside the neighborhood is > cell_size
+    away). Round k resolves the probes that pass that certificate; the
+    residual probes re-run with cell_size×2. Every round is a pure
+    equi-join — no cross join at any scale; typical data resolves ≥99% of
+    probes in round 1.
+    """
+    px, py = probe_coords
+    kx, ky = known_coords
+    from ..functions.scalar import euclidean_distance
+
+    resolved_parts: list[DataFrame] = []
+    remaining = probes
+    size = cell_size
+    for _round in range(max_rounds):
+        cand = knn_join_1nn_grid(
+            remaining, known, probe_id, probe_coords, known_coords,
+            payload_cols=[*payload_cols, kx, ky],
+            cell_size=size, tiebreak=tiebreak,
+        ).withColumn(
+            "__d", euclidean_distance(F.col(px), F.col(py), F.col(kx), F.col(ky))
+        )
+        certified = cand.filter(F.col("__d") <= F.lit(size)).drop("__d", kx, ky)
+        resolved_parts.append(certified)
+        unresolved = cand.filter(F.col("__d") > F.lit(size)).select(probe_id)
+        no_cand = remaining.join(cand.select(probe_id), probe_id, "left_anti").select(probe_id)
+        # checkpoint per round: the residual plan would otherwise nest the
+        # whole previous round's join and recompute it every iteration
+        remaining = (
+            remaining.join(
+                unresolved.unionByName(no_cand).distinct(), probe_id, "left_semi"
+            ).localCheckpoint(eager=True)
+        )
+        size *= 2.0
+        if remaining.limit(1).count() == 0:
+            break
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -1890,3 +1890,51 @@ def q76_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE/upsert emulation (Delta-style WHEN MATCHED UPDATE / NOT MATCHED
+# INSERT as anti-join + union) and transitive dedup clustering
+# ---------------------------------------------------------------------------
+@register(
+    "q77_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0),
+    merged AS (
+      SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment
+      FROM customer c WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT * FROM updates)
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_bal
+    FROM merged GROUP BY 1
+    """,
+)
+def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.scalar import dec_sum
+    from .operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    merged = merge_upsert(c, updates, "c_custkey")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("c_acctbal").alias("sum_bal")
+    )
+
+
+@register("q78_transitive_dedup")
+def q78_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering over MinHash near-dup pairs →
+    transitive duplicate groups (rows-only: iterative algorithm)."""
+    from .functions.dedup import connected_components, minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))

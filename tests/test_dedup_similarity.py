@@ -83,3 +83,20 @@ def test_lsh_topk_recall_at_least_half(spark, sf_dir):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(e & a) >= len(e) // 2  # recall ≥ 0.5 with 8 bands
+
+
+def test_connected_components_transitive(spark):
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import (
+        connected_components,
+        dedup_transitive,
+    )
+
+    # chain 1-2, 2-3 (transitive cluster {1,2,3}), island 7-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    df = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 8)], "doc_id long")
+    kept = sorted(r["doc_id"] for r in dedup_transitive(df, pairs, "doc_id").collect())
+    assert kept == [1, 5, 7]

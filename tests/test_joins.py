@@ -81,3 +81,61 @@ def test_bucketed_write_join(spark):
     back = spark.table(name)
     assert back.count() == 100
     spark.sql(f"DROP TABLE {name}")
+
+
+def test_knn_grid_exact_matches_broadcast_on_driver_data(spark, sf_dir):
+    """Exact grid 1-NN (residual-doubling) == broadcast 1-NN on the
+    customer↔supplier acctbal pairing, including sparse-tail probes."""
+    from pyspark.sql import functions as F
+
+    from isen_projet_bigdata_a3s6_spark.operators.joins import (
+        knn_join_1nn,
+        knn_join_1nn_grid_exact,
+    )
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("cx"), F.lit(0.0).alias("cy")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal").alias("sx"), F.lit(0.0).alias("sy")
+    )
+    bc = knn_join_1nn(c, s, "c_custkey", ("cx", "cy"), ("sx", "sy"),
+                      ["s_suppkey"], tiebreak="s_suppkey")
+    # deliberately small first cell so several rounds are exercised
+    grid = knn_join_1nn_grid_exact(c, s, "c_custkey", ("cx", "cy"), ("sx", "sy"),
+                                   ["s_suppkey"], cell_size=50.0, tiebreak="s_suppkey")
+    got_bc = sorted((r["c_custkey"], r["s_suppkey"]) for r in bc.collect())
+    got_gr = sorted((r["c_custkey"], r["s_suppkey"]) for r in grid.collect())
+    assert got_bc == got_gr
+
+
+def test_merge_upsert_and_scd2(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.merge import (
+        merge_delete,
+        merge_upsert,
+        scd2_apply,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    merged = {(r["k"], r["v"]) for r in merge_upsert(target, updates, "k").collect()}
+    assert merged == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    deleted = {r["k"] for r in merge_delete(target, updates.select("k"), "k").collect()}
+    assert deleted == {1, 3}
+
+    dim = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS TIMESTAMP) valid_from",
+        "CAST(valid_to AS TIMESTAMP) valid_to", "is_current",
+    )
+    upd = spark.createDataFrame(
+        [(1, "y", "2024-06-01 00:00:00")], "k long, attr string, valid_from string"
+    ).selectExpr("k", "attr", "CAST(valid_from AS TIMESTAMP) valid_from")
+    out = scd2_apply(dim, upd, "k", "valid_from").collect()
+    by_attr = {r["attr"]: (r["valid_to"] is not None, r["is_current"]) for r in out}
+    assert by_attr == {"x": (True, False), "y": (False, True)}
