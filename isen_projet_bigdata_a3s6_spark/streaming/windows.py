@@ -127,3 +127,48 @@ def streaming_tumbling_counts(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def streaming_dedup_counts(
+    spark: SparkSession,
+    parquet_path: str,
+    keys: list[str] = ("user_id", "event_type"),
+    watermark: str = "1 day",
+    query_name: str = "stream_dedup_out",
+) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark: emits the first event per
+    key within the watermark horizon, counts per event_type. State is
+    bounded by the watermark (keys expire), unlike a batch distinct.
+    Batch twin for correctness: dropDuplicates(keys) + count."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet_ns_safe
+
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+    )
+    q = (
+        deduped.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

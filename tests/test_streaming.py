@@ -42,3 +42,26 @@ def test_stateful_profiles_equal_batch(spark, sf_dir):
         for r in batch_out.collect()
     }
     assert s == b
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.streaming.windows import (
+        streaming_dedup_counts,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # the events table spans 30 days; a 40-day watermark keeps every key in
+    # state so the stream result equals a batch distinct-per-key count
+    out = streaming_dedup_counts(
+        spark, path, keys=["user_id", "event_type"], watermark="40 days",
+        query_name="t_sdw",
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_events"))
+    )
+    s = {(r["event_type"], r["n_first_events"]) for r in out.collect()}
+    b = {(r["event_type"], r["n_first_events"]) for r in batch.collect()}
+    assert s == b
