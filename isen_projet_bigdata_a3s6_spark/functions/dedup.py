@@ -77,11 +77,14 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jaccard_est) with id_a < id_b, distinct.
     Candidate generation is an equi-join on (band, band-hash); at 100 TB
     the band-bucket join is the only shuffle and is uniformly keyed by
-    construction (hash buckets).
+    construction (hash buckets). The result is materialized (lineage cut)
+    before returning so the signature cache can be unpersisted here — no
+    cache leak into long-lived jobs; the pairs frame is tiny next to the
+    corpus.
     """
     rows_per_band = num_hashes // bands
     # cached: consumed by both band-join branches and both verify joins
-    # (tiny: |docs| x num_hashes longs)
+    # (tiny: |docs| x num_hashes longs); unpersisted before return
     sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram).persist()
 
     banded = sig.select(
@@ -131,11 +134,16 @@ def minhash_dedup_pairs(
         )
         / F.lit(float(num_hashes))
     )
-    return (
+    from ..checkpointing import cut_lineage
+
+    out = (
         cand.withColumn("jaccard_est", jacc)
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+    out = cut_lineage(out)
+    sig.unpersist()
+    return out
 
 
 def minhash_dedup(
@@ -335,17 +343,28 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Transitive duplicate clusters from near-dup PAIRS: iterative
-    min-label propagation (a.k.a. hash-to-min). Returns (id, component)
-    where component = min id reachable.
+    min-label propagation (a.k.a. hash-to-min) with pointer jumping.
+    Returns (id, component) where component = min id reachable.
 
     Each iteration: every node adopts the smallest label among itself and
-    its neighbors — one join + one groupBy per iteration, converging in
-    O(diameter) rounds (dup clusters are near-cliques → 2-3 rounds).
-    This is the standard large-graph CC shape on Spark; checkpointing the
-    label frame per round keeps the plan from growing unboundedly.
+    its neighbors (one join + one groupBy), then labels are pointer-jumped
+    (``component ← component[component]``, one more equi-join on the label
+    frame) so label information hops two levels per round — O(log diameter)
+    convergence instead of O(diameter), which keeps long similarity chains
+    safely inside ``max_iter``. This is the standard large-graph CC shape on
+    Spark; cutting lineage per round (reliable ``checkpoint()`` when a
+    checkpoint dir is configured — the fault-tolerant 100 TB posture — else
+    ``localCheckpoint``) keeps the plan from growing unboundedly.
+
+    Raises ``RuntimeError`` if the loop hits ``max_iter`` with labels still
+    changing — a silently-split component is a correctness bug, not a
+    best-effort answer.
     """
+    from ..checkpointing import cut_lineage
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -356,6 +375,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = -1
     for _ in range(max_iter):
         # neighbor labels: for each dst, the min label among its srcs
         neighbor = (
@@ -363,16 +383,27 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("n_comp"))
         )
+        new_labels = labels.join(neighbor, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component ← component's component (labels are node
+        # ids, so the label frame doubles as the lookup table)
+        lut = new_labels.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__cc")
+        )
         new_labels = (
-            labels.join(neighbor, "id", "left")
+            new_labels.join(lut, new_labels.component == lut.__cid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("__cc"), F.col("component"))
                 ).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = cut_lineage(new_labels, reliable=reliable)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -383,6 +414,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds — components would be silently split; raise max_iter "
+            "(pointer jumping makes each round cover 2^k-hop chains)"
+        )
     return labels
 
 

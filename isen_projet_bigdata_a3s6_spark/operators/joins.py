@@ -194,6 +194,9 @@ def asof_join(
     )
 
 
+_SALTED_JOIN_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -206,13 +209,30 @@ def salted_join(
     then join on (key, salt). Turns one hot key's single straggler task into
     ``salt_buckets`` parallel tasks.
 
+    Only left-preserving joins are valid: the right side is replicated across
+    all salts, so ``right``/``full`` outer joins would emit each unmatched
+    right row ``salt_buckets`` times — rejected explicitly.
+
+    The salt is derived from the row content (xxhash64 over all left
+    columns), NOT ``F.rand``: a random salt is re-drawn when a failed task
+    retries, so two retries of the same stage could salt the same row into
+    different buckets mid-join. Content-derived salt is retry/repartition
+    stable by construction.
+
     AQE's skew-join splitting (enabled in the session factory) handles most
     cases automatically; explicit salting is for deterministic layouts or
     non-AQE engines. Replication factor = salt_buckets on the right side —
     keep it small and the right side the smaller input.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALTED_JOIN_HOW}:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only (got how={how!r}): "
+            "the replicated right side would duplicate unmatched right rows "
+            "under right/full outer semantics"
+        )
     salted_l = left.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast("int"),
     )
     salted_r = right.join(
         F.broadcast(
@@ -236,6 +256,7 @@ def knn_join_1nn_grid_exact(
     cell_size: float,
     tiebreak: str | None = None,
     max_rounds: int = 8,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Exact big×big 1-NN: grid-bucketed rounds with doubling cell size.
 
@@ -245,14 +266,25 @@ def knn_join_1nn_grid_exact(
     residual probes re-run with cell_size×2. Every round is a pure
     equi-join — no cross join at any scale; typical data resolves ≥99% of
     probes in round 1.
+
+    Row-preserving guarantee: probes still unresolved after ``max_rounds``
+    (NN farther than cell_size·2^max_rounds, e.g. extreme outliers) are
+    resolved by a final broadcast 1-NN pass over exactly those probes —
+    the output always has one row per probe (empty ``known`` raises).
+
+    ``reliable`` controls per-round lineage cuts (see
+    :mod:`..checkpointing`): None = reliable checkpoint iff a checkpoint dir
+    is configured, else executor-local.
     """
     px, py = probe_coords
     kx, ky = known_coords
+    from ..checkpointing import cut_lineage
     from ..functions.scalar import euclidean_distance
 
     resolved_parts: list[DataFrame] = []
     remaining = probes
     size = cell_size
+    exhausted = True
     for _round in range(max_rounds):
         cand = knn_join_1nn_grid(
             remaining, known, probe_id, probe_coords, known_coords,
@@ -267,15 +299,83 @@ def knn_join_1nn_grid_exact(
         no_cand = remaining.join(cand.select(probe_id), probe_id, "left_anti").select(probe_id)
         # checkpoint per round: the residual plan would otherwise nest the
         # whole previous round's join and recompute it every iteration
-        remaining = (
+        remaining = cut_lineage(
             remaining.join(
                 unresolved.unionByName(no_cand).distinct(), probe_id, "left_semi"
-            ).localCheckpoint(eager=True)
+            ),
+            reliable=reliable,
         )
         size *= 2.0
         if remaining.limit(1).count() == 0:
+            exhausted = False
             break
+    if exhausted:
+        # residual probes (worst case: outliers beyond the doubled radius) —
+        # the exact broadcast pass keeps the join row-preserving; by this
+        # round the residual side is tiny, so the cross-join cost is bounded
+        resolved_parts.append(
+            knn_join_1nn(
+                remaining, known, probe_id, probe_coords, known_coords,
+                payload_cols=payload_cols, tiebreak=tiebreak,
+            )
+        )
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def knn_join_1nn_auto(
+    probes: DataFrame,
+    known: DataFrame,
+    probe_id: str,
+    probe_coords: tuple[str, str],
+    known_coords: tuple[str, str],
+    payload_cols: list[str],
+    tiebreak: str | None = None,
+    work_threshold: int = 2_000_000,
+    target_per_cell: float = 4.0,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """1-NN with size-based dispatch — the engine's default 1-NN entry.
+
+    |probes|·|known| ≤ ``work_threshold`` → the candidate set of the
+    broadcast nested-loop is provably small, use :func:`knn_join_1nn`
+    (the reference's regime: ≤10⁴ known rows, R_groupe4.R:110-142).
+    Otherwise → :func:`knn_join_1nn_grid_exact` (pure equi-joins, exact,
+    row-preserving), with the starting cell size derived from the known
+    side's extent and density: ~``target_per_cell`` known rows per occupied
+    cell, so round 1 resolves the bulk of probes and the certificate loop
+    touches only the sparse tail. Exactness never depends on the cell-size
+    guess — a bad guess only costs extra (cheap) rounds.
+    """
+    import math
+
+    n_known = known.count()
+    if n_known == 0:
+        raise ValueError("knn_join_1nn_auto: empty known side has no nearest neighbor")
+    n_probes = probes.count()
+    if n_probes * n_known <= work_threshold:
+        return knn_join_1nn(
+            probes, known, probe_id, probe_coords, known_coords,
+            payload_cols=payload_cols, tiebreak=tiebreak,
+        )
+    kx, ky = known_coords
+    s = known.agg(
+        F.min(kx).alias("x0"), F.max(kx).alias("x1"),
+        F.min(ky).alias("y0"), F.max(ky).alias("y1"),
+    ).first()
+    ex = float(s["x1"]) - float(s["x0"])
+    ey = float(s["y1"]) - float(s["y0"])
+    if ex > 0 and ey > 0:
+        cell = math.sqrt(ex * ey * target_per_cell / n_known)
+    else:
+        # degenerate (collinear) data: 1-D density
+        extent = max(ex, ey)
+        cell = (extent if extent > 0 else 1.0) * target_per_cell / max(n_known, 1)
+    cell = max(cell, 1e-9)
+    return knn_join_1nn_grid_exact(
+        probes, known, probe_id, probe_coords, known_coords,
+        payload_cols=payload_cols, cell_size=cell, tiebreak=tiebreak,
+        reliable=reliable,
+    )

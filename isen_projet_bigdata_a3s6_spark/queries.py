@@ -505,7 +505,10 @@ def q15_join_agg_decorate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q16_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.joins import knn_join_1nn
+    # size-based dispatch: broadcast-NL only when |probes|x|known| is small
+    # (sf<=0.01); above that, grid-exact rounds — pure equi-joins, no
+    # BroadcastNestedLoopJoin in the plan, same exact result
+    from .operators.joins import knn_join_1nn_auto
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").alias("cx"), F.lit(0.0).alias("cy")
@@ -513,7 +516,7 @@ def q16_knn_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.col("s_acctbal").alias("sx"), F.lit(0.0).alias("sy")
     )
-    out = knn_join_1nn(
+    out = knn_join_1nn_auto(
         c, s, probe_id="c_custkey",
         probe_coords=("cx", "cy"), known_coords=("sx", "sy"),
         payload_cols=["s_suppkey"], tiebreak="s_suppkey",

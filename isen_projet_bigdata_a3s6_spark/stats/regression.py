@@ -18,11 +18,11 @@ from ..functions.scalar import dec, round6
 from .distributions import t_sf
 
 
-def simple_ols_df(df: DataFrame, y: str, x: str, scale: int = 4) -> DataFrame:
-    """M6 as a DataFrame: slope, intercept, r2, rse, n — exact sums,
-    deterministic double math, round6."""
+def _ols_moments_df(df: DataFrame, y: str, x: str, scale: int = 4) -> DataFrame:
+    """One-pass exact moment sums (n, Σx, Σy, Σx², Σy², Σxy) — the shared
+    input of both the display fit and the inferential summary."""
     clean = df.dropna(subset=[x, y])
-    agg = clean.agg(
+    return clean.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(x, 38, scale)).cast("double").alias("sx"),
         F.sum(dec(y, 38, scale)).cast("double").alias("sy"),
@@ -30,6 +30,12 @@ def simple_ols_df(df: DataFrame, y: str, x: str, scale: int = 4) -> DataFrame:
         F.sum(dec(y, 18, scale // 2) * dec(y, 18, scale // 2)).cast("double").alias("syy"),
         F.sum(dec(x, 18, scale // 2) * dec(y, 18, scale // 2)).cast("double").alias("sxy"),
     )
+
+
+def simple_ols_df(df: DataFrame, y: str, x: str, scale: int = 4) -> DataFrame:
+    """M6 as a DataFrame: slope, intercept, r2, rse, n — exact sums,
+    deterministic double math, round6."""
+    agg = _ols_moments_df(df, y, x, scale)
     n = F.col("n").cast("double")
     ssxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
     ssyy = F.col("syy") - F.col("sy") * F.col("sy") / n
@@ -74,22 +80,31 @@ def simple_ols_oracle_sql(table: str, y: str, x: str, scale: int = 4, where: str
     """
 
 
-def simple_ols_inference(df: DataFrame, y: str, x: str) -> dict[str, float]:
+def simple_ols_inference(df: DataFrame, y: str, x: str, scale: int = 4) -> dict[str, float]:
     """M6 inferential summary (slope std-error, t, p — R ``summary.lm``
-    analog) from the closed-form fit."""
-    row = simple_ols_df(df, y, x).collect()[0].asDict()
-    clean = df.dropna(subset=[x, y])
-    agg = clean.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(x, 38, 4)).cast("double").alias("sx"),
-        F.sum(dec(x, 18, 2) * dec(x, 18, 2)).cast("double").alias("sxx"),
-    ).collect()[0]
-    n = agg["n"]
-    ssxx = agg["sxx"] - agg["sx"] ** 2 / n
-    se_slope = row["rse"] / ssxx**0.5
-    t = row["slope"] / se_slope
+    analog). ONE aggregation pass: every statistic derives from the same
+    unrounded moment sums (no second scan, no rounding error feeding into
+    t/p); display keys are rounded only at output, matching
+    :func:`simple_ols_df`."""
+    m = _ols_moments_df(df, y, x, scale).collect()[0]
+    n = m["n"]
+    nf = float(n)
+    ssxx = m["sxx"] - m["sx"] * m["sx"] / nf
+    ssyy = m["syy"] - m["sy"] * m["sy"] / nf
+    ssxy = m["sxy"] - m["sx"] * m["sy"] / nf
+    slope = ssxy / ssxx
+    intercept = (m["sy"] - slope * m["sx"]) / nf
+    r2 = (ssxy * ssxy) / (ssxx * ssyy)
+    sse = ssyy - slope * ssxy
+    rse = (sse / (nf - 2)) ** 0.5
+    se_slope = rse / ssxx**0.5
+    t = slope / se_slope
     return {
-        **row,
+        "slope": round(slope, 6),
+        "intercept": round(intercept, 6),
+        "r2": round(r2, 6),
+        "rse": round(rse, 6),
+        "n": n,
         "se_slope": se_slope,
         "t_slope": t,
         "p_slope": 2.0 * t_sf(abs(t), n - 2),
