@@ -25,7 +25,7 @@ HEADLINE = [
     "q04_dedup_keep_first",   # window dedup over full lineitem
     "q11_join_topk_revenue",  # 3-way join + agg + top-k
     "q12_join_multiway",      # 6-way join
-    "q16_knn_1nn",            # broadcast-NL 1-NN + min_by
+    "q16_knn_1nn",            # auto-dispatched 1-NN (grid-exact at scale)
     "q18_running_sum",        # window running aggregate
     "q24_tumbling_window",    # event-time tumbling windows
     "q26_sessionize",         # lag+cumsum sessionization
@@ -36,6 +36,27 @@ HEADLINE = [
     "q41_ann_bruteforce",     # embeddings: exact cosine top-k
     "q30_cov_corr",           # stats as aggregation
 ]
+
+# primary input table per headline query — row counts go into the bench JSON
+# so round-over-round deltas are attributable (rows/sec, not just sec, on a
+# box with ±50% timing noise)
+_INPUT_TABLE = {
+    "q01_grouped_agg": "lineitem",
+    "q03_summary_stats_grouped": "orders",
+    "q04_dedup_keep_first": "lineitem",
+    "q11_join_topk_revenue": "lineitem",
+    "q12_join_multiway": "lineitem",
+    "q16_knn_1nn": "customer",
+    "q18_running_sum": "events",
+    "q24_tumbling_window": "events",
+    "q26_sessionize": "events",
+    "q29_json_extract": "events",
+    "q36_language_id": "documents",
+    "q37_dedup_exact": "documents",
+    "q38_minhash_pairs": "documents",
+    "q41_ann_bruteforce": "embeddings",
+    "q30_cov_corr": "lineitem",
+}
 
 
 def main() -> None:
@@ -63,7 +84,22 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    # input-row counts per primary table (parquet footer metadata — cheap)
+    table_rows: dict[str, int] = {}
+    for tbl in sorted(set(_INPUT_TABLE.values())):
+        try:
+            table_rows[tbl] = spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+        except Exception:
+            table_rows[tbl] = -1
+
     total = round(sum(timings.values()), 3)
+    input_rows = {name: table_rows.get(_INPUT_TABLE.get(name, ""), -1) for name in HEADLINE}
+    rows_per_sec = {
+        name: round(input_rows[name] / timings[name])
+        if timings.get(name) and input_rows[name] > 0
+        else None
+        for name in HEADLINE
+    }
     print(
         json.dumps(
             {
@@ -71,6 +107,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "input_rows": input_rows,
+                "rows_per_sec": rows_per_sec,
                 "sf": float(sf),
             }
         )
