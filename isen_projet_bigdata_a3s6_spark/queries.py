@@ -2058,3 +2058,139 @@ def q82_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_time_bounded_join(
         spark, f"{sf_dir}/events.parquet", query_name="q82_stream_join_out"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py): AS-OF, interval/range, rolling
+# time-window — time-series shapes Spark lacks natively, re-expressed as
+# single-shuffle compositions. DuckDB's native ASOF JOIN / range join / RANGE
+# frame are the oracles.
+# ---------------------------------------------------------------------------
+@register(
+    "q83_asof_join",
+    oracle="""
+    WITH probe AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ), build AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error'
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           b.ts AS err_ts, b.value AS err_value
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+)
+def q83_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click/view event annotated with the user's most recent error
+    at-or-before it (union+window as-of — no join in the plan)."""
+    from .operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    build = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value"), "event_id"
+    )
+    return asof_join(
+        probe,
+        build,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["err_value"],
+        right_tiebreak="event_id",
+        matched_ts_col="err_ts",
+    ).select("event_id", "user_id", "ts", "err_ts", "err_value")
+
+
+@register(
+    "q84_interval_join",
+    oracle="""
+    WITH incidents AS (
+      SELECT event_id AS incident_id, ts AS start_ts
+      FROM events WHERE event_type = 'error' AND value > 200.0
+    )
+    SELECT i.incident_id, i.start_ts, COUNT(e.event_id) AS n_events
+    FROM incidents i LEFT JOIN events e
+      ON e.ts >= i.start_ts AND e.ts < i.start_ts + INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def q84_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events counted inside each high-severity incident's 2-hour window —
+    keyless range join via time bucketing (pure equi-join on the bucket,
+    every pair emitted exactly once)."""
+    from .operators.temporal import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    incidents = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 200.0))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    pairs = interval_join(
+        e.select(F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")),
+        incidents,
+        point_ts="p_ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_seconds=7200,
+    )
+    counts = pairs.groupBy("incident_id").agg(F.count("p_event_id").alias("n_events"))
+    # LEFT semantics: incidents whose window is empty still appear (n=0)
+    return (
+        incidents.select("incident_id", "start_ts")
+        .join(counts, "incident_id", "left")
+        .select(
+            "incident_id",
+            "start_ts",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q85_rolling_time_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER w AS VARCHAR) AS DOUBLE)
+             / COUNT(value) OVER w AS avg_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+    """,
+)
+def q85_rolling_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True time-based rolling mean (RANGE frame over event time, not a
+    row-count frame): per user, mean value over the trailing 10 minutes.
+    Decimal sum / count division keeps the float path bit-deterministic."""
+    from .functions.scalar import dec
+    from .operators.temporal import rolling_time_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = rolling_time_agg(
+        e,
+        partition_by=["user_id"],
+        ts_col="ts",
+        aggs={
+            "__sum": F.sum(dec("value", 18, 6)),
+            "__cnt": F.count("value"),
+        },
+        window_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("__sum").cast("double") / F.col("__cnt")).alias("avg_10m"),
+    )
