@@ -106,6 +106,19 @@ def fingerprint(col: str | Column) -> Column:
     return F.xxhash64(norm)
 
 
+def word_ngrams(col: str | Column, n: int = 5) -> Column:
+    """Array of word n-grams (space-joined) of the lowercased token stream —
+    the contamination / dedup unit for token-level overlap checks. Empty
+    array when the document has fewer than ``n`` tokens."""
+    toks = tokens(col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
 def char_ngrams(col: str | Column, n: int = 5) -> Column:
     """Array of character n-grams (shingles) of the normalized text —
     the input to MinHash/Jaccard dedup."""

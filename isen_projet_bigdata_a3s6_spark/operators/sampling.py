@@ -1,0 +1,70 @@
+"""Deterministic sampling operators.
+
+Sampling for a 100 TB pipeline must be content-derived, never RNG-derived:
+``df.sample``/``rand()`` re-draw under task retry and change membership
+under repartition, which silently breaks exactly-once semantics downstream
+(the same discipline as ``ml.evaluation.hash_split`` and the deterministic
+salt in ``operators.joins.salted_join``).
+
+Two variants:
+
+- :func:`stratified_hash_sample` — the production path. xxhash64 of the key
+  columns + a seed, bucketed to 1e4; well-mixed for any key type. Engine-
+  specific hash, so it pairs with rows-only verification.
+- :func:`stratified_mod_sample` — multiplicative-hash variant
+  (Knuth's 2654435761 odd multiplier mod 10_000) over a single integer key.
+  Weaker mixing, but expressible identically in any SQL engine — the
+  cross-engine-verifiable twin used by the oracle-paired query.
+
+Both accept per-stratum fractions: sampling rates that differ by class are
+the normal case for training-data curation (keep all rare high-quality
+docs, downsample boilerplate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+_KNUTH = 2654435761  # 2^32 · (golden ratio − 1), the classic odd multiplier
+
+
+def _stratum_threshold(fractions: dict[str, float], stratum_col: str, default_frac: float) -> Column:
+    thr: Column = F.lit(int(default_frac * _BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(int(frac * _BUCKETS))).otherwise(thr)
+    return thr
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row iff xxhash64(seed, keys) mod 1e4 falls under its
+    stratum's threshold. Membership is a pure function of row content —
+    stable under retry, repartition, and re-runs with the same seed."""
+    bucket = F.pmod(F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols]), F.lit(_BUCKETS))
+    return df.filter(bucket < _stratum_threshold(fractions, stratum_col, default_frac))
+
+
+def stratified_mod_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Cross-engine-reproducible variant: bucket = (key · 2654435761)
+    mod 1e4 on an integer key. The arithmetic is plain BIGINT multiply+mod,
+    so any SQL engine computes the identical membership — use this when an
+    independent system must reproduce the exact sample (audits, oracles).
+    Caller guarantees key · 2654435761 fits in int64 (keys < ~3.4e9 —
+    Spark would wrap silently where other engines raise); prefer the
+    xxhash64 variant whenever cross-engine replay isn't required."""
+    bucket = F.pmod(F.col(key_col).cast("long") * F.lit(_KNUTH), F.lit(_BUCKETS))
+    return df.filter(bucket < _stratum_threshold(fractions, stratum_col, default_frac))

@@ -1,0 +1,127 @@
+"""Corpus-level text statistics for the training-data pipeline
+(BASELINE.json north_star): repetition quality, TF-IDF weighting, and
+benchmark-contamination measurement.
+
+All three are explode → groupBy compositions over the builtin tokenizer in
+:mod:`..functions.text` — the scalable shape for corpus statistics: words
+land on the shuffle as (doc, word) pairs with map-side combine, never as
+per-document Python objects. No UDFs anywhere.
+
+At 100 TB: each operator is 1-2 shuffles keyed on (doc_id[, word]) or the
+n-gram; word keys follow a Zipf distribution, so the document-frequency
+aggregations rely on partial aggregation to tame the head (Spark does this
+automatically for groupBy count); nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_ngrams
+
+
+def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word) pairs — one row per token occurrence."""
+    return df.select(id_col, F.explode(tokens(text_col)).alias("word"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals, per document:
+
+    - ``n_words``: total tokens
+    - ``n_distinct``: distinct tokens
+    - ``dup_word_frac``: fraction of token occurrences that are repeats
+      (1 - distinct/total) — high for boilerplate / keyword-stuffed docs
+    - ``top_word_frac``: share of the single most frequent token — high for
+      degenerate repetition
+
+    Ratios are single IEEE divisions of exact integer counts — deterministic
+    across engines, no rounding needed.
+    """
+    per_word = (
+        _doc_words(df, id_col, text_col)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_word.groupBy(id_col).agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("n")).alias("dup_word_frac"),
+        (F.max("n") / F.sum("n")).alias("top_word_frac"),
+    )
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Smoothed TF-IDF weights, one row per (document, distinct word):
+    ``tf`` = in-document count, ``df`` = number of documents containing the
+    word, ``tfidf`` = tf · (ln((1+N)/(1+df)) + 1) — the sklearn
+    ``TfidfTransformer(smooth_idf=True, sublinear_tf=False)`` convention.
+
+    Two shuffles: (doc, word) counts, then a word-keyed document-frequency
+    join. The DF side aggregates to |vocabulary| rows, so Spark broadcasts
+    it in any realistic corpus; ``tfidf`` is rounded to 6 places (float
+    path: ``ln``).
+    """
+    tf = (
+        _doc_words(df, id_col, text_col)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "word")
+        .select(
+            id_col,
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def ngram_contamination(
+    probe: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every probe document, the fraction
+    of its DISTINCT word ``n``-grams that appear anywhere in ``corpus``
+    (the standard n-gram-overlap decontamination measure for training-data
+    vs eval-set leakage).
+
+    Shape: probe grams exploded+distinct (one shuffle), corpus grams
+    distinct to a gram set (one shuffle), left-semi-style join on the gram
+    string, ratio per probe doc. The corpus side reduces to |distinct
+    grams| before the join — at 100 TB hash the gram to a 64-bit key
+    (xxhash64) instead of joining on the raw string to cut shuffle bytes;
+    kept as the string here so the oracle can reproduce it.
+
+    Returns (id, n_grams, n_matched, contamination_frac); probe docs shorter
+    than ``n`` tokens have n_grams=0 and a null fraction.
+    """
+    pg = probe.select(
+        id_col, F.explode_outer(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    cg = corpus.select(F.explode(word_ngrams(text_col, n)).alias("gram")).distinct()
+    marked = pg.join(
+        cg.withColumn("__hit", F.lit(1)), "gram", "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count("__hit").alias("n_matched"),
+        # try_divide: zero-gram docs (shorter than n tokens) get null, not an
+        # ANSI divide-by-zero error
+        F.try_divide(F.count("__hit"), F.count("gram")).alias("contamination_frac"),
+    )

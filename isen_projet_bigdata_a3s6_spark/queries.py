@@ -2194,3 +2194,133 @@ def q85_rolling_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.col("__sum").cast("double") / F.col("__cnt")).alias("avg_10m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics for training-data curation (operators/textstats.py):
+# repetition quality, TF-IDF, benchmark contamination — plus deterministic
+# stratified sampling (operators/sampling.py). All explode→groupBy builtin
+# expressions; the oracles rebuild the same token/n-gram streams in SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_repetition_stats",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')) AS word
+      FROM documents
+    ), per_word AS (
+      SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           SUM(n) AS n_words,
+           COUNT(*) AS n_distinct,
+           1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE) AS dup_word_frac,
+           MAX(n) / CAST(SUM(n) AS DOUBLE) AS top_word_frac
+    FROM per_word GROUP BY doc_id
+    """,
+)
+def q86_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (dup-word fraction,
+    top-word share) — the boilerplate/degenerate-text filter family."""
+    from .operators.textstats import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+@register(
+    "q87_tfidf",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+           ROUND(tf.tf * (LN((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+    FROM tf, n JOIN dfreq ON tf.word = dfreq.word
+    """,
+)
+def q87_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF weights per (doc, word) — sklearn smooth_idf
+    convention; the document-frequency side reduces to |vocab| rows and
+    broadcasts."""
+    from .operators.textstats import tfidf
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf(d, "doc_id", "text")
+
+
+@register(
+    "q88_ngram_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS words
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(words) - 3)) t(i)
+    ), probe AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id < 20
+    ), corpus AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id >= 20
+    )
+    SELECT p.doc_id,
+           COUNT(p.gram) AS n_grams,
+           COUNT(c.gram) AS n_matched,
+           COUNT(c.gram) / CAST(COUNT(p.gram) AS DOUBLE) AS contamination_frac
+    FROM probe p LEFT JOIN corpus c ON p.gram = c.gram
+    GROUP BY 1
+    """,
+)
+def q88_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination measure: share of each probe document's
+    distinct word 5-grams that occur anywhere in the rest of the corpus
+    (train/eval leakage decontamination shape)."""
+    from .operators.textstats import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        d.filter(F.col("doc_id") < 20),
+        d.filter(F.col("doc_id") >= 20),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+@register(
+    "q89_stratified_sample",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE ((event_id * 2654435761) % 10000 + 10000) % 10000 <
+          CASE event_type
+            WHEN 'purchase' THEN 10000
+            WHEN 'click' THEN 5000
+            WHEN 'error' THEN 2500
+            ELSE 1000
+          END
+    """,
+)
+def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (keep all purchases, half the
+    clicks, a quarter of errors, 10% of the rest) — content-derived
+    membership, stable under retry/repartition; the multiplicative-hash
+    variant so the oracle reproduces the exact sample."""
+    from .operators.sampling import stratified_mod_sample
+
+    e = load_table(spark, sf_dir, "events")
+    return stratified_mod_sample(
+        e.select("event_id", "event_type", "value"),
+        key_col="event_id",
+        stratum_col="event_type",
+        fractions={"purchase": 1.0, "click": 0.5, "error": 0.25},
+        default_frac=0.1,
+    )
