@@ -2324,3 +2324,103 @@ def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions={"purchase": 1.0, "click": 0.5, "error": 0.25},
         default_frac=0.1,
     )
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 widening: JSON and ORC round trips, and the scan-optimized
+# partitioned+clustered parquet layout. Round-trip queries aggregate what
+# they read BACK, so the oracle (running on the original parquet) certifies
+# the write→read cycle is lossless.
+# ---------------------------------------------------------------------------
+@register(
+    "q90_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY 1
+    """,
+)
+def q90_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .functions.scalar import dec_sum
+    from .sources.writers import write_json
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    out_dir = tempfile.mkdtemp(prefix="json_sink_") + "/orders_json"
+    write_json(o.select("o_orderstatus", "o_totalprice"), out_dir)
+    back = spark.read.schema("o_orderstatus string, o_totalprice double").json(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "q91_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM lineitem WHERE l_quantity >= 30
+    GROUP BY 1
+    """,
+)
+def q91_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .functions.scalar import dec_sum
+    from .sources.writers import write_orc
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    out_dir = tempfile.mkdtemp(prefix="orc_sink_") + "/lineitem_orc"
+    write_orc(li.select("l_linestatus", "l_extendedprice"), out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("l_extendedprice").alias("sum_price")
+    )
+
+
+@register(
+    "q92_partitioned_layout",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
+    GROUP BY 1
+    """,
+)
+def q92_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events rewritten in the scan-optimized layout (hive partitions on
+    event_date, files range-clustered+sorted on ts), then read back with a
+    date filter — the filter prunes to 7 of ~30 partition directories
+    before any file is opened (PartitionFilters in the captured plan)."""
+    import tempfile
+
+    from .sources.writers import write_clustered
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out_dir = tempfile.mkdtemp(prefix="layout_") + "/events_by_day"
+    write_clustered(
+        e.select("event_id", "ts", "user_id", "value", "event_date"),
+        out_dir,
+        partition_by=["event_date"],
+        range_cols=["ts"],
+    )
+    back = spark.read.parquet(out_dir).filter(
+        (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("event_date") < F.lit("2024-01-15").cast("date"))
+    )
+    from .functions.scalar import dec
+    return back.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    ).select(
+        # date → timestamp: the comparator's dtype normalization is
+        # timestamp-based (DuckDB DATE surfaces as Timestamp via pandas)
+        F.col("event_date").cast("timestamp").alias("event_date"),
+        "n",
+        "sum_value",
+    )

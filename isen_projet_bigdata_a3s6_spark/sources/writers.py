@@ -30,6 +30,40 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S2: JSON-lines sink (interchange format; schema-on-read downstream).
+    Timestamps serialize as ISO-8601 in the session timezone — pin UTC for
+    cross-engine round-trips."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S2: ORC sink — columnar with the same pushdown/pruning properties as
+    parquet (type-exact round trip, unlike CSV/JSON)."""
+    df.write.mode(mode).orc(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    range_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scan-optimized layout for append-heavy fact tables: hive-style
+    partition directories on ``partition_by`` (coarse pruning — a reader
+    filter on those columns skips whole directories), files range-clustered
+    on ``range_cols`` (``repartitionByRange``) and row-sorted on
+    ``sort_cols`` so min/max footer stats make within-partition row-group
+    skipping effective — the parquet-native analog of a Z-order/cluster-by
+    maintenance job, and the default layout a 100 TB event table should be
+    written in."""
+    out = df.repartitionByRange(*range_cols)
+    out = out.sortWithinPartitions(*(sort_cols or range_cols))
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
 def write_bucketed(
     df,
     table_name: str,

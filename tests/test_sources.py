@@ -39,6 +39,56 @@ def test_ns_parquet_reader(spark, sf_dir):
     assert dict(o.dtypes)["o_orderdate"].startswith("timestamp")
 
 
+def test_json_orc_roundtrip_type_exact(spark, tmp_path):
+    from isen_projet_bigdata_a3s6_spark.sources.writers import write_json, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", -2.25)], "id long, s string, v double"
+    )
+    jdir, odir = str(tmp_path / "j"), str(tmp_path / "o")
+    write_json(df, jdir)
+    back_j = spark.read.schema("id long, s string, v double").json(jdir)
+    assert sorted(map(tuple, back_j.collect())) == [(1, "x", 1.5), (2, "y", -2.25)]
+    write_orc(df, odir)
+    back_o = spark.read.orc(odir)
+    assert back_o.schema == df.schema  # ORC: type-exact round trip
+    assert sorted(map(tuple, back_o.collect())) == [(1, "x", 1.5), (2, "y", -2.25)]
+
+
+def test_clustered_layout_prunes_and_sorts(spark, sf_dir, tmp_path):
+    """write_clustered: hive dirs on the partition column, range-clustered
+    files, rows sorted within files — and a reader filter on the partition
+    column prunes before any file I/O."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from isen_projet_bigdata_a3s6_spark.sources.writers import write_clustered
+
+    e = load_table(spark, sf_dir, "events").withColumn("dt", F.to_date("ts"))
+    out = str(tmp_path / "events_clustered")
+    write_clustered(
+        e.select("event_id", "ts", "value", "dt"), out,
+        partition_by=["dt"], range_cols=["ts"],
+    )
+    assert any(d.startswith("dt=") for d in _os.listdir(out))
+    back = spark.read.parquet(out)
+    week = back.filter(F.col("dt") == "2024-01-05")
+    plan = week._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
+    # within every physical file, rows are ts-sorted (footer min/max stats
+    # effective for row-group skipping)
+    per_file: dict[str, list] = {}
+    for r in (
+        spark.read.parquet(out + "/dt=2024-01-05")
+        .select("ts", F.input_file_name().alias("f"))
+        .collect()
+    ):
+        per_file.setdefault(r["f"], []).append(r["ts"])
+    assert per_file and all(v == sorted(v) for v in per_file.values())
+    assert week.count() == e.filter(F.col("dt") == "2024-01-05").count()
+
+
 def test_partitioned_write_and_pruning(spark, sf_dir, tmp_path):
     """Partitioned parquet + partition pruning: the scan of a filtered read
     must only touch the matching partition directories."""
