@@ -132,3 +132,53 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def top_k_per_group_salted(
+    df: DataFrame,
+    group_by: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_from: list[str],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Skew-safe grouped top-k. The plain window form funnels EVERY row of a
+    hot group through one reducer's sort; here stage 1 ranks inside
+    (group, salt) — spreading a hot group over ``salt_buckets`` reducers and
+    keeping ≤ k rows per bucket — and stage 2 ranks the surviving
+    ``k·buckets`` candidates per group. Same result set as
+    :func:`top_k_per_group` for any total ``order_cols`` ordering; the
+    stage-2 input is tiny regardless of skew.
+
+    Salt is content-derived (xxhash64 of ``salt_from`` — deterministic under
+    retry/repartition, same discipline as ``joins.salted_join``).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(salt_buckets))
+    w1 = W.partitionBy(*group_by, "__salt").orderBy(*order_cols)
+    w2 = W.partitionBy(*group_by).orderBy(*order_cols)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= k)
+        .drop("__salt", "__rn", "__rn2")
+    )
+
+
+def count_distinct_two_stage(
+    df: DataFrame, group_by: list[str], distinct_col: str, name: str | None = None
+) -> DataFrame:
+    """Exact per-group COUNT(DISTINCT x), skew-safe: stage 1 dedups on
+    (group, x) — the shuffle key carries the distinct value, so a hot group
+    spreads over the whole cluster instead of collapsing onto one reducer —
+    stage 2 counts the surviving singletons per group. Equivalent to
+    ``countDistinct`` but with the two-shuffle shape that survives a 100 TB
+    hot key; use the HLL sketch (``approx_count_distinct``) when exactness
+    isn't required."""
+    return (
+        df.select(*group_by, distinct_col)
+        .distinct()
+        .groupBy(*group_by)
+        .agg(F.count(F.lit(1)).alias(name or f"n_{distinct_col}"))
+    )

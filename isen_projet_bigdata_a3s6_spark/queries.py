@@ -2424,3 +2424,57 @@ def q92_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation shapes: two-stage exact distinct and salted top-k —
+# same results as the plain forms (the oracles ARE the plain forms), but
+# with shuffle shapes that survive a 100 TB hot key.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_distinct_two_stage",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q93_distinct_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via dedup-then-count: the shuffle key carries
+    the distinct value, so a hot group spreads across the cluster."""
+    from .operators.aggregations import count_distinct_two_stage
+
+    e = load_table(spark, sf_dir, "events")
+    return count_distinct_two_stage(e, ["event_type"], "user_id", name="n_users")
+
+
+@register(
+    "q94_topk_salted",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 5
+    """,
+)
+def q94_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 lineitems per return flag through the salted two-stage path —
+    a hot flag ranks inside 32 salt buckets first, then only 160 candidates
+    reach the per-group final sort."""
+    from .operators.aggregations import top_k_per_group_salted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return top_k_per_group_salted(
+        li,
+        group_by=["l_returnflag"],
+        order_cols=[
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        k=5,
+        salt_from=["l_orderkey", "l_linenumber"],
+    )
