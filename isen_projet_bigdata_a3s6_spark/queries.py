@@ -2478,3 +2478,76 @@ def q94_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         salt_from=["l_orderkey", "l_linenumber"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming production postures: append-mode file sink (exactly-
+# once, nothing driver-resident) and left-outer stream-stream join (state
+# eviction emits the null-padded side). Both oracles encode the watermark
+# cutoff — the DEFINED append-mode semantics, not an approximation.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_streaming_file_sink",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def q95_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling counts into a checkpointed parquet sink — each
+    window emitted exactly once when the watermark passes its end; the
+    oracle's HAVING reproduces that cutoff. The production twin of q46's
+    complete-mode memory-sink demo."""
+    import os
+
+    from .streaming.windows import streaming_tumbling_to_file_sink
+
+    return streaming_tumbling_to_file_sink(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        query_name="q95_stream_file_out",
+    )
+
+
+@register(
+    "q96_stream_left_outer",
+    oracle="""
+    WITH l AS (
+      SELECT event_id AS l_event_id, user_id AS l_user_id, ts AS l_ts
+      FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT event_id AS r_event_id, user_id AS r_user_id, ts AS r_ts,
+             value AS r_value
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT LEAST((SELECT max(l_ts) FROM l), (SELECT max(r_ts) FROM r))
+             - INTERVAL 2 HOUR AS w
+    )
+    SELECT l.l_event_id, l.l_user_id, l.l_ts, r.r_event_id, r.r_ts, r.r_value
+    FROM l JOIN r ON l_user_id = r_user_id
+      AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT l.l_event_id, l.l_user_id, l.l_ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+    FROM l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM r WHERE r.r_user_id = l.l_user_id
+          AND r.r_ts >= l.l_ts AND r.r_ts <= l.l_ts + INTERVAL 1 HOUR)
+      AND l.l_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+)
+def q96_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join: matches emit immediately; unmatched
+    clicks emit null-padded when the global watermark proves no purchase can
+    still arrive for them (left-state eviction point l_ts + bound)."""
+    import os
+
+    from .streaming.joins import stream_stream_left_outer_join
+
+    return stream_stream_left_outer_join(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        query_name="q96_stream_louter_out",
+    )

@@ -103,6 +103,71 @@ def stream_stream_time_bounded_join(
     return spark.table(query_name)
 
 
+def stream_stream_left_outer_join(
+    spark: SparkSession,
+    parquet_path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    bound: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "stream_louter_out",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks on both sides.
+
+    Matched pairs emit immediately; an UNMATCHED left row emits null-padded
+    only once the global watermark (min over both sides of max-event-time −
+    delay) passes ``l_ts + bound`` — the point where no future right row can
+    match it, which is when Spark evicts the left state row. Left rows whose
+    match window is still open at end-of-stream are never emitted: defined
+    outer-join semantics under watermarking, reproduced by the oracle's
+    watermark cutoff predicate. State stays O(rate × (watermark + bound)) on
+    both sides.
+    """
+    left = (
+        _staged_stream(spark, parquet_path, "ss_lojoin_l_")
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        _staged_stream(spark, parquet_path, "ss_lojoin_r_")
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"""
+            l_user_id = r_user_id AND
+            r_ts >= l_ts AND
+            r_ts <= l_ts + INTERVAL {bound}
+            """
+        ),
+        "left_outer",
+    ).select("l_event_id", "l_user_id", "l_ts", "r_event_id", "r_ts", "r_value")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def batch_time_bounded_join(
     df: DataFrame,
     left_type: str = "click",

@@ -129,6 +129,68 @@ def streaming_tumbling_counts(
     return spark.table(query_name)
 
 
+def streaming_tumbling_to_file_sink(
+    spark: SparkSession,
+    parquet_path: str,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    keys: list[str] = ("event_type",),
+    watermark: str = "2 hours",
+    query_name: str = "stream_file_out",
+) -> DataFrame:
+    """The production posture for streaming aggregation output —
+    ``outputMode("append")`` into a real (parquet) file sink with a
+    checkpoint, instead of a driver-resident complete-mode memory table.
+
+    Append mode emits a window exactly once, when the watermark passes its
+    end (Spark schedules a no-data micro-batch after the last data batch
+    precisely to flush these finalized windows). Windows still open at the
+    final watermark are NOT emitted — that is the defined semantics, and the
+    oracle reproduces it with a HAVING on the watermark cutoff. Returns the
+    sink directory read back as a batch DataFrame.
+
+    At scale this is exactly-once end-to-end: the checkpoint ties source
+    offsets to sink commits, the sink is append-only parquet partitionable
+    by window date, and no state ever lives on the driver.
+    """
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet_ns_safe
+
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix="stream_fsink_src_")
+    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
+    )
+    sink_dir = tempfile.mkdtemp(prefix="stream_fsink_out_") + "/result"
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_fsink_ckpt_")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink_dir)
+
+
 def streaming_dedup_counts(
     spark: SparkSession,
     parquet_path: str,
