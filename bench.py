@@ -35,6 +35,11 @@ HEADLINE = [
     "q38_minhash_pairs",      # text: MinHash LSH near-dup
     "q41_ann_bruteforce",     # embeddings: exact cosine top-k
     "q30_cov_corr",           # stats as aggregation
+    # round-2 additions (kept after the round-1 15 so per-query timings stay
+    # comparable across rounds; the total now spans 18 queries)
+    "q83_asof_join",          # union+window as-of join (no join in plan)
+    "q87_tfidf",              # explode→groupBy corpus statistics
+    "q94_topk_salted",        # skew-safe two-stage grouped top-k
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -56,6 +61,9 @@ _INPUT_TABLE = {
     "q38_minhash_pairs": "documents",
     "q41_ann_bruteforce": "embeddings",
     "q30_cov_corr": "lineitem",
+    "q83_asof_join": "events",
+    "q87_tfidf": "documents",
+    "q94_topk_salted": "lineitem",
 }
 
 

@@ -166,6 +166,26 @@ def top_k_per_group_salted(
     )
 
 
+def histogram_fixed(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    width: float,
+    name: str = "bucket",
+) -> DataFrame:
+    """Fixed-width histogram: bucket = floor((x − lo) / width), counted per
+    bucket. A pure map expression + one two-phase count — the scalable
+    histogram (equal-frequency binning needs quantiles; this needs nothing).
+    ``lo``/``width`` must be exactly-representable doubles for cross-engine
+    bit determinism of the floor."""
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
+    return (
+        df.select(b.alias(name))
+        .groupBy(name)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def count_distinct_two_stage(
     df: DataFrame, group_by: list[str], distinct_col: str, name: str | None = None
 ) -> DataFrame:

@@ -159,39 +159,23 @@ def asof_join(
     payload_cols: list[str],
 ) -> DataFrame:
     """As-of join (most recent right row at-or-before each left row, per key).
-    Not in the reference; standard engine surface. Composition: union both
-    sides tagged, one window sort per key carries the last right payload
-    forward — one shuffle, no range explosion.
-    """
-    from pyspark.sql import Window as W
 
-    l = left.withColumn("__side", F.lit(1)).withColumn("__t", F.col(left_time))
-    r = (
-        right.select(on, right_time, *payload_cols)
-        .withColumn("__side", F.lit(0))
-        .withColumn("__t", F.col(right_time))
-    )
-    lp = l.select(
-        on, "__t", "__side",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__pay_{c}") for c in payload_cols],
-        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
-    )
-    rp = r.select(
-        on, "__t", "__side",
-        *[F.col(c).alias(f"__pay_{c}") for c in payload_cols],
-        F.lit(None).cast(lp.schema["__row"].dataType).alias("__row"),
-    )
-    u = lp.unionByName(rp)
-    w = W.partitionBy(on).orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    filled = u.withColumns(
-        {f"__pay_{c}": F.last(f"__pay_{c}", ignorenulls=True).over(w) for c in payload_cols}
-    )
-    return filled.filter(F.col("__side") == 1).select(
-        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__pay_{c}").alias(c) for c in payload_cols],
-    )
+    Thin compatibility wrapper over the full implementation in
+    :func:`..operators.temporal.asof_join` (direction, tolerance,
+    exact-match control, deterministic tie-break live there). The matched
+    right timestamp is dropped here to preserve this signature's original
+    output shape (left columns + payloads only)."""
+    from .temporal import asof_join as _asof
+
+    return _asof(
+        left,
+        right,
+        on=[on],
+        left_ts=left_time,
+        right_ts=right_time,
+        payload_cols=payload_cols,
+        matched_ts_col="__matched_ts",
+    ).drop("__matched_ts")
 
 
 _SALTED_JOIN_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}

@@ -41,6 +41,14 @@ def with_running_sum(df: DataFrame, col: str, partition_by: list[str], order_by:
     return df.withColumn(name or f"{col}_running", F.sum(col).over(w))
 
 
+def with_ntile(df: DataFrame, n: int, order_by: list[Column], partition_by: list[str] | None = None, name: str = "bucket") -> DataFrame:
+    """NTILE bucketing (equal-frequency bins). Unpartitioned NTILE serializes
+    through one reducer — fine for report shapes; for 100 TB equal-frequency
+    binning use approx quantile cutpoints + a map-side bucket join instead."""
+    w = W.partitionBy(*(partition_by or [])).orderBy(*order_by)
+    return df.withColumn(name, F.ntile(n).over(w))
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -41,12 +41,21 @@ def register(name: str, oracle: str | None = None):
 # sweep signs the remaining entries this round — rounds 1+2 jointly cover
 # every query. New queries register with numbers ≥ q79 and land in the
 # priority block automatically.
-_R01_SIGNED_NUMS = {f"q{i:02d}" for i in range(1, 51)}
+_R01_SIGNED = set(range(1, 51))
+
+
+def _qnum(name: str) -> int:
+    digits = ""
+    for ch in name[1:]:
+        if not ch.isdigit():
+            break
+        digits += ch
+    return int(digits) if digits else 0
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    unsigned = [n for n in names if n[:3] not in _R01_SIGNED_NUMS]
-    signed = [n for n in names if n[:3] in _R01_SIGNED_NUMS]
+    unsigned = [n for n in names if _qnum(n) not in _R01_SIGNED]
+    signed = [n for n in names if _qnum(n) in _R01_SIGNED]
     return unsigned + signed
 
 
@@ -2550,4 +2559,133 @@ def q96_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_left_outer_join(
         spark, os.path.join(sf_dir, "events.parquet"),
         query_name="q96_stream_louter_out",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic product-analytics shapes: equal-frequency deciles, fixed-width
+# histogram, cohort retention, sequence funnel — compositions of existing
+# operators, each oracle-paired.
+# ---------------------------------------------------------------------------
+@register(
+    "q97_ntile_deciles",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    ) GROUP BY 1
+    """,
+)
+def q97_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile stats (NTILE with a unique tiebreak so bucket
+    assignment is total-order deterministic)."""
+    from .functions.scalar import dec_sum
+    from .operators.windows import with_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    binned = with_ntile(
+        o, 10, order_by=[F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "q98_histogram",
+    oracle="""
+    SELECT CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q98_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — pure map bucket + two-phase
+    count, the histogram shape that needs no quantile pass."""
+    from .operators.aggregations import histogram_fixed
+
+    o = load_table(spark, sf_dir, "orders")
+    return histogram_fixed(o, "o_totalprice", lo=0.0, width=25000.0)
+
+
+@register(
+    "q99_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    )
+    SELECT c.cohort_week, date_trunc('week', e.ts) AS activity_week,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q99_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users bucketed by first-seen week, distinct
+    active users per (cohort week, activity week). The cohort side reduces
+    to |users| rows and broadcasts back onto the fact scan."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_week", F.date_trunc("week", F.col("ts")).alias("activity_week"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "q100_funnel",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, min(ts) AS click_ts
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), converted AS (
+      SELECT DISTINCT c.user_id
+      FROM first_click c JOIN events p
+        ON p.user_id = c.user_id AND p.event_type = 'purchase'
+       AND p.ts >= c.click_ts AND p.ts <= c.click_ts + INTERVAL 7 DAY
+    )
+    SELECT (SELECT COUNT(*) FROM first_click) AS n_clicked,
+           (SELECT COUNT(*) FROM converted) AS n_converted,
+           (SELECT COUNT(*) FROM converted) /
+             CAST((SELECT COUNT(*) FROM first_click) AS DOUBLE) AS conversion_rate
+    """,
+)
+def q100_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step sequence funnel: users whose first click is followed by a
+    purchase within 7 days. The first-click side reduces to |users| rows;
+    conversion check is a broadcast semi join — integer-ratio rate is
+    IEEE-exact."""
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    # two single-row aggregates cross-joined — fully declarative, nothing
+    # collected on the driver
+    a = first_click.agg(F.count(F.lit(1)).alias("n_clicked"))
+    b = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    return a.crossJoin(b).select(
+        "n_clicked",
+        "n_converted",
+        (F.col("n_converted") / F.col("n_clicked")).alias("conversion_rate"),
     )
