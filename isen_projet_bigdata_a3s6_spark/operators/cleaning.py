@@ -104,3 +104,56 @@ def groupwise_mode_fill(
         .withColumn(col, F.coalesce(F.col(col), F.col("__mode"), F.lit(default)))
         .drop("__mode")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    partition_by: list[str],
+    out_col: str | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted linear interpolation of NULL gaps per key — the
+    time-series imputation step beyond the reference's fill family (W1-W4):
+    a NULL between two observed values gets
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)``; leading/
+    trailing NULLs fall back to the nearest observed value (bfill/ffill);
+    all-NULL partitions stay NULL.
+
+    One shuffle + one sort: both the previous and the next observation are
+    window functions over the same (key, ts) partitioning —
+    ``last(..., ignorenulls)`` over the preceding frame, ``first`` over the
+    following frame, each paired with its timestamp through the same
+    NULL-gated expression so value and time always come from one row.
+    Micros are exact in double below 2^53, so the blend is bit-deterministic
+    for any engine evaluating the same expression."""
+    out_col = out_col or value_col
+    v = F.col(value_col)
+    tsu = F.unix_micros(F.col(ts_col))
+    # tiebreak makes the ROWS frames total-order deterministic when
+    # timestamps can collide within a key
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    before = (
+        W.partitionBy(*partition_by).orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    )
+    after = (
+        W.partitionBy(*partition_by).orderBy(*order).rowsBetween(1, W.unboundedFollowing)
+    )
+    obs_v = F.when(v.isNotNull(), v)
+    obs_t = F.when(v.isNotNull(), tsu)
+    prev_v = F.last(obs_v, ignorenulls=True).over(before)
+    prev_t = F.last(obs_t, ignorenulls=True).over(before)
+    next_v = F.first(obs_v, ignorenulls=True).over(after)
+    next_t = F.first(obs_t, ignorenulls=True).over(after)
+    frac = (tsu - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        .when(prev_v.isNotNull(), prev_v)
+        .otherwise(next_v)
+    )
+    return df.withColumn(out_col, filled)

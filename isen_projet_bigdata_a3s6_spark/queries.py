@@ -2689,3 +2689,200 @@ def q100_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_converted",
         (F.col("n_converted") / F.col("n_clicked")).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H shape coverage: Q7 (two-nation volume), Q14 (conditional
+# revenue ratio), Q20 (nested IN + correlated HAVING)
+# ---------------------------------------------------------------------------
+@register(
+    "q101_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS yr,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q101_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year between two nations —
+    5 joins (both nation sides + supplier/customer broadcast), disjunctive
+    nation-pair predicate, decimal revenue sums."""
+    from .functions.scalar import dec
+
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q102_promo_ratio",
+    oracle="""
+    SELECT EXTRACT(year FROM l_shipdate) AS yr,
+           100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q102_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share per year — conditional
+    decimal sum over a broadcast part join, exact ratio of two hardened
+    decimal sums."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol = dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4)
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q103_nested_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_nationkey = 3 AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(28,4))) > 500
+    )
+    """,
+)
+def q103_nested_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: doubly-nested IN subqueries with a correlated
+    HAVING — Catalyst rewrites both into semi joins (no subquery execution
+    per row)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("__supplier_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__lineitem_v")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("__part_v")
+    return spark.sql("""
+        SELECT s_suppkey, s_name FROM __supplier_v
+        WHERE s_nationkey = 3 AND s_suppkey IN (
+          SELECT l_suppkey FROM __lineitem_v
+          WHERE l_partkey IN (SELECT p_partkey FROM __part_v WHERE p_type = 'PROMO')
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(28,4))) > 500
+        )
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Feed rate limiting and time-series interpolation — ingestion-pipeline
+# operators; the streaming rate-limiter twin lives in streaming/stateful.py
+# ---------------------------------------------------------------------------
+@register(
+    "q104_rate_limit",
+    oracle="""
+    SELECT user_id, hour, event_id, ts FROM (
+      SELECT user_id, date_trunc('hour', ts) AS hour, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q104_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, hour) feed throttle: admit the first 3 events in arrival
+    order — WindowGroupLimit batch form; the streaming stateful twin
+    (applyInPandasWithState counter) is equivalence-tested against this."""
+    from .streaming.stateful import batch_rate_limit
+
+    e = load_table(spark, sf_dir, "events")
+    return batch_rate_limit(e, limit=3)
+
+
+@register(
+    "q105_interpolate",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS tsu,
+             CASE WHEN event_id % 7 IN (0, 1) THEN NULL ELSE value END AS v
+      FROM events
+    ), ctx AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER w_before AS prev_v,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN tsu END IGNORE NULLS) OVER w_before AS prev_t,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER w_after AS next_v,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN tsu END IGNORE NULLS) OVER w_after AS next_t
+      FROM base
+      WINDOW
+        w_before AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_after AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN prev_v + (next_v - prev_v) * ((tsu - prev_t) / (next_t - prev_t))
+                WHEN prev_v IS NOT NULL THEN prev_v
+                ELSE next_v END AS v_filled
+    FROM ctx
+    """,
+)
+def q105_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of synthesized NULL gaps per user
+    (bfill/ffill at the edges) — micros-exact blend, bit-identical across
+    engines."""
+    from .operators.cleaning import interpolate_linear
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when((F.col("event_id") % 7).isin(0, 1), F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    out = interpolate_linear(
+        e, "v", "ts", partition_by=["user_id"], out_col="v_filled", tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "v_filled")

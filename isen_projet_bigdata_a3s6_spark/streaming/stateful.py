@@ -113,3 +113,112 @@ def batch_user_profiles(df: DataFrame) -> DataFrame:
         round6(F.sum("value")).alias("sum_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key rate limiter — the training-data-feed throttle (keep at most N
+# events per key per window), as a second stateful operator
+# ---------------------------------------------------------------------------
+RATE_OUTPUT_SCHEMA = "user_id long, hour timestamp, event_id long, ts timestamp"
+RATE_STATE_SCHEMA = "n long"
+
+
+def _make_rate_limiter(limit: int):
+    def _rate_limit(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, hour = key
+        n = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            # deterministic admission order inside the micro-batch
+            pdf = pdf.sort_values(["ts", "event_id"])
+            take = max(limit - n, 0)
+            kept = pdf.head(take)
+            n += len(pdf)  # count all arrivals; admitted = first `limit`
+            if len(kept):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": user_id,
+                            "hour": hour,
+                            "event_id": kept["event_id"].values,
+                            "ts": kept["ts"].values,
+                        }
+                    )
+                )
+        state.update((n,))
+        yield from out or [pd.DataFrame(columns=["user_id", "hour", "event_id", "ts"])]
+
+    return _rate_limit
+
+
+def streaming_rate_limit(
+    spark: SparkSession,
+    parquet_path: str,
+    limit: int = 3,
+    query_name: str = "rate_limit_out",
+) -> DataFrame:
+    """Admit at most ``limit`` events per (user, hour) in event arrival
+    order — the feed throttle a large-scale ingestion pipeline puts in front
+    of expensive per-document processing. State per key is a single counter;
+    keys stop mutating one watermark past their hour (timeout would prune
+    them in a long-lived job)."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet_ns_safe
+
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix="ratelimit_src_")
+    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    limited = (
+        stream.select(
+            "user_id", F.date_trunc("hour", "ts").alias("hour"), "event_id", "ts"
+        )
+        .groupBy("user_id", "hour")
+        .applyInPandasWithState(
+            _make_rate_limiter(limit),
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        limited.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def batch_rate_limit(df: DataFrame, limit: int = 3) -> DataFrame:
+    """Batch twin: first ``limit`` events per (user, hour) by (ts, event_id)
+    — one window shuffle (WindowGroupLimit pushes the filter down)."""
+    from pyspark.sql import Window as W
+
+    return (
+        df.select(
+            "user_id", F.date_trunc("hour", "ts").alias("hour"), "event_id", "ts"
+        )
+        .withColumn("__rn", F.row_number().over(
+            W.partitionBy("user_id", "hour").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        ))
+        .filter(F.col("__rn") <= limit)
+        .drop("__rn")
+    )

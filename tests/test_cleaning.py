@@ -52,3 +52,37 @@ def test_fill_string_nulls_only_strings(spark):
     df = spark.createDataFrame([(None, None)], "s string, d double")
     row = fill_string_nulls(df, "Inconnue").collect()[0]
     assert row["s"] == "Inconnue" and row["d"] is None
+
+
+def test_interpolate_linear_hand_values(spark):
+    import datetime as dt
+
+    from isen_projet_bigdata_a3s6_spark.operators.cleaning import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [
+            # gap interpolated with time weighting (not midpoint): 10→40 over
+            # 30s, null at +10s → 20.0
+            ("a", 1, ts(0), 10.0),
+            ("a", 2, ts(10), None),
+            ("a", 3, ts(30), 40.0),
+            # leading null → bfill; trailing null → ffill
+            ("b", 4, ts(0), None),
+            ("b", 5, ts(10), 5.0),
+            ("b", 6, ts(20), None),
+            # all-null key stays null
+            ("c", 7, ts(0), None),
+        ],
+        "k string, id long, ts timestamp, v double",
+    )
+    out = interpolate_linear(df, "v", "ts", ["k"], out_col="vf", tiebreak=["id"])
+    got = {r["id"]: r["vf"] for r in out.collect()}
+    assert got[1] == 10.0 and got[3] == 40.0
+    assert got[2] == 20.0
+    assert got[4] == 5.0 and got[6] == 5.0
+    assert got[7] is None

@@ -65,3 +65,22 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     s = {(r["event_type"], r["n_first_events"]) for r in out.collect()}
     b = {(r["event_type"], r["n_first_events"]) for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_rate_limit_equals_batch(spark, sf_dir):
+    import os
+
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+    from isen_projet_bigdata_a3s6_spark.streaming.stateful import (
+        batch_rate_limit,
+        streaming_rate_limit,
+    )
+
+    streamed = streaming_rate_limit(
+        spark, os.path.join(sf_dir, "events.parquet"), limit=3,
+        query_name="t_rate_limit",
+    )
+    batch = batch_rate_limit(load_table(spark, sf_dir, "events"), limit=3)
+    s = sorted(map(tuple, streamed.select("user_id", "hour", "event_id").collect()))
+    b = sorted(map(tuple, batch.select("user_id", "hour", "event_id").collect()))
+    assert s == b and len(s) > 0
