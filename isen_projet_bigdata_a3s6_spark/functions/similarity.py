@@ -72,6 +72,86 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-vectorized ``mapInPandas`` — the
+    throughput path for brute-force scoring: each Arrow batch scores ALL
+    queries against its corpus rows with numpy column-sweep accumulation
+    and emits only its per-query top-k, so the post-UDF row volume is
+    ``k · |queries| · num_batches``, not ``|corpus| · |queries|``. A final
+    window merges batch winners.
+
+    Bit-parity with :func:`cosine_topk` (and the shared DuckDB oracle): the
+    dot/norm accumulation sweeps indices sequentially (``acc += V[:,i]·q_i``)
+    — the same order as the JVM ``aggregate`` fold — so scores are
+    IEEE-identical, not merely close. Queries are collected to the driver
+    (the query set is small by contract; use :func:`lsh_topk` when it
+    isn't).
+    """
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        raise ValueError("cosine_topk_arrow: empty query set")
+    qids = np.array([r[query_id] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.float64)  # (nq, d)
+    dim = Q.shape[1]
+
+    def _seq_sq_norm(M: np.ndarray) -> np.ndarray:
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return acc
+
+    qnorm = np.sqrt(_seq_sq_norm(Q))  # (nq,)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([list(v) for v in pdf[corpus_vec]], dtype=np.float64)
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            vnorm = np.sqrt(_seq_sq_norm(V))
+            out_ids, out_qids, out_scores = [], [], []
+            for j in range(len(qids)):
+                dots = np.zeros(V.shape[0], dtype=np.float64)
+                qj = Q[j]
+                for i in range(dim):  # sequential index sweep == JVM fold
+                    dots += V[:, i] * qj[i]
+                scores = np.round(dots / (vnorm * qnorm[j]), 6)
+                # per-batch top-k candidates (score desc, id asc)
+                order = np.lexsort((ids, -scores))[:k]
+                out_ids.append(ids[order])
+                out_qids.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_scores.append(scores[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_qids),
+                    "vec_id": np.concatenate(out_ids),
+                    "score": np.concatenate(out_scores),
+                }
+            )
+
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    candidates = (
+        corpus.select(corpus_id, corpus_vec)
+        .repartition(par)
+        .mapInPandas(score_batches, "query_id long, vec_id long, score double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, num_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_bits, dim))

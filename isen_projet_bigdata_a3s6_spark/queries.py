@@ -2886,3 +2886,317 @@ def q105_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "v", "ts", partition_by=["user_id"], out_col="v_filled", tiebreak=["event_id"]
     )
     return out.select("event_id", "user_id", "ts", "v_filled")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized exact ANN (same oracle as q41 — different physical path),
+# data-quality report, z-score standardization
+# ---------------------------------------------------------------------------
+@register(
+    "q106_ann_arrow",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6) AS score
+      FROM embeddings e CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q106_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force cosine top-k — q41's exact semantics (same
+    oracle) through mapInPandas batch scoring: per-batch top-k pruning keeps
+    post-UDF volume at k·|queries|·batches; sequential index-sweep
+    accumulation keeps scores IEEE-identical to the JVM fold."""
+    from .functions.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_arrow(emb, q, k=10, query_id="query_id")
+
+
+@register(
+    "q107_quality_report",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS orderkey_unique,
+             COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS totalprice_not_null,
+             COUNT(CASE WHEN o_totalprice < 0 THEN 1 END) AS totalprice_non_negative,
+             COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS status_in_domain
+      FROM orders
+    )
+    SELECT 'orderkey_unique' AS check, CAST(orderkey_unique AS BIGINT) AS violations,
+           CASE WHEN orderkey_unique = 0 THEN 1 ELSE 0 END AS passed FROM m
+    UNION ALL
+    SELECT 'totalprice_not_null', CAST(totalprice_not_null AS BIGINT),
+           CASE WHEN totalprice_not_null = 0 THEN 1 ELSE 0 END FROM m
+    UNION ALL
+    SELECT 'totalprice_non_negative', CAST(totalprice_non_negative AS BIGINT),
+           CASE WHEN totalprice_non_negative = 0 THEN 1 ELSE 0 END FROM m
+    UNION ALL
+    SELECT 'status_in_domain', CAST(status_in_domain AS BIGINT),
+           CASE WHEN status_in_domain = 0 THEN 1 ELSE 0 END FROM m
+    """,
+)
+def q107_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint report — uniqueness, null, range, and domain
+    checks on orders, ALL computed in one aggregation pass (one scan at any
+    scale)."""
+    from .operators.profiling import (
+        quality_report,
+        violations_below,
+        violations_duplicate,
+        violations_not_in,
+        violations_null,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return quality_report(
+        o,
+        {
+            "orderkey_unique": violations_duplicate("o_orderkey"),
+            "totalprice_not_null": violations_null("o_totalprice"),
+            "totalprice_non_negative": violations_below("o_totalprice", 0),
+            "status_in_domain": violations_not_in("o_orderstatus", ["F", "O", "P"]),
+        },
+    )
+
+
+@register(
+    "q108_standardize",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))
+                          * CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND((o_totalprice - sx / n) /
+                 SQRT(sxx / n - (sx / n) * (sx / n)), 6) AS z
+    FROM orders, s
+    """,
+)
+def q108_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization (population std) — the feature-scaling map:
+    moments from one decimal aggregation pass, broadcast back onto the
+    scan; the z expression is evaluated in one fixed order so round6 output
+    is bit-identical across engines."""
+    from .functions.scalar import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("sx"),
+        F.sum(dec("o_totalprice", 18, 4) * dec("o_totalprice", 18, 4))
+        .cast("double")
+        .alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = F.col("sx") / F.col("n")
+    sigma = F.sqrt(F.col("sxx") / F.col("n") - mu * mu)
+    return o.crossJoin(F.broadcast(s)).select(
+        "o_orderkey",
+        F.round((F.col("o_totalprice") - mu) / sigma, 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H shape coverage, part 2: Q2 (correlated min over a join), Q18
+# (HAVING-filtered semi join), Q21 (double-correlated EXISTS / NOT EXISTS),
+# Q22 (scalar-subquery threshold + anti join)
+# ---------------------------------------------------------------------------
+@register(
+    "q109_min_cost_supplier",
+    oracle="""
+    SELECT p_partkey, s_name, ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+    FROM part, lineitem, supplier
+    WHERE l_partkey = p_partkey AND s_suppkey = l_suppkey AND p_size < 10
+      AND l_extendedprice / l_quantity =
+          (SELECT MIN(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2
+           WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q109_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: lineitem is the part↔supplier link — this
+    schema has no partsupp): for each small part, the supplier(s) achieving
+    the minimum unit price, via correlated-min-equality. Spark plan: the
+    correlated scalar subquery is a window MIN over l_partkey — ONE shuffle
+    on the natural join key, no decorrelation re-join; the identical IEEE
+    division on both engines makes the equality exact (float-parity
+    convention #2)."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity"))
+    w = Window.partitionBy("l_partkey")
+    cand = (
+        li.select("l_partkey", "l_suppkey", unit.alias("unit_price"))
+        .withColumn("min_unit", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_unit"))
+    )
+    return (
+        cand.join(F.broadcast(p), cand.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_name", F.round("unit_price", 6).alias("unit_price"))
+    )
+
+
+@register(
+    "q110_large_orders",
+    oracle="""
+    SELECT c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS sum_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q110_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders — a HAVING-filtered
+    aggregate feeds a semi join back onto the fact. Spark plan: the
+    SUM(l_quantity)-per-order aggregate is computed ONCE and reused both as
+    the semi-join filter and as the output sum_qty (no second scan of
+    lineitem); customer joins broadcast. l_quantity sums are integer-valued
+    doubles — exact in IEEE, no decimal detour needed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "q111_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+    GROUP BY s_name
+    """,
+)
+def q111_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order ("late" = shipped >60 days after order
+    date; this schema has no commit/receipt dates). Double correlation —
+    EXISTS over other suppliers' lines, NOT EXISTS over other suppliers'
+    late lines — expressed ONCE as a per-order aggregate (count distinct
+    suppliers, count distinct late suppliers) instead of two decorrelated
+    joins: one shuffle of lineitem by orderkey replaces Catalyst's
+    aggregate-twice plan."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    # one pass over (lineitem ⋈ orders): per (orderkey, suppkey) — did this
+    # supplier ship late, and per orderkey — how many suppliers / how many
+    # late suppliers
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > late_cut).cast("int").alias("is_late"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late"),
+        F.sum("is_late").alias("n_late_lines"),
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+        F.sum(F.when(F.col("supp_late") == 1, F.col("n_late_lines"))).alias("late_lines"),
+    )
+    # sole late supplier on a multi-supplier order; numwait counts that
+    # supplier's LATE LINES on the order (the FROM-clause row multiplicity
+    # of the reference SQL)
+    sole = per_order.filter(
+        (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    )
+    culprit = per_supp.filter(F.col("supp_late") == 1).join(
+        sole.select("l_orderkey", "late_lines"), "l_orderkey"
+    )
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+    )
+
+
+@register(
+    "q112_dormant_customers",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total_bal
+    FROM customer c, t
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q112_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: no phone prefixes — dormancy = no order
+    since a cutoff): rich-but-dormant customers per market segment. Scalar
+    subquery threshold (decimal-summed mean, convention #1) broadcast onto
+    the scan; the NOT EXISTS is a left-anti join against the date-filtered
+    order keys (filter pushed below the shuffle)."""
+    from .functions.scalar import dec
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    t = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal", 18, 4)).cast("double") / F.count(F.lit(1)))
+        .alias("avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal", 18, 4)).cast("double").alias("total_bal"),
+        )
+    )

@@ -100,3 +100,23 @@ def test_connected_components_transitive(spark):
     df = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 8)], "doc_id long")
     kept = sorted(r["doc_id"] for r in dedup_transitive(df, pairs, "doc_id").collect())
     assert kept == [1, 5, 7]
+
+
+def test_cosine_topk_arrow_equals_jvm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from isen_projet_bigdata_a3s6_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    jvm = cosine_topk(emb, q, k=7, query_id="query_id")
+    arrow = cosine_topk_arrow(emb, q, k=7, query_id="query_id")
+    # identical result sets INCLUDING scores: the sequential index sweep
+    # reproduces the JVM fold bit-for-bit
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
