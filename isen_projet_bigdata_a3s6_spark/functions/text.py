@@ -129,3 +129,53 @@ def char_ngrams(col: str | Column, n: int = 5) -> Column:
         F.length(norm) >= n, F.sequence(F.lit(1), F.length(norm) - (n - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
     return F.transform(idx, lambda i: F.substring(norm, i, F.lit(n)))
+
+
+def chunks(col: str | Column, size: int = 50, stride: int = 40) -> Column:
+    """Array of overlapping word chunks — the document→training-sample
+    splitter. Chunk ``i`` covers tokens ``[i·stride, i·stride + size)``;
+    starts advance by ``stride`` while they fall inside the document, so
+    consecutive chunks overlap by ``size − stride`` tokens. Pure builtin
+    expressions (sequence → transform → slice → array_join): chunking 100 TB
+    of text is a codegen'd map with zero Python."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("chunks: size and stride must be positive")
+    toks = tokens(col)
+    n_chunk = F.when(
+        F.size(toks) > 0,
+        F.ceil(F.size(toks) / F.lit(stride)).cast("int"),
+    ).otherwise(F.lit(0))
+    idx = F.when(n_chunk > 0, F.sequence(F.lit(0), n_chunk - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " ")
+    )
+
+
+# public PII surface patterns (regex-compatible across Java and RE2):
+# email-ish, US-ish phone, and 16-digit card-ish numbers
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}", "<CARD>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace email / phone / card-number spans with typed placeholder
+    tokens. Patterns are applied in declaration order; all replacement is
+    JVM-side ``regexp_replace`` (global), no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_hits(col: str | Column) -> Column:
+    """Total count of PII pattern matches in the text (pre-redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        out = out + F.regexp_count(c, F.lit(pat))
+    return out

@@ -1,0 +1,88 @@
+"""Sketch-backed approximate operators with exact verification.
+
+Heavy hitters (frequent items) via per-partition Misra–Gries summaries:
+each partition keeps at most ``capacity`` counters, so the candidate set
+shipped to the driver side of the plan is tiny regardless of input size.
+Completeness guarantee: any key with global count > N/capacity has
+``count_p > n_p/capacity`` in at least one partition (the MG decrements in
+partition p total at most ``n_p/capacity`` per key), so it survives that
+partition's summary — the union of summaries contains every true heavy
+hitter. Candidates are then verified with an EXACT count restricted to the
+candidate set (broadcast semi join), so the final answer has no
+approximation error at all: the sketch only prunes the aggregation.
+
+At 100 TB this is the difference between shuffling every distinct key
+(exact groupBy: shuffle width = |distinct keys|) and shuffling only
+``capacity × num_partitions`` candidate rows plus one broadcast-pruned
+exact count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _misra_gries_partition(
+    key_col: str, capacity: int
+):
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for k in pdf[key_col]:
+                if k in counters:
+                    counters[k] += 1
+                elif len(counters) < capacity:
+                    counters[k] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        if counters:
+            yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return summarize
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, min_frac: float, capacity: int | None = None
+) -> DataFrame:
+    """Exact keys with ``count > min_frac · N``, found sketch-first.
+
+    The threshold is RELATIVE (a fraction of the input size) so the MG
+    guarantee is scale-invariant: ``capacity > 1/min_frac`` suffices at any
+    N — the same query is complete at sf0.01 and at 100 TB. Default
+    capacity is ``ceil(2/min_frac)`` (2× headroom). N costs one extra
+    count() scan; the exact verification aggregates ONLY candidate keys.
+    Returns ``(key_col, cnt)``.
+    """
+    if not (0 < min_frac < 1):
+        raise ValueError("heavy_hitters: min_frac must be in (0, 1)")
+    if capacity is None:
+        capacity = int(2.0 / min_frac) + 1
+    if capacity * min_frac < 1:
+        raise ValueError(
+            f"heavy_hitters: capacity {capacity} < 1/min_frac — "
+            "completeness guarantee would not hold"
+        )
+    n_total = df.count()
+    schema = df.select(key_col).schema
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(_misra_gries_partition(key_col, capacity), schema)
+        .distinct()
+    )
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > min_frac * n_total)
+    )

@@ -3200,3 +3200,184 @@ def q112_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal", 18, 4)).cast("double").alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping + distribution windows: unpivot/melt, cumulative distinct users,
+# percent_rank/cume_dist
+# ---------------------------------------------------------------------------
+@register(
+    "q113_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM agg
+    """,
+)
+def q113_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): per-flag aggregate block unpivoted to
+    (key, measure, value) triples via the native ``unpivot`` operator —
+    a generate-side expression, zero extra shuffle beyond the aggregate."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg_df = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice", 28, 4)).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return agg_df.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "measure", "value"
+    )
+
+
+@register(
+    "q114_cumulative_distinct",
+    oracle="""
+    WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
+    SELECT DISTINCT day, COUNT(DISTINCT user_id) OVER (ORDER BY day) AS cum_users
+    FROM du
+    """,
+)
+def q114_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day. Spark has no DISTINCT window
+    aggregate — and a naive one would hold every user in window state. The
+    scalable identity: a user first counts on their MIN(day), so cumulative
+    distinct = running sum of per-day first-appearance counts. Two narrow
+    aggregates + a 1-row-per-day window instead of an ever-growing distinct
+    state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    first_day = du.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    days = du.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(daily_new, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .select("day", "cum_users")
+    )
+
+
+@register(
+    "q115_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+def q115_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution position windows: percent_rank ((rank−1)/(n−1)) and
+    cume_dist within order status — identical IEEE division on both
+    engines, round6 at output only."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-first heavy hitters (Misra–Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+@register(
+    "q116_heavy_hitters",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY 1
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM lineitem) / 1500.0
+    """,
+)
+def q116_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent parts (count > N/1500) via per-partition Misra–Gries
+    summaries: candidate keys are provably complete for this relative
+    threshold, and the exact count aggregates ONLY candidates — at 100 TB
+    the shuffle carries ~capacity×partitions rows, not every distinct key.
+    The DuckDB oracle is the naive exact GROUP BY/HAVING."""
+    from .operators.sketches import heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", min_frac=1.0 / 1500)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: document chunking, PII redaction
+# ---------------------------------------------------------------------------
+@register(
+    "q117_doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk
+    FROM n, UNNEST(range(CAST(ceil(nt / 40.0) AS BIGINT))) AS u(i)
+    """,
+)
+def q117_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → overlapping training chunks (size 50, stride 40 tokens):
+    builtin sequence/slice/posexplode — the whole chunker is a codegen'd
+    map+generate, no Python on 100 TB of text."""
+    from .functions.text import chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(chunks("text", 50, 40)).alias("chunk_id", "chunk"))
+        .select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"), "chunk")
+    )
+
+
+@register(
+    "q118_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}', '<CARD>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+              + len(regexp_extract_all(text, '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}'))
+              AS INT) AS n_pii
+    FROM documents
+    """,
+)
+def q118_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training data: email/phone/card spans → typed
+    placeholders, plus a per-document hit count — all JVM-side global
+    regexp_replace/regexp_count, a pure map at any scale."""
+    from .functions.text import pii_hits, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        pii_hits("text").cast("int").alias("n_pii"),
+    )

@@ -1,0 +1,49 @@
+"""Heavy hitters (Misra–Gries + exact verify), chunking, PII redaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from isen_projet_bigdata_a3s6_spark.functions.text import (
+    chunks,
+    pii_hits,
+    redact_pii,
+)
+from isen_projet_bigdata_a3s6_spark.operators.sketches import heavy_hitters
+
+
+def test_heavy_hitters_exact(spark):
+    # 100 'a', 30 'b', 1 each of 20 noise keys → N=150
+    rows = [("a",)] * 100 + [("b",)] * 30 + [(f"x{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", min_frac=0.1).collect()}
+    assert got == {"a": 100, "b": 30}
+    # tighter threshold keeps only the dominant key
+    got2 = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", min_frac=0.5).collect()}
+    assert got2 == {"a": 100}
+
+
+def test_heavy_hitters_capacity_guard(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", min_frac=0.01, capacity=10)
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", min_frac=1.5)
+
+
+def test_chunks_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(7))
+    df = spark.createDataFrame([(text,), ("",)], "text string")
+    out = df.select(chunks("text", size=4, stride=3).alias("c")).collect()
+    # starts 0,3,6 → [w0..w3], [w3..w6], [w6]
+    assert out[0]["c"] == ["w0 w1 w2 w3", "w3 w4 w5 w6", "w6"]
+    assert out[1]["c"] == []
+
+
+def test_redact_pii(spark):
+    s = "mail a.b+c@ex.com or call 555-123-4567; card 1234 5678 9012 3456 ok"
+    df = spark.createDataFrame([(s,)], "text string")
+    r = df.select(
+        redact_pii("text").alias("t"), pii_hits("text").alias("n")
+    ).collect()[0]
+    assert r["t"] == "mail <EMAIL> or call <PHONE>; card <CARD> ok"
+    assert r["n"] == 3
