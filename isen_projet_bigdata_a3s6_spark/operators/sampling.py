@@ -68,3 +68,27 @@ def stratified_mod_sample(
     xxhash64 variant whenever cross-engine replay isn't required."""
     bucket = F.pmod(F.col(key_col).cast("long") * F.lit(_KNUTH), F.lit(_BUCKETS))
     return df.filter(bucket < _stratum_threshold(fractions, stratum_col, default_frac))
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by deterministic
+    hash order (multiplicative bucket, then key as tiebreak) — the
+    fixed-budget variant of stratified sampling (e.g. "at most k docs per
+    language"). One window shuffle on the stratum key; membership is a pure
+    function of content, stable under retry/repartition. The bucket order
+    decorrelates the pick from key order, so the k rows are spread across
+    the key space rather than being the k smallest ids."""
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.col(key_col) * F.lit(_KNUTH), F.lit(_BUCKETS))
+    w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3381,3 +3381,200 @@ def q118_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii("text").alias("redacted"),
         pii_hits("text").cast("int").alias("n_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance + ops: dynamic partition-overwrite MERGE, dedup
+# canonical representative, skew diagnostics, incremental aggregate
+# maintenance, exact-k stratified sampling
+# ---------------------------------------------------------------------------
+@register(
+    "q119_partition_overwrite",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(
+             CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-11'
+                  THEN value * 2 ELSE value END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q119_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental backfill via dynamic partition overwrite: events land
+    partitioned by day; a 2-day correction batch (values doubled) is merged
+    by rewriting ONLY those 2 of ~30 partition directories. The read-back
+    per-day aggregate matches the oracle's CASE-corrected full recompute —
+    and a unit test asserts untouched partitions' files are byte-identical
+    (see tests/test_incremental.py)."""
+    import tempfile
+
+    from .functions.scalar import dec
+    from .operators.merge import merge_partition_overwrite
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    ).select("event_id", "ts", "user_id", "value", "event_date")
+    base = tempfile.mkdtemp(prefix="po_") + "/events_by_day"
+    e.write.partitionBy("event_date").parquet(base)
+
+    lo, hi = F.lit("2024-01-10").cast("date"), F.lit("2024-01-11").cast("date")
+    fix = (
+        e.filter((F.col("event_date") >= lo) & (F.col("event_date") <= hi))
+        .withColumn("value", F.col("value") * 2)
+    )
+    merge_partition_overwrite(fix, base, ["event_date"])
+
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("event_date").cast("timestamp").alias("event_date"),
+            "n", "sum_value",
+        )
+    )
+
+
+@register(
+    "q120_dedup_canonical",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY norm ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY norm) AS dup_count
+      FROM t
+    )
+    SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count FROM r WHERE rn = 1
+    """,
+)
+def q120_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per exact-dup cluster: group by
+    the 64-bit content fingerprint (NOT the text — the shuffle carries 8
+    bytes per row, not documents), keep the longest variant (tiebreak
+    doc_id), and report cluster size. The oracle groups by the normalized
+    string itself — same equivalence classes, certifying the fingerprint
+    path."""
+    from pyspark.sql import Window
+
+    from .functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", fingerprint("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_count")
+    )
+
+
+@register(
+    "q121_skew_report",
+    oracle="""
+    WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+         n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(MAX(cnt) / ANY_VALUE(total), 6) AS max_share,
+           ROUND(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+           ROUND(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5), 6) AS p99_over_p50
+    FROM c, n
+    GROUP BY n_keys
+    """,
+)
+def q121_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic — the report you run BEFORE picking a
+    shuffle strategy at 100 TB: per-key count distribution (max share,
+    p50/p99, tail ratio) from one groupBy + one tiny second-level
+    aggregate. p99/p50 ≫ 1 or max_share ≫ 1/n_keys ⇒ salt or AQE-skew the
+    downstream join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("max_share"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+        F.round(
+            F.expr("percentile(cnt, 0.99)") / F.expr("percentile(cnt, 0.5)"), 6
+        ).alias("p99_over_p50"),
+    )
+
+
+@register(
+    "q122_incremental_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q122_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance in batch: a materialized per-type
+    aggregate over the history (< Jan 20) is updated with a delta batch
+    (≥ Jan 20) by merging partial aggregates — counts add, decimal sums add
+    exactly — instead of rescanning history. The oracle recomputes from
+    scratch; matching it certifies merge(partial(A), partial(B)) ≡
+    full(A∪B), the algebraic property that makes the aggregate maintainable
+    at 100 TB. Decimal→double cast happens only AFTER the merge."""
+    from .functions.scalar import dec
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", 18, 6)).alias("sum_dec"),
+        )
+
+    base = partial(e.filter(F.col("ts") < cut))       # the "materialized" state
+    delta = partial(e.filter(F.col("ts") >= cut))     # the arriving batch
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_dec").alias("sum_dec"))
+    )
+    return merged.select(
+        "event_type", "n", F.col("sum_dec").cast("double").alias("sum_value")
+    )
+
+
+@register(
+    "q123_sample_exact_k",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ((event_id * 2654435761) % 10000 + 10000) % 10000, event_id
+             ) AS rn
+      FROM events
+    )
+    SELECT event_id, event_type, value FROM r WHERE rn <= 100
+    """,
+)
+def q123_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget stratified sample: exactly 100 events per type, picked
+    by deterministic hash order — the "at most k examples per class"
+    curation primitive, stable under retry/repartition (content-derived,
+    no RNG)."""
+    from .operators.sampling import stratified_exact_k
+
+    e = load_table(spark, sf_dir, "events")
+    return stratified_exact_k(
+        e.select("event_id", "event_type", "value"),
+        key_col="event_id", stratum_col="event_type", k=100,
+    )
