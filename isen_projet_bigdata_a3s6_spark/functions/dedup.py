@@ -432,3 +432,44 @@ def dedup_transitive(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def editdist1_pairs(
+    df: DataFrame, id_col: str, str_col: str
+) -> DataFrame:
+    """All pairs within Levenshtein distance 1, via symmetric-delete
+    (SymSpell) blocking: each string's candidate keys are itself plus every
+    single-character deletion; ed(s,t) ≤ 1 ⇒ the key sets intersect
+    (substitution: same-position deletes coincide; insert/delete: the
+    shorter string IS a delete of the longer). Candidates are an equi-join
+    on short variant strings — ~(len+1) keys per row, never all-pairs —
+    then verified with the builtin ``levenshtein`` (JVM-side). Returns
+    ``(id_a, id_b, dist)`` with id_a < id_b, exact and complete."""
+    s = F.col(str_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, F.length(s)),
+            ),
+        ),
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"), s.alias("s"), F.explode(variants).alias("v")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b").cast("int"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -3578,3 +3578,88 @@ def q123_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_id", "event_type", "value"),
         key_col="event_id", stratum_col="event_type", k=100,
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series OHLC resampling, mergeable HLL sketch rollup, edit-distance
+# pair mining (SymSpell blocking)
+# ---------------------------------------------------------------------------
+@register(
+    "q124_ohlc_resample",
+    oracle="""
+    SELECT user_id,
+           make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q124_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to 5-minute OHLC bars per user — the
+    resample primitive: ONE groupBy with min_by/max_by picks open/close by
+    event time with no window pass or self-join; the bucket is explicit
+    epoch arithmetic so both engines align identically. (user_id, ts) is
+    unique in events, so arg-min/max are deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_micros("ts") / F.lit(300_000_000)) * 300
+    )
+    return (
+        e.groupBy("user_id", bucket.alias("bucket"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register("q125_hll_rollup")
+def q125_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(type, day) HLL sketches of distinct
+    users, then ONE union-merge per type for the monthly estimate — the
+    100 TB pattern where daily sketches are persisted once and any coarser
+    window (week/month/all-time) is a cheap sketch union, never a rescan.
+    Estimates are approximate ⇒ rows-only driver check; the unit test pins
+    the estimate within tolerance of exact (tests/test_sketches_textprep.py)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+@register(
+    "q126_editdist_pairs",
+    oracle="""
+    WITH d AS (SELECT c_custkey AS id, c_name AS name FROM customer
+               WHERE c_custkey < 3000)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM d a, d b
+    WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+    """,
+)
+def q126_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match pair mining within edit distance 1 via symmetric-delete
+    blocking: candidates come from an equi-join on delete-variant keys
+    (~len keys/row), verified with builtin levenshtein — exact and
+    complete with NO all-pairs comparison anywhere; the oracle IS the
+    naive quadratic definition."""
+    from .functions.dedup import editdist1_pairs
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 3000)
+    return editdist1_pairs(c, "c_custkey", "c_name")

@@ -47,3 +47,45 @@ def test_redact_pii(spark):
     ).collect()[0]
     assert r["t"] == "mail <EMAIL> or call <PHONE>; card <CARD> ok"
     assert r["n"] == 3
+
+
+def test_hll_estimate_tolerance(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark import queries as reg
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in reg.queries()["q125_hll_rollup"](spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(2, 0.05 * n), (t, est[t], n)
+
+
+def test_editdist1_pairs_exact(spark):
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import editdist1_pairs
+
+    words = ["cat", "cut", "cart", "at", "dog", "dig", "cata"]
+    df = spark.createDataFrame(list(enumerate(words)), "id long, w string")
+    got = {(r["id_a"], r["id_b"], r["dist"])
+           for r in editdist1_pairs(df, "id", "w").collect()}
+    # brute-force reference
+    def lev(a, b):
+        import numpy as np
+        m = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (ca != cb))
+        return int(m[len(b)])
+    want = {(i, j, lev(words[i], words[j]))
+            for i in range(len(words)) for j in range(i + 1, len(words))
+            if lev(words[i], words[j]) <= 1}
+    assert got == want and len(want) > 0
