@@ -225,3 +225,33 @@ def rolling_time_agg(
     for name, col in aggs.items():
         out = out.withColumn(name, col.over(w))
     return out
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    partition_by: list[str],
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, ordered by event
+    time: y_t = α·x_t + (1−α)·y_{t−1} (pandas ``ewm(adjust=False)``
+    semantics). The recurrence is inherently sequential WITHIN a key, so
+    this is the sanctioned Arrow path — ``applyInPandas`` per key group,
+    vectorized by pandas inside each group; across keys it parallelizes
+    like any groupBy. State is one scalar per key, never the window.
+    NULL values propagate the previous EWMA (gap-skip, like pandas
+    ``ignore_na=False`` on non-null streams)."""
+    if not 0 < alpha <= 1:
+        raise ValueError("ewma: alpha must be in (0, 1]")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def per_group(pdf):
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(per_group, schema)

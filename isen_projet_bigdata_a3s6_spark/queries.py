@@ -3663,3 +3663,83 @@ def q126_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 3000)
     return editdist1_pairs(c, "c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Streaming foreachBatch upsert, Z-ordered layout, EWMA
+# ---------------------------------------------------------------------------
+@register(
+    "q127_streaming_upsert",
+    oracle="""
+    SELECT user_id, MAX(ts) AS ts,
+           arg_max(event_id, ts) AS event_id,
+           arg_max(event_type, ts) AS event_type,
+           arg_max(value, ts) AS value,
+           arg_max(props, ts) AS props
+    FROM events GROUP BY 1
+    """,
+)
+def q127_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed-state maintenance: a file-source stream of events is
+    reduced per micro-batch and MERGEd into a parquet state store via
+    foreachBatch (4 micro-batches exercise the repeated-upsert path); the
+    final store is latest-event-per-user and hash-matches the batch
+    arg_max oracle — streaming and batch agree exactly."""
+    import os
+
+    from .streaming.upsert import streaming_latest_state
+
+    out = streaming_latest_state(
+        spark, os.path.join(sf_dir, "events.parquet"), key="user_id", ts="ts"
+    )
+    return out.select("user_id", "ts", "event_id", "event_type", "value", "props")
+
+
+@register(
+    "q128_zorder_layout",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 199 AND l_suppkey BETWEEN 10 AND 29
+    """,
+)
+def q128_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem rewritten Z-ordered on (l_partkey, l_suppkey) — Morton-key
+    range clustering gives row-group min/max locality on BOTH columns —
+    then read back through a 2-D range predicate. The oracle aggregates the
+    original table: matching certifies the rewrite is lossless; the layout
+    win (row-group skipping on either dimension) is the point at 100 TB."""
+    import tempfile
+
+    from .functions.scalar import dec
+    from .sources.writers import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="zorder_") + "/lineitem_z"
+    write_zordered(li, path, "l_partkey", "l_suppkey", bits=21)
+    back = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 199) & F.col("l_suppkey").between(10, 29)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_extendedprice", 28, 4)).cast("double").alias("sum_price"),
+    )
+
+
+@register("q129_ewma")
+def q129_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values over event time (α=0.3,
+    adjust=False) — the sequential-recurrence operator on the sanctioned
+    Arrow path (applyInPandas per key). Not SQL-expressible without a
+    recursive CTE ⇒ rows-only driver check; the unit test pins the
+    recurrence against a numpy reference (tests/test_temporal.py)."""
+    from .operators.temporal import ewma
+
+    e = load_table(spark, sf_dir, "events")
+    out = ewma(
+        e.select("event_id", "user_id", "ts", "value"),
+        value_col="value", ts_col="ts", partition_by=["user_id"], alpha=0.3,
+    )
+    return out.select("event_id", "user_id", "ts", F.round("ewma", 6).alias("ewma"))

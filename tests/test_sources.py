@@ -107,3 +107,29 @@ def test_partitioned_write_and_pruning(spark, sf_dir, tmp_path):
     # partition filter must appear as a partition filter, not a data filter
     assert "PartitionFilters" in plan
     assert one_day.count() == e.filter(F.col("dt") == "2024-01-05").count()
+
+
+def test_zorder_key_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from isen_projet_bigdata_a3s6_spark.sources.writers import zorder_key2
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5), (7, 7)], "a int, b int")
+    got = [r["z"] for r in df.select(zorder_key2("a", "b", bits=4).alias("z")).collect()]
+    def morton(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == [morton(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (7, 7)]]
+
+
+def test_write_zordered_range_guard(spark, tmp_path):
+    import pytest
+
+    from isen_projet_bigdata_a3s6_spark.sources.writers import write_zordered
+
+    df = spark.createDataFrame([(1, 1 << 10)], "a int, b int")
+    with pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "z"), "a", "b", bits=8)

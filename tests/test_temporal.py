@@ -148,3 +148,32 @@ def test_rolling_time_agg_range_frame_ties(spark):
         (ts(300), 7.0, 3),
         (ts(1200), 8.0, 1),
     ]
+
+
+def test_ewma_matches_numpy_recurrence(spark):
+    import numpy as np
+
+    from isen_projet_bigdata_a3s6_spark.operators.temporal import ewma
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6]
+    rows = [(i, "u", f"2024-01-01 00:0{i}:00", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["ewma"]
+           for r in ewma(df, "value", "ts", ["user_id"], alpha=0.3).collect()}
+    y = np.empty(len(vals))
+    y[0] = vals[0]
+    for i in range(1, len(vals)):
+        y[i] = 0.3 * vals[i] + 0.7 * y[i - 1]
+    for i in range(len(vals)):
+        assert abs(out[i] - y[i]) < 1e-12
+
+
+def test_ewma_alpha_guard(spark):
+    import pytest
+
+    from isen_projet_bigdata_a3s6_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame([(1, "u", 1.0)], "event_id long, user_id string, value double")
+    with pytest.raises(ValueError):
+        ewma(df, "value", "event_id", ["user_id"], alpha=0.0)
