@@ -3743,3 +3743,209 @@ def q129_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value", ts_col="ts", partition_by=["user_id"], alpha=0.3,
     )
     return out.select("event_id", "user_id", "ts", F.round("ewma", 6).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling, snapshot diff, schema evolution, PCA, ordered
+# string_agg, OOV rate
+# ---------------------------------------------------------------------------
+@register(
+    "q130_weighted_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY POW(((o_orderkey * 2654435761) % 10000 + 1) / 10001.0,
+                 1.0 / o_totalprice) DESC, o_orderkey
+    LIMIT 500
+    """,
+)
+def q130_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    priority u^(1/w) with a DETERMINISTIC hash-derived uniform u — higher-
+    priced orders are proportionally likelier, membership is reproducible
+    under retry/repartition. Top-500 by priority compiles to
+    TakeOrderedAndProject (per-partition k, no global sort); identical
+    IEEE pow on both engines makes the oracle exact."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(10000)) + 1) / F.lit(
+        10001.0
+    )
+    priority = F.pow(u, 1.0 / F.col("o_totalprice"))
+    return (
+        o.select("o_orderkey", "o_totalprice", priority.alias("__p"))
+        .orderBy(F.desc("__p"), F.asc("o_orderkey"))
+        .limit(500)
+        .drop("__p")
+    )
+
+
+@register(
+    "q131_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                  OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                  THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+               AND old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+               AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+    """,
+)
+def q131_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change detection between table versions (CDC/audit): one
+    full-outer join on the key classifies added/removed/changed with
+    null-safe column comparison. The synthetic 'new' snapshot drops every
+    10th order and reprices every 7th — both IEEE-identical derivations on
+    both engines."""
+    from .operators.diff import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(o, new, "o_orderkey")
+
+
+@register(
+    "q132_schema_evolution",
+    oracle="""
+    SELECT src, COUNT(*) AS n,
+           COUNT(o_orderpriority) AS with_priority
+    FROM (
+      SELECT 'v1' AS src, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'v2', o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY 1
+    """,
+)
+def q132_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: two parquet generations (v1 lacks a
+    column) read together with mergeSchema — old files surface NULL for
+    the new column, no rewrite of historical data. The oracle is the
+    explicit NULL-padded union."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="schemaevo_")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.lit("v1").alias("src")
+    ).write.parquet(root + "/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.lit("v2").alias("src"), "o_orderpriority"
+    ).write.parquet(root + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        root + "/gen=1", root + "/gen=2"
+    )
+    return back.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("with_priority"),
+    )
+
+
+@register("q133_pca_project")
+def q133_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA on the embedding corpus: moment partials via one mapInPandas
+    pass (driver receives O(d²) numbers, independent of N), d×d eigh on
+    the driver, components broadcast back for an Arrow-batched projection.
+    Eigenvector sign pinned ⇒ reproducible. Not SQL-expressible ⇒
+    rows-only; tests/test_ml_evaluation.py pins fit+projection against
+    numpy on the same data."""
+    from .ml.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps = pca_fit(emb, "embedding", k=8)
+    out = pca_project(emb, "embedding", mean, comps)
+    return out.select(
+        "vec_id",
+        F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
+    )
+
+
+@register(
+    "q134_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities
+    FROM orders GROUP BY 1
+    """,
+)
+def q134_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set aggregation to a delimited string (LISTAGG): collect_set
+    → array_sort → array_join keeps the result deterministic regardless of
+    partitioning — the unordered collect_list would be run-dependent."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        )
+    )
+
+
+@register(
+    "q135_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+        x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+        FROM toks GROUP BY tok
+      ) WHERE rn <= 50
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(COUNT(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 END)
+                 * 1.0 / COUNT(*), 6) AS oov_rate
+    FROM toks GROUP BY 1
+    """,
+)
+def q135_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-50
+    vocabulary — the tokenizer-coverage diagnostic: explode once, build the
+    vocab with a two-phase count + deterministic top-k, broadcast the tiny
+    vocab back as a left-semi membership flag (no second scan of the
+    corpus)."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition k),
+    # never an unpartitioned window over every distinct token
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(50)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.count_if(F.col("__in").isNull()) / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )

@@ -139,3 +139,23 @@ def test_merge_upsert_and_scd2(spark):
     out = scd2_apply(dim, upd, "k", "valid_from").collect()
     by_attr = {r["attr"]: (r["valid_to"] is not None, r["is_current"]) for r in out}
     assert by_attr == {"x": (True, False), "y": (False, True)}
+
+
+def test_snapshot_diff_classification(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, "D", 4.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, "k").collect()}
+    # k=1 unchanged (filtered), k=2 NULL→2.0 changed, k=3 removed,
+    # k=4 changed, k=5 added
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+    full = {r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, "k", include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and len(full) == 5

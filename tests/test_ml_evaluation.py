@@ -134,3 +134,39 @@ def test_stream_stream_join_equals_batch_twin(spark, sf_dir):
     assert stream.count() == batch.count()
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    from isen_projet_bigdata_a3s6_spark.ml.pca import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((200, 6)) @ np.diag([5, 3, 1, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)], "id long, v array<double>"
+    ).repartition(5)
+    mean, comps = pca_fit(df, "v", k=3)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, np.argsort(w)[::-1][:3]].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(comps, ref, atol=1e-8)
+    out = {r["id"]: r["pc"] for r in pca_project(df, "v", mean, comps).collect()}
+    P = (X - X.mean(axis=0)) @ ref.T
+    for i in range(200):
+        assert np.allclose(out[i], P[i], atol=1e-8)
+
+
+def test_pca_k_guard(spark):
+    import pytest
+
+    from isen_projet_bigdata_a3s6_spark.ml.pca import pca_fit
+
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [2.0, 1.0])], "id long, v array<double>")
+    with pytest.raises(ValueError):
+        pca_fit(df, "v", k=3)
