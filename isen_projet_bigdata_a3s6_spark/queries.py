@@ -3949,3 +3949,196 @@ def q135_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("__in").isNull()) / F.count(F.lit(1)), 6
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank, gaps-and-islands, referential integrity, concurrency sweep,
+# robust stats (MAD)
+# ---------------------------------------------------------------------------
+@register("q136_pagerank")
+def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (edges from
+    orders⋈lineitem) — the second iterative operator family next to
+    connected components: per round one join + one aggregate, lineage cut
+    via the shared reliable-checkpoint helper. Iterative float recurrence ⇒
+    rows-only; tests pin ranks against a numpy power iteration and assert
+    Σrank = 1."""
+    from .operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    out = pagerank(edges, iterations=5)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "q137_missing_days",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY 1
+    ),
+    expected AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    observed AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT e.user_id, CAST(e.day AS TIMESTAMP) AS missing_day
+    FROM expected e LEFT JOIN observed o
+      ON e.user_id = o.user_id AND e.day = o.day
+    WHERE o.user_id IS NULL
+    """,
+)
+def q137_missing_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: days with NO events per user inside that user's
+    own activity span — expected calendar via sequence+explode (generated,
+    never stored), anti-joined against observed days. Both sides reduce to
+    (user, day) before the join."""
+    e = load_table(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    expected = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    observed = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        expected.join(observed, ["user_id", "day"], "left_anti")
+        .select("user_id", F.col("day").cast("timestamp").alias("missing_day"))
+    )
+
+
+@register(
+    "q138_ref_integrity",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_partkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    """,
+)
+def q138_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-count per foreign key via
+    left-anti joins (each a broadcast when the parent keyset is small, a
+    shuffle semi otherwise — never a full materialized join). Complements
+    the single-pass q107 constraint report with cross-table checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def orphans(child, parent, ck, pk, label):
+        cnt = child.join(
+            parent.select(pk).distinct(), child[ck] == F.col(pk), "left_anti"
+        ).count()
+        return (label, cnt)
+
+    rows = [
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem_orphan_orderkey"),
+        orphans(o, c, "o_custkey", "c_custkey", "orders_orphan_custkey"),
+        orphans(li, p, "l_partkey", "p_partkey", "lineitem_orphan_partkey"),
+    ]
+    return spark.createDataFrame(rows, "check string, violations long")
+
+
+@register(
+    "q139_max_concurrency",
+    oracle="""
+    WITH sweep AS (
+      SELECT CAST(ts AS DATE) AS day, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT CAST(ts AS DATE), ts + INTERVAL 30 MINUTE, -1 FROM events
+    ),
+    running AS (
+      SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                                   ROWS UNBOUNDED PRECEDING) AS cur
+      FROM sweep
+    )
+    SELECT day AS day_ts, MAX(cur) AS max_concurrent
+    FROM running GROUP BY 1
+    """,
+)
+def q139_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the +1/−1 interval sweep (each event
+    opens a 30-minute session): union of starts/ends, day-partitioned
+    running sum, max. Ends sort before starts at the same instant
+    (closed-open sessions). The sweep is attributed to the session's start
+    day — the window shuffles once on day, never globally. Note: the
+    day_ts column stays a DATE-cast-to... (comparator normalizes); max is
+    order-insensitive under ties because sums within a tie group are
+    monotone."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    starts = e.select(
+        F.to_date("ts").alias("day"), F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = e.select(
+        F.to_date("ts").alias("day"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    sweep = starts.unionByName(ends)
+    w = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = sweep.withColumn("cur", F.sum("delta").over(w))
+    return (
+        running.groupBy("day")
+        .agg(F.max("cur").alias("max_concurrent"))
+        .select(F.col("day").cast("timestamp").alias("day_ts"), "max_concurrent")
+    )
+
+
+@register(
+    "q140_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(m.med), 6) AS median_val,
+           ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q140_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic: two grouped exact percentiles with the group medians
+    broadcast back between passes (both engines interpolate identically;
+    round6 at output)."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_val"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )
