@@ -40,6 +40,10 @@ HEADLINE = [
     "q83_asof_join",          # union+window as-of join (no join in plan)
     "q87_tfidf",              # explode→groupBy corpus statistics
     "q94_topk_salted",        # skew-safe two-stage grouped top-k
+    # round-2 wave-2 additions (appended, earlier timings stay comparable)
+    "q116_heavy_hitters",     # MG sketch candidates + exact verify
+    "q124_ohlc_resample",     # min_by/max_by single-agg OHLC bars
+    "q126_editdist_pairs",    # SymSpell delete-variant blocking join
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -64,6 +68,9 @@ _INPUT_TABLE = {
     "q83_asof_join": "events",
     "q87_tfidf": "documents",
     "q94_topk_salted": "lineitem",
+    "q116_heavy_hitters": "lineitem",
+    "q124_ohlc_resample": "events",
+    "q126_editdist_pairs": "customer",
 }
 
 

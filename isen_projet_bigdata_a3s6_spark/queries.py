@@ -3039,6 +3039,14 @@ def q109_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
+    # the correlated min only matters for parts that survive the p_size
+    # filter — broadcast-semi-prune lineitem BEFORE the window shuffle
+    # (the per-part min over the pruned set is identical)
+    li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     unit = (F.col("l_extendedprice") / F.col("l_quantity"))
     w = Window.partitionBy("l_partkey")
     cand = (
