@@ -4150,3 +4150,43 @@ def q140_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (shuffle elimination)
+# ---------------------------------------------------------------------------
+@register(
+    "q141_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q141_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on bucketed tables: both fact tables are written
+    bucketBy(orderkey) once, so the join reads matching buckets directly —
+    NO Exchange under the join (asserted in tests/test_joins.py); the only
+    shuffle left is the final small aggregation. At 100 TB this is the
+    difference between re-shuffling both tables on every join and paying
+    the layout cost once at write time."""
+    from .functions.scalar import dec
+    from .sources.writers import write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    to, tl = f"orders_bkt_{sf_tag}", f"lineitem_bkt_{sf_tag}"
+    write_bucketed(o.select("o_orderkey", "o_orderpriority"), to, ["o_orderkey"])
+    write_bucketed(li.select("l_orderkey", "l_extendedprice"), tl, ["l_orderkey"])
+    ob, lb = spark.table(to), spark.table(tl)
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_extendedprice", 28, 4)).cast("double").alias("sum_price"),
+        )
+    )

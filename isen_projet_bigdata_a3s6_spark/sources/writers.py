@@ -75,7 +75,24 @@ def write_bucketed(
     """Bucketed managed table: later equi-joins/aggregations on
     ``bucket_cols`` read co-located buckets and skip the shuffle entirely —
     the 100 TB answer for repeatedly-joined fact tables. (Requires a
-    catalog; bucketing metadata doesn't survive in plain parquet paths.)"""
+    catalog; bucketing metadata doesn't survive in plain parquet paths.)
+
+    Overwrite also clears a stale warehouse directory left by a previous
+    session: the in-memory catalog forgets the table on restart but its
+    files persist, and saveAsTable refuses the orphaned location."""
+    if mode == "overwrite":
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+        wh = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path or "spark-warehouse"
+        loc = os.path.join(wh, table_name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -159,3 +159,29 @@ def test_snapshot_diff_classification(spark):
     full = {r["k"]: r["change_type"]
             for r in snapshot_diff(old, new, "k", include_unchanged=True).collect()}
     assert full[1] == "unchanged" and len(full) == 5
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark import queries as reg
+
+    # at tiny SF the planner would broadcast instead — force the shuffle
+    # join so the bucketed-scan co-location is what's being proven
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        df = reg.queries()["q141_bucketed_join"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    # AQE prints Final and Initial plans — assert on the final one only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in plan
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, plan
+    # no Exchange below the join: both sides scan pre-bucketed tables
+    below = plan[join_pos:]
+    assert "Exchange hashpartitioning" not in below
+    # exactly one exchange overall (the final aggregation)
+    assert plan.count("Exchange hashpartitioning") == 1
