@@ -4190,3 +4190,90 @@ def q141_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice", 28, 4)).cast("double").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF + grouped-aggregate pandas UDF (completing the §2.12 UDF/UDAF/UDTF
+# surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q142_runlength_udtf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, toks[i] AS tok, CAST(i AS INT) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(trim(lower(text)),
+                      '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+        FROM documents
+      ), UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    isl AS (
+      SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+      FROM toks
+    )
+    SELECT doc_id, tok AS token, CAST(MIN(pos) AS INT) AS run_start,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM isl GROUP BY doc_id, tok, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q142_runlength_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): per document, emit one row per run of
+    ≥2 consecutive identical tokens — the repetition-span detector, as a
+    LATERAL table function. The per-doc Python loop is bounded by document
+    length (a map over docs, embarrassingly parallel); the oracle is the
+    SQL gaps-and-islands formulation. Positions are 1-based."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, run_start int, run_len int")
+    class RunLength:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.strip().lower().split() if t]
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield toks[i], i + 1, j - i
+                i = j
+
+    spark.udtf.register("runlength", RunLength)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, r.token, r.run_start, r.run_len "
+        "FROM __docs_udtf, LATERAL runlength(text) r"
+    )
+
+
+@register(
+    "q143_geomean_udaf",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value))), 6) AS geo_mean,
+           COUNT(*) AS n
+    FROM events WHERE value > 0
+    GROUP BY 1
+    """,
+)
+def q143_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): geometric mean per event type —
+    Arrow ships each group's values to one vectorized numpy reduction.
+    The oracle is the exp-mean-log identity; round6 per float-path
+    convention. (The builtin exp(avg(ln)) twin is what you'd deploy at
+    100 TB — this entry exists to exercise the UDAF surface.)"""
+    from .functions.udafs import geo_mean
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # a grouped-agg pandas UDF cannot share an agg with JVM aggregates —
+    # compute the count in a separate tiny aggregate and broadcast-join
+    gm = e.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 6).alias("geo_mean")
+    )
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return gm.join(F.broadcast(n), "event_type")

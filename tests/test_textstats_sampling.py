@@ -109,3 +109,46 @@ def test_hash_sample_rates_and_stability(spark):
         for r in stratified_hash_sample(e, ["id"], "typ", frac, 0.0, seed=8).collect()
     )
     assert ids1 != ids3
+
+
+def test_runlength_udtf_semantics(spark):
+    from isen_projet_bigdata_a3s6_spark import queries as reg  # noqa: F401
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, run_start int, run_len int")
+    class RunLength:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [t for t in text.strip().lower().split() if t]
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield toks[i], i + 1, j - i
+                i = j
+
+    spark.udtf.register("runlength_t", RunLength)
+    spark.createDataFrame(
+        [(1, "a a a b c c"), (2, "x y z"), (3, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("__rl_docs")
+    rows = {
+        (r["doc_id"], r["token"]): (r["run_start"], r["run_len"])
+        for r in spark.sql(
+            "SELECT doc_id, r.* FROM __rl_docs, LATERAL runlength_t(text) r"
+        ).collect()
+    }
+    assert rows == {(1, "a"): (1, 3), (1, "c"): (5, 2)}
+
+
+def test_geomean_udaf_matches_numpy(spark):
+    import numpy as np
+
+    from isen_projet_bigdata_a3s6_spark.functions.udafs import geo_mean
+
+    vals = [1.0, 2.0, 4.0, 8.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    got = df.groupBy("g").agg(geo_mean("v").alias("gm")).collect()[0]["gm"]
+    assert abs(got - float(np.exp(np.mean(np.log(vals))))) < 1e-12
