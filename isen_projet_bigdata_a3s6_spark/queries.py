@@ -4277,3 +4277,78 @@ def q143_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return gm.join(F.broadcast(n), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id, period-over-period growth
+# ---------------------------------------------------------------------------
+@register(
+    "q144_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def q144_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube — q48/q49)
+    with grouping_id disambiguating NULL-as-subtotal from NULL-as-value:
+    one pass, Spark expands sets map-side; no per-set rescans."""
+    from .functions.scalar import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    # DataFrame API has rollup/cube; explicit sets go through SQL
+    df = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid, "
+        "COUNT(*) AS n, "
+        "SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS sum_dec "
+        "FROM __orders_gs "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), "
+        "(o_orderstatus, o_orderpriority))"
+    )
+    return df.select(
+        "o_orderstatus", "o_orderpriority",
+        F.col("gid").cast("int").alias("gid"),
+        "n", F.col("sum_dec").cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "q145_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1, 6) AS mom_growth
+    FROM m
+    """,
+)
+def q145_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: monthly decimal-exact revenue, then a
+    lag-ratio window over the (bounded, months-sized) aggregate — the
+    window runs on the already-reduced frame, never on raw orders."""
+    from .functions.scalar import dec
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(dec("o_totalprice", 28, 4)).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month", "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+            "mom_growth"
+        ),
+    )
