@@ -4352,3 +4352,93 @@ def q145_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k WITH TIES, FILTER-clause conditional aggregation, ordered array agg
+# ---------------------------------------------------------------------------
+@register(
+    "q146_topk_with_ties",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderstatus
+                          ORDER BY ROUND(o_totalprice, -3) DESC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def q146_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES per group: RANK (not row_number) keeps every row
+    tied at the boundary — the coarsened sort key (price rounded to 1000s)
+    makes ties real. One WindowGroupLimit shuffle, same as strict top-k."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc(F.round("o_totalprice", -3))
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q147_filtered_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_totalprice < 100000) AS n_low,
+           COUNT(*) FILTER (WHERE o_totalprice >= 100000
+                            AND o_totalprice < 300000) AS n_mid,
+           COUNT(*) FILTER (WHERE o_totalprice >= 300000) AS n_high,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS VARCHAR) AS DOUBLE)
+             AS urgent_revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def q147_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause): four differently-filtered
+    aggregates in ONE pass over the scan — the idiomatic replacement for
+    four self-joined subqueries. Spark side uses count_if / when-gated
+    sums, all inside one two-phase hash aggregate."""
+    from .functions.scalar import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(price < 100000).alias("n_low"),
+        F.count_if((price >= 100000) & (price < 300000)).alias("n_mid"),
+        F.count_if(price >= 300000).alias("n_high"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", dec("o_totalprice", 28, 4))
+        ).cast("double").alias("urgent_revenue"),
+    )
+
+
+@register(
+    "q148_array_agg",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS partkeys_csv,
+           CAST(len(list(l_partkey)) AS INT) AS n_parts
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    GROUP BY 1
+    """,
+)
+def q148_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation per key: collect_list → array_sort makes
+    the nested result deterministic under any partitioning (bare
+    collect_list order is run-dependent); serialized to CSV so the
+    cross-engine comparison is a plain string."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list("l_partkey")), ",").alias(
+            "partkeys_csv"
+        ),
+        F.size(F.collect_list("l_partkey")).cast("int").alias("n_parts"),
+    )
