@@ -4442,3 +4442,25 @@ def q148_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.collect_list("l_partkey")).cast("int").alias("n_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+@register("q149_bpe_train")
+def q149_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule learning (Sennrich et al. 2016) over the corpus: the
+    text is touched once (word-frequency collapse); every merge iteration
+    is a codegen'd pair count over the VOCABULARY-sized frame + a
+    vectorized merge — iteration cost is independent of corpus size.
+    Iterative argmax ⇒ rows-only; tests/test_textstats_sampling.py pins
+    the learned rules against a pure-Python reference implementation of
+    the paper's algorithm."""
+    from .functions.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(d, "text", num_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(rules)],
+        "step int, left string, right string, freq long",
+    )

@@ -152,3 +152,46 @@ def test_geomean_udaf_matches_numpy(spark):
     df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
     got = df.groupBy("g").agg(geo_mean("v").alias("gm")).collect()[0]["gm"]
     assert abs(got - float(np.exp(np.mean(np.log(vals))))) < 1e-12
+
+
+def test_bpe_train_matches_reference(spark):
+    from isen_projet_bigdata_a3s6_spark.functions.bpe import EOW, bpe_train
+
+    # classic corpus from the BPE paper (Sennrich et al. 2016, §3.2 example)
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(" ".join(corpus),)], "text string")
+
+    def reference(words, n):
+        from collections import Counter
+
+        vocab = Counter(words)
+        seqs = {w: list(w) + [EOW] for w in vocab}
+        rules = []
+        for _ in range(n):
+            pc = Counter()
+            for w, f in vocab.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            # freq desc, then lexicographic pair — same tie-break as the op
+            (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if c < 2:
+                break
+            rules.append((a, b, c))
+            for w in seqs:
+                s, res, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b); i += 2
+                    else:
+                        res.append(s[i]); i += 1
+                seqs[w] = res
+        return rules
+
+    got = bpe_train(df, "text", num_merges=6)
+    want = reference(corpus, 6)
+    assert got == want
+    # paper's first merges: ('e','s') then ('es','t') on this corpus
+    assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
