@@ -111,3 +111,63 @@ def bpe_train(
         )
         state = cut_lineage(state, reliable=reliable)
     return rules
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    rules: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Apply learned merge rules (in learned order — the standard greedy
+    encode) and return ``(id_col, n_tokens, n_bpe_tokens)`` per document.
+    The rule table is tiny and ships in the closure (a broadcast at scale);
+    each Arrow batch memoizes word→length so repeated words cost one encode
+    per batch. Pure map — no shuffle."""
+    pairs = [(r[0], r[1]) for r in rules]
+    rank = {p: i for i, p in enumerate(pairs)}
+
+    def encode_len(word: str) -> int:
+        s = list(word) + [EOW]
+        while len(s) > 1:
+            best, best_rank = None, None
+            for i in range(len(s) - 1):
+                r = rank.get((s[i], s[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            a, b = pairs[best_rank]
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        return len(s)
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, n_toks, n_bpe = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in str(text).strip().lower().split() if t] if text is not None else []
+                total = 0
+                for w in toks:
+                    if w not in memo:
+                        memo[w] = encode_len(w)
+                    total += memo[w]
+                ids.append(did)
+                n_toks.append(len(toks))
+                n_bpe.append(total)
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": n_toks, out_col: n_bpe}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        per_batch, f"{id_col} long, n_tokens int, {out_col} int"
+    )

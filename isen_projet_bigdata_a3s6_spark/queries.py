@@ -4464,3 +4464,18 @@ def q149_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(rules)],
         "step int, left string, right string, freq long",
     )
+
+
+@register("q150_bpe_encode")
+def q150_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode with the rules learned on the same corpus (train = q149):
+    per-document BPE token counts vs whitespace token counts — the token-
+    budget estimator a real tokenizer would feed. Rule table ships in the
+    closure (broadcast-sized); encode is a pure map with per-batch word
+    memoization. Iterative training upstream ⇒ rows-only; the unit test
+    pins encode against a reference implementation."""
+    from .functions.bpe import bpe_encode, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(d, "text", num_merges=8)
+    return bpe_encode(d, "text", rules)

@@ -195,3 +195,45 @@ def test_bpe_train_matches_reference(spark):
     assert got == want
     # paper's first merges: ('e','s') then ('es','t') on this corpus
     assert got[0][:2] == ("e", "s") and got[1][:2] == ("es", "t")
+
+
+def test_bpe_encode_matches_reference(spark):
+    from isen_projet_bigdata_a3s6_spark.functions.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_train,
+    )
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    train_df = spark.createDataFrame([(" ".join(corpus),)], "text string")
+    rules = bpe_train(train_df, "text", num_merges=6)
+
+    def ref_encode(word):
+        pairs = [(a, b) for a, b, _ in rules]
+        rank = {p: i for i, p in enumerate(pairs)}
+        s = list(word) + [EOW]
+        while len(s) > 1:
+            cands = [(rank[(s[i], s[i + 1])], i) for i in range(len(s) - 1)
+                     if (s[i], s[i + 1]) in rank]
+            if not cands:
+                break
+            r, _ = min(cands)
+            a, b = pairs[r]
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b); i += 2
+                else:
+                    res.append(s[i]); i += 1
+            s = res
+        return len(s)
+
+    docs = spark.createDataFrame(
+        [(1, "low lowest newest"), (2, "wider low"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"])
+           for r in bpe_encode(docs, "text", rules).collect()}
+    assert got[1] == (3, ref_encode("low") + ref_encode("lowest") + ref_encode("newest"))
+    assert got[2] == (2, ref_encode("wider") + ref_encode("low"))
+    assert got[3] == (0, 0)
