@@ -87,3 +87,67 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > min_frac * n_total)
     )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 2048, depth: int = 4, seed: int = 42
+) -> DataFrame:
+    """Count-min sketch as a DataFrame ``(depth, slot, cnt)`` — the
+    mergeable point-query counterpart to :func:`heavy_hitters`: the whole
+    build is ONE explode→groupBy (shuffle output ≤ depth·width rows
+    regardless of input size), and sketches from different partitions/days
+    merge by summing cnt. Guarantees (per CMS): estimate ≥ true count, and
+    ≤ true + (e/width)·N with prob 1−(1/e)^depth. Hash rows are
+    ``xxhash64(key, seed+i)`` — deterministic, retry-stable."""
+    if width < 2 or depth < 1:
+        raise ValueError("cms_build: need width >= 2, depth >= 1")
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(width)
+                        ).alias("slot"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return rows.groupBy("c.depth", "c.slot").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query a CMS for each key in ``keys``: recompute the key's
+    (depth, slot) coordinates, join against the (tiny, broadcast) sketch,
+    and take the min across depths. Missing slots count 0. Returns
+    ``(key_col, est)``. Width/depth/seed must match the build."""
+    coords = keys.select(key_col).distinct().select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(width)
+                        ).alias("slot"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.depth", "c.slot")
+    joined = coords.join(F.broadcast(cms), ["depth", "slot"], "left").select(
+        key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))

@@ -4479,3 +4479,19 @@ def q150_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     rules = bpe_train(d, "text", num_merges=8)
     return bpe_encode(d, "text", rules)
+
+
+@register("q151_cms_estimate")
+def q151_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries: build the (depth·width ≤ 8192-row)
+    sketch over lineitem part keys in one explode→groupBy, then estimate
+    the count of every small partkey by joining the broadcast sketch —
+    at 100 TB the sketch is the only thing shuffled, and daily sketches
+    merge by summing. Approximate (one-sided) ⇒ rows-only; the unit test
+    pins the CMS bounds (exact ≤ est ≤ exact + (e/width)·N)."""
+    from .operators.sketches import cms_build, cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cms = cms_build(li, "l_partkey")
+    keys = li.filter(F.col("l_partkey") < 50).select("l_partkey")
+    return cms_estimate(cms, keys, "l_partkey")

@@ -89,3 +89,31 @@ def test_editdist1_pairs_exact(spark):
             for i in range(len(words)) for j in range(i + 1, len(words))
             if lev(words[i], words[j]) <= 1}
     assert got == want and len(want) > 0
+
+
+def test_cms_bounds(spark, sf_dir):
+    import math
+
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    cms = cms_build(li, "l_partkey", width=1024, depth=4)
+    keys = li.select("l_partkey").distinct().limit(100)
+    est = {r["l_partkey"]: r["est"]
+           for r in cms_estimate(cms, keys, "l_partkey", width=1024, depth=4).collect()}
+    exact = {r["l_partkey"]: r["cnt"]
+             for r in li.join(keys, "l_partkey", "left_semi")
+             .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    eps_n = math.e / 1024 * n
+    # never undercounts — deterministic CMS property
+    for k, ex in exact.items():
+        assert est[k] >= ex, (k, est[k], ex)
+    # the +εN overcount bound holds per key with prob 1−(1/e)^depth ≈ 98%;
+    # over 100 keys allow a small violation fraction
+    violations = sum(1 for k, ex in exact.items() if est[k] > ex + eps_n)
+    assert violations <= 0.1 * len(exact), (violations, len(exact))
