@@ -479,3 +479,78 @@ def editdist1_pairs(
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All document pairs with word-set Jaccard ≥ ``threshold``, via PREFIX
+    FILTERING (Chaudhuri/Ganti/Kaushik ICDE'06, the SSJoin/PPJoin family):
+    order every document's distinct tokens by ascending global document
+    frequency (rarest first) and emit only the first
+    ``|d| − ⌈threshold·|d|⌉ + 1`` tokens as join keys — any pair with
+    J ≥ threshold must share at least one PREFIX token (if they shared
+    none, the overlap is at most |d| − prefix_len < threshold·|d| ≤ the
+    required overlap), so the candidate equi-join is complete, while the
+    frequent tokens that create quadratic blow-up in a naive token join
+    never become keys. Candidates are verified with the exact Jaccard.
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b — exact and
+    complete, same result as the all-pairs oracle."""
+    if not 0 < threshold <= 1:
+        raise ValueError("jaccard_prefix_pairs: threshold must be in (0, 1]")
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    ).persist()
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(dfreq, "token").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("id").orderBy(F.asc("df"), F.asc("token"))
+        ),
+    )
+    prefix = ranked.join(sizes, "id").filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    cand = (
+        prefix.alias("p1")
+        .join(
+            prefix.alias("p2"),
+            (F.col("p1.token") == F.col("p2.token"))
+            & (F.col("p1.id") < F.col("p2.id")),
+        )
+        .select(F.col("p1.id").alias("id_a"), F.col("p2.id").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("id").alias("id_a"), "token"), "id_a")
+        .join(tok.select(F.col("id").alias("id_b"), "token"), ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # materialize (lineage cut) so the token cache can be released here —
+    # same no-leak discipline as minhash_dedup_pairs
+    from ..checkpointing import cut_lineage
+
+    out = cut_lineage(out)
+    tok.unpersist()
+    return out

@@ -151,3 +151,74 @@ def cms_estimate(
         key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
+
+
+def _bloom_positions(col: str, num_bits: int, num_hashes: int, seed: int):
+    """k bit positions for a key: pmod(xxhash64(key, seed+i), m)."""
+    return [
+        F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 65536,
+    num_hashes: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Bloom filter as a ONE-ROW DataFrame ``(bloom: map<long, long>)`` —
+    word-index → 64-bit word, built entirely in Catalyst expressions
+    (Spark 4.1 does not expose ``bloom_filter_agg``/``might_contain`` as
+    public SQL functions, so this is the portable equivalent).
+
+    Shape: explode k positions per key → groupBy word index with
+    ``bit_or(shiftleft(1, pos % 64))`` (shuffle output ≤ m/64 rows
+    regardless of input size) → fold into one map row. Filters from
+    different days/partitions merge by bit_or on the word level. No UDF,
+    no driver collect; the map row broadcasts to probes."""
+    if num_bits % 64 != 0 or num_bits < 64:
+        raise ValueError("bloom_build: num_bits must be a positive multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("bloom_build: need num_hashes >= 1")
+    pos = df.select(
+        F.explode(
+            F.array(*_bloom_positions(key_col, num_bits, num_hashes, seed))
+        ).alias("pos")
+    )
+    words = pos.groupBy((F.col("pos") / 64).cast("long").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    num_bits: int = 65536,
+    num_hashes: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Filter ``probe`` to rows the Bloom filter might contain (no false
+    negatives; false-positive rate set by m/n and k). The one-row filter
+    broadcasts; the membership test — ``element_at(map, pos/64)`` plus a
+    shift-and-mask per hash — is pure codegen'd expression, so the probe
+    side is pruned before any shuffle. Build params must match."""
+    tests = []
+    for p in _bloom_positions(key_col, num_bits, num_hashes, seed):
+        word = F.coalesce(
+            F.element_at(F.col("bloom"), (p / 64).cast("long")), F.lit(0).cast("long")
+        )
+        tests.append(F.bit_get(word, (p % 64).cast("int")) == 1)
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return (
+        probe.join(F.broadcast(bloom))
+        .filter(cond)
+        .drop("bloom")
+    )

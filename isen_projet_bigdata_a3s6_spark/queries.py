@@ -4495,3 +4495,525 @@ def q151_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = cms_build(li, "l_partkey")
     keys = li.filter(F.col("l_partkey") < 50).select("l_partkey")
     return cms_estimate(cms, keys, "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (stateful recurrence across micro-batches) — the batch
+# twin is q129; plus deeper TPC-H shape coverage (Q3/Q5/Q10/Q19/Q9) and
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+@register("q152_streaming_ewma")
+def q152_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA as a REAL stateful stream: events split into three
+    event-time-ordered files, one micro-batch each, the recurrence carried
+    across batches in one scalar of state per key
+    (``applyInPandasWithState``, streaming/stateful.py). Iterative
+    recurrence ⇒ rows-only for the driver; the batch-equivalence test
+    (tests/test_streaming.py) pins every row against the q129 batch twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import streaming_ewma
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    stage = tempfile.mkdtemp(prefix="ewma_stream_src_")
+    splits = [
+        e.filter(F.col("ts") <= F.lit(lo + span)),
+        e.filter((F.col("ts") > F.lit(lo + span)) & (F.col("ts") <= F.lit(lo + 2 * span))),
+        e.filter(F.col("ts") > F.lit(lo + 2 * span)),
+    ]
+    for i, part in enumerate(splits):
+        tmp = os.path.join(stage, f"_w{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    out = streaming_ewma(
+        spark, stage, schema=e.schema, alpha=0.3,
+        query_name="q152_stream_out",
+    )
+    return out.select("event_id", "user_id", "ts", F.round("ewma", 6).alias("ewma"))
+
+
+@register(
+    "q153_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-06-30'
+      AND l_shipdate > DATE '1997-06-30'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q153_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customer
+    broadcast into orders, date predicates pushed to both fact scans,
+    decimal revenue per order, top-10 via TakeOrderedAndProject (per-
+    partition k — no global sort). Deterministic tiebreak on l_orderkey."""
+    from .functions.scalar import dec
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-30").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("date")
+    )
+    joined = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.l_orderkey == o.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q154_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q154_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue where the customer
+    and supplier share a nation inside one region — the classic snowflake
+    with an extra cross-dimension equality. Region/nation/supplier/customer
+    all broadcast; the only shuffle is the final nation aggregate."""
+    from .functions.scalar import dec
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4)
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q155_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q155_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): lost revenue per customer
+    from returned lineitems in one quarter — returnflag + date filters
+    pushed to the fact scans, customer/nation broadcast, top-20 via
+    TakeOrderedAndProject with a deterministic custkey tiebreak."""
+    from .functions.scalar import dec
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q156_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q156_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (OR-of-ANDs predicate revenue, adapted to this
+    schema's columns): the disjunction mixes columns from BOTH sides, so
+    Catalyst can only push the per-side residuals (derived l_quantity ≤ 50
+    and brand IN-list); the cross-side conjunctions evaluate post-join on
+    the broadcast part join. Single-row decimal aggregate."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#13") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#20") & sz.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#23") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q157_product_profit",
+    oracle="""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS yr,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l_discount AS DECIMAL(18,4))
+                       - CAST(p_retailprice AS DECIMAL(18,4))
+                         * CAST(0.1 AS DECIMAL(18,4))
+                         * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q157_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). This schema
+    has no partsupp/ps_supplycost, so cost is modeled as 10% of
+    p_retailprice per unit — the join topology (part name LIKE filter,
+    supplier→nation rollup, order-year axis) and the mixed-sign decimal
+    profit expression are the Q9 semantics under test. Part filter prunes
+    before the broadcast join; one aggregate shuffle."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    amount = dec("l_extendedprice", 18, 4) * dec(
+        F.lit(1) - F.col("l_discount"), 18, 4
+    ) - dec("p_retailprice", 18, 4) * dec(F.lit(0.1), 18, 4) * dec("l_quantity", 18, 4)
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    ).agg(F.sum(amount).cast("double").alias("profit"))
+
+
+@register(
+    "q158_bloom_join_prune",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY 1
+    """,
+)
+def q158_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (the hand-rolled public equivalent of
+    Spark's runtime row-level filtering, operators/sketches.py): a 64 Kbit
+    filter built from the selective orders side prunes ~all non-matching
+    lineitem rows BEFORE the aggregation/join shuffle — at 100 TB the
+    shuffle shrinks from |lineitem| to |matches| + ε false positives, for
+    an 8 KB broadcast. A final exact semi join removes the false
+    positives, so the result is exact and oracle-matched."""
+    from .functions.scalar import dec_sum
+    from .operators.sketches import bloom_build, bloom_might_contain
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o_sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(o_sel, "o_orderkey")
+    pruned = bloom_might_contain(bloom, li, "l_orderkey")
+    exact = pruned.join(
+        F.broadcast(o_sel), pruned.l_orderkey == o_sel.o_orderkey, "left_semi"
+    )
+    return exact.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: convergence diagnostics, triangle counting; set-
+# similarity join; time-weighted average; Pareto contribution
+# ---------------------------------------------------------------------------
+@register("q159_pagerank_convergence")
+def q159_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence diagnostics for iterative PageRank (same purchase graph
+    as q136): per-iteration L1/L∞ deltas and the rank-mass invariant — how
+    a production job picks its iteration budget instead of guessing.
+    Iterative float recurrence ⇒ rows-only; the unit test pins the deltas
+    against a numpy power iteration and the ~damping contraction ratio."""
+    from .operators.graph import pagerank_convergence
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank_convergence(edges, iterations=5)
+
+
+@register(
+    "q160_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2
+    ), e AS (SELECT a AS u, b AS v FROM pairs WHERE c >= 2)
+    SELECT
+      (SELECT COUNT(*) FROM (SELECT u AS n FROM e UNION SELECT v FROM e)) AS n_nodes,
+      (SELECT COUNT(*) FROM e) AS n_edges,
+      (SELECT COUNT(*) FROM e e1
+         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the frequent-co-purchase graph (parts appearing
+    together in ≥ 2 orders), via degree-ordered orientation
+    (operators/graph.py::triangle_count): every node's out-degree is
+    O(√m), so the wedge self-join cannot blow up on skewed degree
+    distributions — the failure mode of the naive 3-way join the oracle
+    runs. Same count, scale-safe shape."""
+    from .operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b")
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "q161_jaccard_prefix_join",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t AS token
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+    inter AS (
+      SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, COUNT(*) AS i
+      FROM tok t1
+      JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (s1.s + s2.s - i) AS jaccard
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = id_a
+    JOIN sz s2 ON s2.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (s1.s + s2.s - i) >= 0.6
+    """,
+)
+def q161_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (SSJoin/PPJoin family):
+    only each document's rarest ``|d|−⌈t·|d|⌉+1`` tokens become join keys,
+    so high-frequency tokens never drive the candidate join — the oracle's
+    naive any-shared-token join is quadratic in token document frequency,
+    the prefix join is not. Exact verification on candidates ⇒ identical
+    result. Complements MinHash (q38): this one is exact and complete at
+    the chosen threshold."""
+    from .functions.dedup import jaccard_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(d, "doc_id", "text", threshold=0.6)
+
+
+@register(
+    "q162_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           - ts) AS BIGINT) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6)) * dur_us) AS VARCHAR) AS DOUBLE)
+             / SUM(dur_us) AS twa
+    FROM stepped WHERE dur_us IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q162_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (sample-and-hold: each value holds
+    until the user's next event): lead() duration in exact microseconds,
+    decimal value·duration sums, one double division at the end — the
+    right mean for irregularly sampled series, where the arithmetic mean
+    over-weights bursts. One window + one aggregate shuffle."""
+    from pyspark.sql import Window as W
+
+    from .functions.scalar import dec
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & F.col("value").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        (
+            F.sum(dec("value", 28, 6) * F.col("dur_us")).cast("double")
+            / F.sum("dur_us")
+        ).alias("twa")
+    )
+
+
+@register(
+    "q163_pareto_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR)
+                  AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY 1
+    ), tot AS (SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)))
+                    AS VARCHAR) AS DOUBLE) AS t FROM lineitem)
+    SELECT l_partkey, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) / t, 6)
+             AS cum_share,
+           CASE WHEN SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) / t
+                     <= 0.8 THEN 1 ELSE 0 END AS in_top80
+    FROM rev, tot
+    """,
+)
+def q163_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC contribution analysis: per-part revenue, cumulative share
+    of total in descending order, and the 80%-club flag. The unpartitioned
+    running sum is safe because it runs on the ALREADY-REDUCED per-part
+    frame (|parts| rows, not |lineitem|); the grand total rides along as a
+    broadcast scalar, never a driver collect."""
+    from pyspark.sql import Window as W
+
+    from .functions.scalar import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(dec_sum("l_extendedprice").alias("revenue"))
+    tot = li.agg(dec_sum("l_extendedprice").alias("t"))
+    w = W.orderBy(F.desc("revenue"), "l_partkey")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("revenue").over(w) / F.col("t"))
+        .select(
+            "l_partkey",
+            "revenue",
+            F.round("cum", 6).alias("cum_share"),
+            F.when(F.col("cum") <= 0.8, 1).otherwise(0).alias("in_top80"),
+        )
+    )

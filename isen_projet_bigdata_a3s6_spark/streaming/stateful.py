@@ -207,6 +207,105 @@ def streaming_rate_limit(
     return spark.table(query_name)
 
 
+_EWMA_OUTPUT_SCHEMA = "event_id long, user_id long, ts timestamp, ewma double"
+# last: last emitted EWMA; gap: trailing-NaN run length since that value
+# (pandas ignore_na=False weights by absolute position, so a batch ending in
+# NULLs must carry the gap length for the next batch's first valid update to
+# use (1-alpha)^(gap+1) exactly as the single-series batch twin does).
+_EWMA_STATE_SCHEMA = "last double, gap long, has boolean"
+
+
+def _make_ewma(alpha: float):
+    import numpy as np
+
+    def _ewma(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last, gap, has = state.get if state.exists else (0.0, 0, False)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            vals = pdf["value"].astype(float)
+            if has:
+                # seed: prior EWMA followed by its trailing-NaN gap restores
+                # the exact position distances of the unsplit series
+                seeded = pd.concat(
+                    [pd.Series([last] + [np.nan] * gap, dtype=float), vals],
+                    ignore_index=True,
+                )
+                y = seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1 + gap :]
+            else:
+                y = vals.reset_index(drop=True).ewm(alpha=alpha, adjust=False).mean()
+            y = y.reset_index(drop=True)
+            valid = y.notna() & vals.reset_index(drop=True).notna()
+            if valid.any():
+                last_idx = int(valid[valid].index[-1])
+                last, has = float(y.iloc[last_idx]), True
+                gap = int(len(y) - 1 - last_idx)
+            elif has:
+                gap += len(y)
+            state.update((last, gap, has))
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].values,
+                    "user_id": user_id,
+                    "ts": pdf["ts"].values,
+                    "ewma": y.values,
+                }
+            )
+
+    return _ewma
+
+
+def streaming_ewma(
+    spark: SparkSession,
+    staged_dir: str,
+    schema,
+    alpha: float = 0.3,
+    query_name: str = "ewma_stream_out",
+    ns_timestamp_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-user EWMA as a stateful stream (``applyInPandasWithState``):
+    the sequential recurrence y_t = alpha*x_t + (1-alpha)*y_{t-1} continues
+    across micro-batches from one scalar of state per key (plus the
+    trailing-null gap length, see ``_EWMA_STATE_SCHEMA``). Requires
+    event-time-ordered arrival across batches (file source ordered by
+    mod-time here; on a cluster, a time-partitioned source or Kafka with
+    per-key ordering). Batch twin — and correctness oracle — is
+    ``operators.temporal.ewma`` (q129)."""
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        staged_dir
+    )
+    for name in ns_timestamp_cols:
+        stream = stream.withColumn(
+            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+        )
+    out = (
+        stream.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma(alpha),
+            outputStructType=_EWMA_OUTPUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def batch_rate_limit(df: DataFrame, limit: int = 3) -> DataFrame:
     """Batch twin: first ``limit`` events per (user, hour) by (ts, event_id)
     — one window shuffle (WindowGroupLimit pushes the filter down)."""

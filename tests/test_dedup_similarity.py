@@ -120,3 +120,43 @@ def test_cosine_topk_arrow_equals_jvm(spark, sf_dir):
     # identical result sets INCLUDING scores: the sequential index sweep
     # reproduces the JVM fold bit-for-bit
     assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_jaccard_prefix_join_complete_vs_naive(spark):
+    """Prefix filtering must return EXACTLY the naive all-pairs result."""
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import jaccard_prefix_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different sentence entirely"),
+        (4, "the quick brown fox jumps over a lazy dog"),
+        (5, "lorem ipsum dolor sit amet consectetur"),
+        (6, "lorem ipsum dolor sit amet elit"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    toks = {i: set(t.lower().split()) for i, t in docs}
+    want = {}
+    for a in toks:
+        for b in toks:
+            if a < b:
+                j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert set(got) == set(want) and len(want) >= 2
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+def test_jaccard_prefix_join_threshold_guard(spark):
+    import pytest as _pytest
+
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.0)

@@ -117,3 +117,71 @@ def test_cms_bounds(spark, sf_dir):
     # over 100 keys allow a small violation fraction
     violations = sum(1 for k, ex in exact.items() if est[k] > ex + eps_n)
     assert violations <= 0.1 * len(exact), (violations, len(exact))
+
+
+def test_bloom_no_false_negatives(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", num_bits=8192, num_hashes=5)
+    kept = bloom_might_contain(bloom, keys, "k", num_bits=8192, num_hashes=5)
+    # Bloom filters never reject an inserted key
+    assert kept.count() == 500
+
+
+def test_bloom_false_positive_rate(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    inserted = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_build(inserted, "k", num_bits=65536, num_hashes=5)
+    # 10k keys guaranteed disjoint from the inserted range
+    probes = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = bloom_might_contain(bloom, probes, "k", num_bits=65536, num_hashes=5).count()
+    # theoretical fp ≈ (1 - e^(-k n / m))^k ≈ 8e-8 at n=500, m=65536, k=5;
+    # allow a generous slack over 10k probes
+    assert fp <= 20, fp
+
+
+def test_bloom_prune_plus_semi_join_is_exact(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(sel, "o_orderkey")
+    pruned = bloom_might_contain(bloom, li, "l_orderkey")
+    got = (
+        pruned.join(F.broadcast(sel), pruned.l_orderkey == sel.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_linenumber")
+    )
+    want = li.join(
+        F.broadcast(sel), li.l_orderkey == sel.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_bloom_build_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import bloom_build
+
+    keys = spark.range(5).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        bloom_build(keys, "k", num_bits=100)
+    with _pytest.raises(ValueError):
+        bloom_build(keys, "k", num_hashes=0)
