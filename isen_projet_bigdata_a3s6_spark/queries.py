@@ -5017,3 +5017,248 @@ def q163_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") <= 0.8, 1).otherwise(0).alias("in_top80"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (the merging stateful operator), Markov
+# transitions, leave-one-out target encoding, k-fold CV as aggregate algebra
+# ---------------------------------------------------------------------------
+@register(
+    "q164_streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM sess GROUP BY user_id, sid
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+)
+def q164_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a REAL stream — the merging stateful operator
+    (open sessions extend/merge as events arrive; state finalizes when the
+    watermark passes last_event + gap). Append mode emits each closed
+    session exactly once; the oracle is q60's gaps-and-islands twin plus
+    the watermark-cutoff HAVING (q95/q96 technique). Streaming twin of the
+    batch q60."""
+    import os
+
+    from .streaming.windows import streaming_session_windows
+
+    out = streaming_session_windows(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        query_name="q164_stream_sess_out",
+    )
+    return out.select("user_id", "session_start", "session_end", "n")
+
+
+@register(
+    "q165_markov_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events
+    ), cnt AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM pairs WHERE to_state IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+    FROM cnt
+    """,
+)
+def q165_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lead() pairs within user (one window shuffle on the raw frame), then
+    counts and row-normalized probabilities — the normalizing window runs
+    on the |states|² reduced frame. The sequence-model prior a
+    training-data pipeline computes for session simulation / anomaly
+    scoring."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    cnt = pairs.groupBy("from_state", "to_state").agg(F.count(F.lit(1)).alias("n"))
+    wn = W.partitionBy("from_state")
+    return cnt.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
+@register(
+    "q166_target_encoding_loo",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS s,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           CASE WHEN c > 1 THEN
+             CAST(CAST(s - CAST(o_totalprice AS DECIMAL(28,4)) AS VARCHAR) AS DOUBLE)
+               / (c - 1)
+           END AS te_loo
+    FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+    """,
+)
+def q166_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder: each row's category is encoded as the target mean of all
+    OTHER rows in the category, (Σ_grp − self)/(n_grp − 1). Group sums are
+    one aggregate (|categories| rows, broadcast back); subtraction happens
+    decimal-exact per row, one double division. NULL for singleton
+    categories rather than a leaked self-mean."""
+    from .functions.scalar import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.sum(dec("o_totalprice", 28, 4)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("c") > 1,
+                (F.col("s") - dec("o_totalprice", 28, 4)).cast("double")
+                / (F.col("c") - 1),
+            ).alias("te_loo"),
+        )
+    )
+
+
+@register(
+    "q167_kfold_cv_ols",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(((l_orderkey * 2654435761) % 5 + 5) % 5 AS INT) AS fold,
+             -- 19,4: int128 storage so products are exact (DuckDB's int64
+             -- multiply path overflows at 18,4); Spark side uses 18,4
+             -- (decimal(37,8) products) — both exact, so values agree
+             CAST(l_quantity AS DECIMAL(19,4)) AS x,
+             CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+      FROM lineitem
+    ), per_fold AS (
+      SELECT fold, COUNT(*) AS n,
+             SUM(x) AS dsx, SUM(y) AS dsy, SUM(x*x) AS dsxx,
+             SUM(x*y) AS dsxy, SUM(y*y) AS dsyy
+      FROM f GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS n, SUM(dsx) AS dsx, SUM(dsy) AS dsy,
+             SUM(dsxx) AS dsxx, SUM(dsxy) AS dsxy, SUM(dsyy) AS dsyy
+      FROM per_fold
+    ), coefs AS (
+      SELECT p.fold,
+             p.n AS n_val,
+             (t.n - p.n) AS n_tr,
+             CAST(CAST(t.dsx - p.dsx AS VARCHAR) AS DOUBLE) AS sx_tr,
+             CAST(CAST(t.dsy - p.dsy AS VARCHAR) AS DOUBLE) AS sy_tr,
+             CAST(CAST(t.dsxx - p.dsxx AS VARCHAR) AS DOUBLE) AS sxx_tr,
+             CAST(CAST(t.dsxy - p.dsxy AS VARCHAR) AS DOUBLE) AS sxy_tr,
+             CAST(CAST(p.dsx AS VARCHAR) AS DOUBLE) AS sx_v,
+             CAST(CAST(p.dsy AS VARCHAR) AS DOUBLE) AS sy_v,
+             CAST(CAST(p.dsxx AS VARCHAR) AS DOUBLE) AS sxx_v,
+             CAST(CAST(p.dsxy AS VARCHAR) AS DOUBLE) AS sxy_v,
+             CAST(CAST(p.dsyy AS VARCHAR) AS DOUBLE) AS syy_v
+      FROM per_fold p, tot t
+    )
+    SELECT fold, n_val,
+           ROUND(slope, 6) AS slope, ROUND(intercept, 6) AS intercept,
+           ROUND((syy_v - 2*intercept*sy_v - 2*slope*sxy_v
+                  + n_val*intercept*intercept + 2*slope*intercept*sx_v
+                  + slope*slope*sxx_v) / n_val, 6) AS val_mse
+    FROM (
+      SELECT *,
+             (n_tr*sxy_tr - sx_tr*sy_tr) / (n_tr*sxx_tr - sx_tr*sx_tr) AS slope,
+             (sy_tr - (n_tr*sxy_tr - sx_tr*sy_tr)
+                      / (n_tr*sxx_tr - sx_tr*sx_tr) * sx_tr) / n_tr AS intercept
+      FROM coefs
+    )
+    """,
+)
+def q167_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated simple OLS as PURE AGGREGATE ALGEBRA — the
+    trick that makes CV scale: per-fold decimal-exact moment sums in ONE
+    pass, train-fold sums derived as total − fold (no per-fold rescans, no
+    row duplication into k train sets), closed-form slope/intercept per
+    fold, and validation MSE expanded into the same moments
+    (Σ(y−a−bx)² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx²). Fold
+    assignment is a deterministic multiplicative hash — retry/repartition
+    stable. One aggregate shuffle total for the whole 5-fold CV."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.pmod(F.col("l_orderkey") * F.lit(2654435761), F.lit(5))
+        .cast("int")
+        .alias("fold"),
+        dec("l_quantity", 18, 4).alias("x"),
+        dec("l_extendedprice", 18, 4).alias("y"),
+    )
+    # decimal-exact moments per fold; totals and train-fold complements
+    # stay decimal (order-independent) and convert to double ONCE
+    per_fold = f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("dsx"),
+        F.sum("y").alias("dsy"),
+        F.sum(F.col("x") * F.col("x")).alias("dsxx"),
+        F.sum(F.col("x") * F.col("y")).alias("dsxy"),
+        F.sum(F.col("y") * F.col("y")).alias("dsyy"),
+    )
+    tot = per_fold.agg(
+        F.sum("n").alias("tn"), F.sum("dsx").alias("tsx"), F.sum("dsy").alias("tsy"),
+        F.sum("dsxx").alias("tsxx"), F.sum("dsxy").alias("tsxy"),
+        F.sum("dsyy").alias("tsyy"),
+    )
+    c = per_fold.crossJoin(F.broadcast(tot))
+    n_tr = F.col("tn") - F.col("n")
+    sx_tr = (F.col("tsx") - F.col("dsx")).cast("double")
+    sy_tr = (F.col("tsy") - F.col("dsy")).cast("double")
+    sxx_tr = (F.col("tsxx") - F.col("dsxx")).cast("double")
+    sxy_tr = (F.col("tsxy") - F.col("dsxy")).cast("double")
+    sx_v, sy_v = F.col("dsx").cast("double"), F.col("dsy").cast("double")
+    sxx_v, sxy_v = F.col("dsxx").cast("double"), F.col("dsxy").cast("double")
+    syy_v = F.col("dsyy").cast("double")
+    slope = (n_tr * sxy_tr - sx_tr * sy_tr) / (n_tr * sxx_tr - sx_tr * sx_tr)
+    intercept = (sy_tr - slope * sx_tr) / n_tr
+    c = c.withColumn("slope_", slope).withColumn("intercept_", intercept)
+    a, b = F.col("intercept_"), F.col("slope_")
+    mse = (
+        syy_v
+        - 2 * a * sy_v
+        - 2 * b * sxy_v
+        + F.col("n") * a * a
+        + 2 * a * b * sx_v
+        + b * b * sxx_v
+    ) / F.col("n")
+    return c.select(
+        "fold",
+        F.col("n").alias("n_val"),
+        F.round("slope_", 6).alias("slope"),
+        F.round("intercept_", 6).alias("intercept"),
+        F.round(mse, 6).alias("val_mse"),
+    )

@@ -191,6 +191,60 @@ def streaming_tumbling_to_file_sink(
     return spark.read.parquet(sink_dir)
 
 
+def streaming_session_windows(
+    spark: SparkSession,
+    parquet_path: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: list[str] = ("user_id",),
+    watermark: str = "1 hour",
+    query_name: str = "stream_session_out",
+) -> DataFrame:
+    """Session windows as a real stream — the MERGING stateful operator
+    (unlike tumbling/sliding, open sessions extend/merge as events arrive,
+    so state is per OPEN session, finalized only when the watermark passes
+    ``last_event + gap``). Append mode emits each closed session exactly
+    once; sessions still open at the final watermark are not emitted — the
+    oracle encodes that cutoff with a HAVING, same technique as q95/q96."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet_ns_safe
+
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix="stream_sess_src_")
+    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def streaming_dedup_counts(
     spark: SparkSession,
     parquet_path: str,
