@@ -195,6 +195,37 @@ def bloom_build(
     )
 
 
+def bloom_literal_predicate(
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int = 65536,
+    num_hashes: int = 5,
+    seed: int = 7,
+):
+    """Collect the (sketch-sized, ≤ m/64 longs ≈ 8 KB) Bloom words and
+    return the membership test as a LITERAL column predicate — the same
+    move Spark's own runtime row-level bloom filtering makes (the filter is
+    built on the driver and injected into the probe scan's predicates).
+    Unlike the join form (:func:`bloom_might_contain`), a literal predicate
+    cannot be hoisted above other joins by the optimizer: it evaluates in
+    codegen directly above the scan, BELOW every exchange. Use this when
+    the pruning position matters; the collect is of the sketch only, never
+    of data."""
+    row = bloom.first()
+    words: dict = row["bloom"] or {}
+    dense = [0] * (num_bits // 64)
+    for w, bits in words.items():
+        dense[int(w)] = int(bits)
+    arr = F.array(*[F.lit(x).cast("long") for x in dense])
+    cond = None
+    for p in _bloom_positions(key_col, num_bits, num_hashes, seed):
+        # element_at is 1-based on arrays
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        t = F.bit_get(word, (p % 64).cast("int")) == 1
+        cond = t if cond is None else (cond & t)
+    return cond
+
+
 def bloom_might_contain(
     bloom: DataFrame,
     probe: DataFrame,

@@ -4813,7 +4813,7 @@ def q158_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     an 8 KB broadcast. A final exact semi join removes the false
     positives, so the result is exact and oracle-matched."""
     from .functions.scalar import dec_sum
-    from .operators.sketches import bloom_build, bloom_might_contain
+    from .operators.sketches import bloom_build, bloom_literal_predicate
 
     li = load_table(spark, sf_dir, "lineitem")
     o_sel = (
@@ -4822,9 +4822,16 @@ def q158_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     bloom = bloom_build(o_sel, "o_orderkey")
-    pruned = bloom_might_contain(bloom, li, "l_orderkey")
+    # literal-predicate form (Spark's own runtime-bloom move): the bit test
+    # becomes a scan-level filter the optimizer cannot hoist above the semi
+    # join — PLANS.md shows it in codegen directly above the lineitem scan,
+    # below the exchange; the merge hint pins the at-scale (non-broadcast)
+    # semi-join regime that removes the false positives
+    pruned = li.filter(
+        bloom_literal_predicate(bloom, "l_orderkey")
+    )
     exact = pruned.join(
-        F.broadcast(o_sel), pruned.l_orderkey == o_sel.o_orderkey, "left_semi"
+        o_sel.hint("merge"), pruned.l_orderkey == o_sel.o_orderkey, "left_semi"
     )
     return exact.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),

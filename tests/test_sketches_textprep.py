@@ -185,3 +185,29 @@ def test_bloom_build_rejects_bad_params(spark):
         bloom_build(keys, "k", num_bits=100)
     with _pytest.raises(ValueError):
         bloom_build(keys, "k", num_hashes=0)
+
+
+def test_bloom_literal_predicate_matches_join_form(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        bloom_build,
+        bloom_literal_predicate,
+        bloom_might_contain,
+    )
+
+    inserted = spark.range(0, 300).select(F.col("id").alias("k"))
+    probes = spark.range(0, 5000).select(F.col("id").alias("k"))
+    bloom = bloom_build(inserted, "k", num_bits=8192, num_hashes=4)
+    via_join = sorted(
+        r["k"]
+        for r in bloom_might_contain(
+            bloom, probes, "k", num_bits=8192, num_hashes=4
+        ).collect()
+    )
+    via_lit = sorted(
+        r["k"]
+        for r in probes.filter(
+            bloom_literal_predicate(bloom, "k", num_bits=8192, num_hashes=4)
+        ).collect()
+    )
+    assert via_join == via_lit
+    assert set(range(300)) <= set(via_lit)  # no false negatives

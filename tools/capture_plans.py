@@ -79,6 +79,26 @@ ANNOTATED = {
     "the bucketed SortMergeJoin runs with NO Exchange under it (asserted "
     "on the final AQE plan in tests/test_joins.py) — at scale the join "
     "shuffle is paid once at write time.",
+    "q153_shipping_priority": "TPC-H Q3 shape: date filters pushed to both "
+    "fact scans, segment-filtered customer broadcast, top-10 compiles to "
+    "TakeOrderedAndProject — per-partition k, no global sort.",
+    "q158_bloom_join_prune": "Bloom join pruning, literal-predicate form "
+    "(Spark's own runtime-bloom move): the 8 KB sketch is inlined as a "
+    "bit-test Filter directly above the lineitem scan — below the "
+    "exchange, unhoistable — so the semi-join shuffle carries only "
+    "probable matches; sort-merge semi join (at-scale regime via merge "
+    "hint) removes false positives, and the final group-by reuses the "
+    "join partitioning (no third exchange).",
+    "q161_jaccard_prefix_join": "prefix-filtered set-similarity join: "
+    "candidates come from an equi-join on the rarest prefix tokens only — "
+    "no token-frequency-quadratic join, no cartesian node; verification "
+    "joins are candidate-bounded.",
+    "q163_pareto_contribution": "Pareto contribution: the unpartitioned "
+    "running-share window runs AFTER the per-part aggregation (|parts| "
+    "rows), and the grand total arrives via a one-row broadcast.",
+    "q167_kfold_cv_ols": "5-fold CV in one pass: a single two-phase "
+    "aggregate builds all per-fold decimal moments; everything after is "
+    "5-row algebra — no per-fold rescans, no row duplication.",
 }
 
 
