@@ -195,6 +195,72 @@ def bloom_build(
     )
 
 
+def histogram_build(
+    df: DataFrame, col: str, bins: int = 64
+) -> tuple[DataFrame, float, float]:
+    """Mergeable fixed-width histogram over ``col``: one min/max pass to fix
+    the bin grid, one two-phase count pass (shuffle output ≤ bins rows).
+    Histograms over partitions/days with the SAME grid merge by summing
+    counts — the additive property CMS/HLL share. Returns
+    ``(hist_df(bin, cnt), lo, hi)``. NULLs are excluded."""
+    if bins < 1:
+        raise ValueError("histogram_build: need bins >= 1")
+    r = df.select(
+        F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).first()
+    lo, hi = float(r["lo"]), float(r["hi"])
+    width = (hi - lo) / bins or 1.0
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.least(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return hist, lo, hi
+
+
+def histogram_quantiles(
+    hist: DataFrame, lo: float, hi: float, bins: int, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram by cumulative-count
+    linear interpolation inside the containing bin. Deterministic error
+    bound: the true quantile lies in the same bin, so
+    ``|est − exact| ≤ (hi−lo)/bins`` — the test pins this bound against the
+    exact percentile. All work happens on the ≤ bins-row frame."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / bins or 1.0
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(hist.agg(F.sum("cnt").alias("n")))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    )
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # target rank; containing bin is the first with cum >= rank
+    joined = (
+        qdf.crossJoin(cum)
+        .withColumn("rank", F.col("q") * F.col("n"))
+        .filter(F.col("cum") >= F.col("rank"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    frac = (F.col("rank") - F.col("cum_prev")) / F.col("cnt")
+    est = F.lit(lo) + (F.col("bin") + F.greatest(F.least(frac, F.lit(1.0)), F.lit(0.0))) * F.lit(width)
+    return joined.select("q", est.alias("est")).orderBy("q")
+
+
 def bloom_literal_predicate(
     bloom: DataFrame,
     key_col: str,

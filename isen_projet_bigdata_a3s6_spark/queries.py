@@ -5269,3 +5269,186 @@ def q167_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept_", 6).alias("intercept"),
         F.round(mse, 6).alias("val_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series decomposition, rolling anomaly detection, statistical LM
+# scoring, histogram-sketch quantiles
+# ---------------------------------------------------------------------------
+@register(
+    "q168_seasonal_decomposition",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+               / COUNT(value) AS mu
+      FROM events
+    )
+    SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS dow,
+           COUNT(value) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS dow_mean,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) - (SELECT mu FROM g) AS seasonal
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q168_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition by the seasonal-means method: day-of-week
+    component = E[value | dow] − E[value] — the additive model's exact
+    closed form under a constant trend, and the scalable first pass of an
+    STL-style pipeline (residuals = value − trend − seasonal follow by one
+    broadcast join). Two decimal-exact aggregates, one broadcast scalar."""
+    from .functions.scalar import dec
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(
+        (F.sum(dec("value", 28, 4)).cast("double") / F.count("value")).alias("mu")
+    )
+    dow = e.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count("value").alias("n"),
+        (F.sum(dec("value", 28, 4)).cast("double") / F.count("value")).alias(
+            "dow_mean"
+        ),
+    )
+    return dow.crossJoin(F.broadcast(g)).select(
+        "dow", "n", "dow_mean", (F.col("dow_mean") - F.col("mu")).alias("seasonal")
+    )
+
+
+@register(
+    "q169_rolling_zscore_anomalies",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(value AS DECIMAL(19,6)) AS x
+      FROM events WHERE value IS NOT NULL
+    ), w AS (
+      SELECT user_id, event_id, value,
+             COUNT(*) OVER win AS n,
+             CAST(CAST(SUM(x) OVER win AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(x*x) OVER win AS VARCHAR) AS DOUBLE) AS sxx
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 72 HOUR PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ROUND(z, 6) AS z
+    FROM (
+      SELECT user_id, event_id,
+             (value - sx/n) / SQRT((sxx - sx*sx/n) / (n-1)) AS z
+      FROM w WHERE n >= 3 AND (sxx - sx*sx/n) > 1e-12
+    )
+    WHERE ABS(z) > 1.8
+    """,
+)
+def q169_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per-user 72-hour RANGE window,
+    moments as DECIMAL window sums (order-independent — engine-native
+    rolling stddev accumulates floats in engine-specific order and cannot
+    hash-match), variance from the moment identity, flag |z| > 2. One
+    window shuffle on (user, time); the frame never materializes, only
+    its two running sums."""
+    from pyspark.sql import Window as W
+
+    from .functions.scalar import dec
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "user_id", "event_id", "ts", "value", dec("value", 19, 6).alias("x")
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-72 * 3600 * 1_000_000, 0)
+    )
+    w = v.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(var)
+    return (
+        w.filter(
+            (F.col("n") >= 3)
+            & ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) > 1e-12)
+        )
+        .select("user_id", "event_id", F.round(z, 6).alias("z"))
+        .filter(F.abs(F.col("z")) > 1.8)
+    )
+
+
+@register(
+    "q170_char_lm_score",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, c
+      FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+            FROM documents)
+      WHERE (c BETWEEN 'a' AND 'z') OR c = ' '
+    ), tot AS (SELECT COUNT(*) AS t FROM chars),
+    model AS (
+      SELECT c,
+             CAST(ROUND(LN(COUNT(*) * 1.0 / (SELECT t FROM tot)), 9)
+                  AS DECIMAL(12,9)) AS lnp
+      FROM chars GROUP BY 1
+    ), dc AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           ROUND(CAST(CAST(SUM(n * lnp) AS VARCHAR) AS DOUBLE) / SUM(n), 6)
+             AS avg_logprob
+    FROM dc JOIN model USING (c)
+    GROUP BY 1
+    """,
+)
+def q170_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring: train a character
+    unigram model on the corpus (probabilities = exact count ratios), score
+    each document by its average log-probability — the cheap perplexity proxy
+    used to rank corpus quality before an expensive model pass. Exactness
+    trick: per-char ln quantized to DECIMAL(12,9) so the per-doc weighted
+    sum is order-independent; the model table (≤ 27 rows) broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("c")
+    ).filter(((F.col("c") >= "a") & (F.col("c") <= "z")) | (F.col("c") == " "))
+    tot = chars.agg(F.count(F.lit(1)).alias("t"))
+    model = (
+        chars.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            F.round(F.log(F.col("cn") * 1.0 / F.col("t")), 9)
+            .cast("decimal(12,9)")
+            .alias("lnp"),
+        )
+    )
+    dc = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        dc.join(F.broadcast(model), "c")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("n") * F.col("lnp")).cast("double") / F.sum("n"), 6
+            ).alias("avg_logprob")
+        )
+    )
+
+
+@register("q171_histogram_quantiles")
+def q171_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a mergeable fixed-width histogram
+    (operators/sketches.py): the full pass shuffles ≤ bins rows, daily
+    histograms on the same grid merge by summing, and the estimate carries
+    the deterministic bound |est − exact| ≤ (hi−lo)/bins — pinned against
+    the exact percentile in tests. Approximate by design ⇒ rows-only."""
+    from .operators.sketches import histogram_build, histogram_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist, lo, hi = histogram_build(li, "l_extendedprice", bins=128)
+    return histogram_quantiles(hist, lo, hi, 128, [0.25, 0.5, 0.9, 0.99])

@@ -211,3 +211,58 @@ def test_bloom_literal_predicate_matches_join_form(spark):
     )
     assert via_join == via_lit
     assert set(range(300)) <= set(via_lit)  # no false negatives
+
+
+def test_histogram_quantile_bound(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        histogram_build,
+        histogram_quantiles,
+    )
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bins = 128
+    hist, lo, hi = histogram_build(li, "l_extendedprice", bins=bins)
+    qs = [0.25, 0.5, 0.9, 0.99]
+    est = {r["q"]: r["est"] for r in histogram_quantiles(hist, lo, hi, bins, qs).collect()}
+    exact = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, qs))}))")
+    ).first()[0]
+    width = (hi - lo) / bins
+    for q, ex in zip(qs, exact):
+        assert abs(est[q] - ex) <= width + 1e-9, (q, est[q], ex, width)
+
+
+def test_histogram_merges_additively(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import histogram_build
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # same grid: build full, build halves with the full grid re-derived —
+    # counts must sum bin-by-bin (the mergeable property)
+    full, lo, hi = histogram_build(li, "l_extendedprice", bins=32)
+    # pin both halves to the full grid by injecting one row at lo and one
+    # at hi (removed from the merged counts below)
+    pins = li.orderBy("l_extendedprice").limit(1).unionByName(
+        li.orderBy(F.desc("l_extendedprice")).limit(1)
+    )
+    h1, _, _ = histogram_build(
+        li.filter(F.col("l_orderkey") % 2 == 0).unionByName(pins),
+        "l_extendedprice", bins=32,
+    )
+    h2, _, _ = histogram_build(
+        li.filter(F.col("l_orderkey") % 2 == 1).unionByName(pins),
+        "l_extendedprice", bins=32,
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    f = {r["bin"]: r["cnt"] for r in full.collect()}
+    m = {r["bin"]: r["cnt"] for r in merged.collect()}
+    # the 4 injected grid-pin rows (2 per half) add to the lo/hi bins
+    m[min(m)] -= 2
+    m[max(m)] -= 2
+    m = {k: v for k, v in m.items() if v > 0}
+    assert f == m
