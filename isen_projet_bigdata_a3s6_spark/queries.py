@@ -5452,3 +5452,177 @@ def q171_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     hist, lo, hi = histogram_build(li, "l_extendedprice", bins=128)
     return histogram_quantiles(hist, lo, hi, 128, [0.25, 0.5, 0.9, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# ANN recall self-evaluation, grouped winsorize, surrogate keys, corpus
+# curation funnel
+# ---------------------------------------------------------------------------
+@register("q172_ann_recall")
+def q172_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SRP-LSH ANN path (q42) against the exact
+    brute-force ground truth (q41), per query — the self-evaluation loop a
+    production ANN deployment runs on a sampled query set to tune
+    bits/bands before trusting the index at full scale. Join on
+    (query, neighbor), count hits / k. LSH inside ⇒ rows-only; the unit
+    tests already pin lsh recall floors independently."""
+    from .functions.similarity import cosine_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=10, query_id="query_id").select(
+        "query_id", "vec_id"
+    )
+    approx = lsh_topk(emb, q, k=10, dim=64, num_bits=16, bands=4).select(
+        "query_id", "vec_id"
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce("hit", F.lit(0)) / F.col("k")).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
+    "q173_grouped_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           CASE WHEN o_totalprice < p05 THEN p05
+                WHEN o_totalprice > p95 THEN p95
+                ELSE o_totalprice END AS price_winsorized,
+           CAST(o_totalprice < p05 OR o_totalprice > p95 AS INT) AS was_capped
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    """,
+)
+def q173_grouped_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (P4's outlier cap, generalized to per-group
+    exact percentile fences): group p05/p95 via exact interpolated
+    percentile on the |groups|-sized aggregate, broadcast back, clamp.
+    The robust-preprocessing step before fitting anything on heavy-tailed
+    money columns."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    return o.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_winsorized"),
+        (
+            (F.col("o_totalprice") < F.col("p05"))
+            | (F.col("o_totalprice") > F.col("p95"))
+        )
+        .cast("int")
+        .alias("was_capped"),
+    )
+
+
+@register(
+    "q174_surrogate_keys",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS sk,
+           o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'
+    """,
+)
+def q174_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous ordered surrogate keys for a dimension load: row_number
+    over (date, natural key). The unpartitioned window is confined to the
+    incremental slice (one month), which is the realistic warehouse load
+    unit; for full-table backfills use zipWithIndex-style per-partition
+    offsets (monotonically_increasing_id + partition-count prefix sums)
+    instead of a single-reducer sort."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01").cast("date"))
+    )
+    w = W.orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.row_number().over(w).alias("sk"), "o_orderkey", "o_orderdate"
+    )
+
+
+@register(
+    "q175_curation_funnel",
+    oracle="""
+    WITH s0 AS (SELECT doc_id, text, lang, n_chars FROM documents),
+    s1 AS (SELECT * FROM s0 WHERE lang IN ('en', 'fr')),
+    s2 AS (SELECT * FROM s1 WHERE n_chars BETWEEN 200 AND 20000),
+    s3 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM s2) WHERE rn = 1
+    ),
+    s4 AS (
+      SELECT * FROM s3
+      WHERE len(string_split(text, ' ')) BETWEEN 40 AND 4000
+    )
+    SELECT 1 AS stage, 'raw' AS name, (SELECT COUNT(*) FROM s0) AS remaining
+    UNION ALL SELECT 2, 'lang_filter', (SELECT COUNT(*) FROM s1)
+    UNION ALL SELECT 3, 'length_filter', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s3)
+    UNION ALL SELECT 5, 'token_budget', (SELECT COUNT(*) FROM s4)
+    """,
+)
+def q175_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation funnel end-to-end — language filter → length
+    filter → exact dedup (content hash, keep-min-id) → token budget — with
+    per-stage survivor counts, the report a training-data pipeline emits
+    per snapshot. Stages compose lazily into ONE job; each count is a
+    thin aggregate over the shared lineage (Spark reuses the scan via
+    whole-stage pipelines, and at 100 TB you'd cache s2 once)."""
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.filter(F.col("lang").isin("en", "fr"))
+    s2 = s1.filter(F.col("n_chars").between(200, 20000))
+    from pyspark.sql import Window as W
+
+    s3 = (
+        s2.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    s4 = s3.filter(F.size(F.split("text", " ")).between(40, 4000))
+    stages = [
+        (1, "raw", d),
+        (2, "lang_filter", s1),
+        (3, "length_filter", s2),
+        (4, "exact_dedup", s3),
+        (5, "token_budget", s4),
+    ]
+    out = None
+    for stage, name, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("remaining")).select(
+            F.lit(stage).alias("stage"), F.lit(name).alias("name"), "remaining"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
