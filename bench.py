@@ -44,6 +44,10 @@ HEADLINE = [
     "q116_heavy_hitters",     # MG sketch candidates + exact verify
     "q124_ohlc_resample",     # min_by/max_by single-agg OHLC bars
     "q126_editdist_pairs",    # SymSpell delete-variant blocking join
+    # round-2 wave-4+ additions (appended, earlier timings stay comparable)
+    "q158_bloom_join_prune",  # literal bloom predicate below the shuffle
+    "q161_jaccard_prefix_join",  # SSJoin prefix-filtered similarity join
+    "q167_kfold_cv_ols",      # one-pass 5-fold CV aggregate algebra
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -71,6 +75,9 @@ _INPUT_TABLE = {
     "q116_heavy_hitters": "lineitem",
     "q124_ohlc_resample": "events",
     "q126_editdist_pairs": "customer",
+    "q158_bloom_join_prune": "lineitem",
+    "q161_jaccard_prefix_join": "documents",
+    "q167_kfold_cv_ols": "lineitem",
 }
 
 

@@ -4905,11 +4905,13 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q161_jaccard_prefix_join",
     oracle="""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, t AS token
-      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
-            FROM documents)
-      WHERE t <> ''
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS token
+      FROM norm, UNNEST(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
     ), sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
     inter AS (
       SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, COUNT(*) AS i
@@ -4922,21 +4924,27 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sz s1 ON s1.doc_id = id_a
     JOIN sz s2 ON s2.doc_id = id_b
-    WHERE CAST(i AS DOUBLE) / (s1.s + s2.s - i) >= 0.6
+    WHERE CAST(i AS DOUBLE) / (s1.s + s2.s - i) >= 0.8
     """,
 )
 def q161_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-similarity join with PREFIX FILTERING (SSJoin/PPJoin family):
-    only each document's rarest ``|d|−⌈t·|d|⌉+1`` tokens become join keys,
-    so high-frequency tokens never drive the candidate join — the oracle's
-    naive any-shared-token join is quadratic in token document frequency,
-    the prefix join is not. Exact verification on candidates ⇒ identical
-    result. Complements MinHash (q38): this one is exact and complete at
-    the chosen threshold."""
+    """Set-similarity join with PREFIX FILTERING (SSJoin/PPJoin family)
+    over distinct character 8-shingles: only each document's rarest
+    ``|d|−⌈t·|d|⌉+1`` shingles become join keys (+ PPJoin length filter),
+    so frequent features never drive the candidate join — the oracle's
+    naive any-shared-token join is quadratic in feature frequency, the
+    prefix join is not. Shingles (not words) because this corpus has a
+    ~31-word vocabulary: with every word near-ubiquitous, word-set
+    similarity degenerates toward all-pairs, while the shingle space stays
+    selective. Threshold 0.8 is the design point: prefix length shrinks to
+    ~0.2·|d| rarest shingles, so candidates stay near the true-pair count —
+    prefix joins are the HIGH-threshold exact tool; for low thresholds the
+    scale path is MinHash-LSH (q38). Exact verification on candidates ⇒
+    identical result, exact and complete at the threshold."""
     from .functions.dedup import jaccard_prefix_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_prefix_pairs(d, "doc_id", "text", threshold=0.6)
+    return jaccard_prefix_pairs(d, "doc_id", "text", threshold=0.8, ngram=8)
 
 
 @register(
