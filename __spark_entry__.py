@@ -34,6 +34,10 @@ def _ensure_pkg_on_workers(spark: SparkSession) -> None:
     # are UTC-naive — a non-UTC driver session would shift event-time
     # windows. Pin UTC for every contract query.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # testdata timestamps are TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    # read as UTC instants (not TIMESTAMP_NTZ) so watermarks/windows work
+    # and calendar fields match DuckDB's naive reading.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     key = spark.sparkContext.applicationId
     if key in _PKG_SHIPPED:
         return

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata timestamps are parquet TIMESTAMP(MICROS, isAdjustedToUTC
+        # = false); Spark 4 would infer TIMESTAMP_NTZ, which watermarks and
+        # time-window functions reject. Reading them as UTC instants (with
+        # the UTC session tz above) keeps calendar fields identical to
+        # DuckDB's naive reading AND keeps filter pushdown on the scan.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

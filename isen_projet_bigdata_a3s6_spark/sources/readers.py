@@ -88,6 +88,10 @@ def read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
         ]
     except Exception:
         ns_cols = []
+    # micros/millis timestamps with isAdjustedToUTC=false must read as UTC
+    # instants, not TIMESTAMP_NTZ (watermarks and window() reject NTZ);
+    # with the UTC session tz the calendar fields match DuckDB's naive read.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if not ns_cols:
         return spark.read.parquet(path)
     # the converted column is session-tz TIMESTAMP — pin UTC so its calendar
