@@ -87,20 +87,28 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry.queries()
 
-    # warmup at the smallest SF: JIT + codegen + arrow init, not the data
+    # warmup at the smallest SF (twice): JIT + codegen + arrow init, not the
+    # data — two passes because C2 compilation of the widest codegen stages
+    # needs more than one execution to reach steady state
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+        for _ in range(2):
+            for name in HEADLINE:
+                try:
+                    qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+                except Exception:
+                    pass
+            spark.catalog.clearCache()
 
-    # two timed passes, best-of-2 per query: damps co-tenant CPU noise
+    # two timed passes, best-of-2 per query: damps co-tenant CPU noise.
+    # Caches are cleared before EVERY measurement so best-of-N is honest:
+    # no run may reuse a persisted frame a previous run built (the round-1
+    # q38 signature-cache leak, and any operator-internal lazy persist).
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
             fn = qs[name]
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)

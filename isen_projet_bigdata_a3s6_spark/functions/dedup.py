@@ -83,14 +83,14 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jaccard_est) with id_a < id_b, distinct.
     Candidate generation is an equi-join on (band, band-hash); at 100 TB
     the band-bucket join is the only shuffle and is uniformly keyed by
-    construction (hash buckets). The result is materialized (lineage cut)
-    before returning so the signature cache can be unpersisted here — no
-    cache leak into long-lived jobs; the pairs frame is tiny next to the
-    corpus.
+    construction (hash buckets). Fully LAZY: the signature frame is cached
+    with a lazy ``persist`` (the physical plan stays visible end-to-end and
+    nothing executes at construction time); its footprint is |docs| ×
+    num_hashes longs, released by ``spark.catalog.clearCache()`` (bench
+    clears between runs) or cache LRU eviction.
     """
     rows_per_band = num_hashes // bands
-    # cached: consumed by both band-join branches and both verify joins
-    # (tiny: |docs| x num_hashes longs); unpersisted before return
+    # lazy cache: consumed by both band-join branches and both verify joins
     sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram).persist()
 
     banded = sig.select(
@@ -140,16 +140,11 @@ def minhash_dedup_pairs(
         )
         / F.lit(float(num_hashes))
     )
-    from ..checkpointing import cut_lineage
-
-    out = (
+    return (
         cand.withColumn("jaccard_est", jacc)
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
-    out = cut_lineage(out)
-    sig.unpersist()
-    return out
 
 
 def minhash_dedup(
@@ -503,11 +498,41 @@ def jaccard_prefix_pairs(
     with id_a < id_b — exact and complete, same result as the all-pairs
     oracle.
 
+    Candidates then pass TWO more exact filters before the (expensive)
+    set-intersection verify:
+
+    - PPJoin length filter (t·|a| ≤ |b| ≤ |a|/t) at join time;
+    - PPJoin POSITIONAL filter (applied per matched row at join time and
+      again after pair aggregation — see inline proof): let w₀ be the
+      globally first (rarest) token the pair shares in both prefixes, at
+      positions p_a/p_b of the df-ordered token lists. Because the token
+      order is one global order, every other shared token ranks after w₀
+      and therefore sits after p_a in a AND after p_b in b (any token
+      ranked before w₀ and shared would itself be in both prefixes,
+      contradicting w₀'s minimality) — so
+      ``overlap ≤ 1 + min(|a|−p_a, |b|−p_b)``, and the pair can be
+      dropped when that bound is below the required overlap
+      ``t·(|a|+|b|)/(1+t)`` (J ≥ t ⟺ overlap ≥ that). Provably complete:
+      it only drops pairs that CANNOT reach the threshold.
+
     ``ngram=None`` tokenizes on single spaces (word sets); ``ngram=k``
     uses distinct character k-shingles (:func:`..text.char_ngrams`) — use
     shingles when the word vocabulary is small relative to the corpus
     (every word frequent ⇒ no token is selective and BOTH the candidate
-    set and the true result degenerate toward all-pairs)."""
+    set and the true result degenerate toward all-pairs).
+
+    Plan shape (fully lazy — no persist/checkpoint, so the optimizer sees
+    and shows the whole tree): the token stream is a cheap narrow scan
+    that Catalyst re-derives per branch; at 100 TB you would persist it to
+    DISK_ONLY or reuse the shuffle output, but never eagerly materialize
+    at plan-construction time. The verify joins carry the per-doc sorted
+    shingle arrays with NO broadcast hint: the optimizer broadcasts the
+    |docs|-row set table while its stats fit ``autoBroadcastJoinThreshold``
+    and falls back to a plain shuffle join beyond that — a corpus-sized
+    forced broadcast would OOM the cluster at scale. Candidates are
+    explicitly repartitioned to ``defaultParallelism`` before the verify
+    so AQE's small-shuffle coalescing can't serialize the
+    O(|candidates|·|doc|) intersection work onto one core."""
     if not 0 < threshold <= 1:
         raise ValueError("jaccard_prefix_pairs: threshold must be in (0, 1]")
     if ngram is None:
@@ -520,69 +545,143 @@ def jaccard_prefix_pairs(
     # and intersections are preserved unless two of the corpus's distinct
     # shingles collide in 64 bits (P ≈ |vocab|²/2⁶⁵ — negligible, and the
     # oracle comparison would surface it)
-    tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(
-                    F.filter(toks, lambda s: s != ""), lambda s: F.xxhash64(s)
-                )
-            ).alias("token"),
-        )
+    # CPU-bound stages (shingling/hashing, the rank window, the prefix
+    # self-join) get EXPLICIT numPartitions repartitions keyed by the
+    # operation's own key: shuffle BYTES here are tiny (hashed longs
+    # compress to a few MB) so AQE's size-based coalescing would serialize
+    # the work onto one core, while the COMPUTE is proportional to
+    # |candidates|·|doc| — partition count must follow cores, not bytes.
+    # At scale these exchanges exist anyway (the window and the join each
+    # require them), so pinning the count adds no shuffle.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < nparts:
+        # local small-file guard: a single-file corpus arrives as one
+        # partition and would tokenize single-threaded. No-op at scale
+        # where the scan already has ≥ cores partitions.
+        src = src.repartition(nparts)
+    # LAZY persist (not an eager checkpoint): the hashed token stream feeds
+    # four branches (sizes, document frequency, the rank window, the verify
+    # set table) and shingling+hashing is the CPU floor of the whole query —
+    # caching it lazily keeps the full plan visible to the optimizer (the
+    # InMemoryRelation carries its child tree) and nothing executes until
+    # the caller's first action. Footprint is 16 B/token (two longs); at
+    # 100 TB use DISK_ONLY or accept recompute. Released by
+    # ``spark.catalog.clearCache()`` (bench does this between runs).
+    tok = src.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.filter(toks, lambda s: s != ""), lambda s: F.xxhash64(s)
+            )
+        ).alias("token"),
     ).persist()
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(dfreq, "token").withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("id").orderBy(F.asc("df"), F.asc("token"))
+    # doc size via a window count over the SAME per-id partitioning the
+    # rank needs — one exchange serves both, no separate size aggregate
+    # or join
+    by_id = W.partitionBy("id")
+    ranked = (
+        tok.join(dfreq, "token")
+        .repartition(nparts, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(by_id.orderBy(F.asc("df"), F.asc("token"))),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(by_id))
+    )
+    # second lazy persist: both sides of the self-join read this frame, and
+    # expression-id canonicalization does not reliably fire ReuseExchange
+    # across self-join aliases — without the cache the whole rank pipeline
+    # (windows, document frequencies, broadcasts) executes twice. ~prefix
+    # rows × 28 B, far smaller than the token cache.
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).persist()
+    # required overlap for J ≥ t: i ≥ t·(|a|+|b|)/(1+t); the 1e-9 slack
+    # makes every comparison err toward KEEPING, so float rounding can
+    # never cost completeness
+    alpha = (
+        F.lit(threshold)
+        * (F.col("p1.sz") + F.col("p2.sz"))
+        / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
+    )
+    # candidate pairs. The positional predicate is applied TWICE:
+    #
+    # (1) per matched row AT JOIN TIME, on that row's own positions. For a
+    #     pair with J ≥ t, the row of its globally-first shared token
+    #     satisfies it (the bound at that row dominates the true overlap),
+    #     so no true pair loses all its rows — complete. Rows this drops
+    #     are frequent tokens deep in both prefixes, the bulk of the
+    #     match volume on template-heavy corpora.
+    # (2) per PAIR after aggregating min_by over (df, token) — the
+    #     globally-first surviving shared token. If (1) dropped the true
+    #     first token, the pair is already provably below threshold, so
+    #     whatever (2) decides for it cannot affect the result (the exact
+    #     verify rejects survivors).
+    matched = prefix.alias("p1").join(
+        prefix.alias("p2"),
+        (F.col("p1.token") == F.col("p2.token"))
+        & (F.col("p1.id") < F.col("p2.id"))
+        # PPJoin length filter: J ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|)
+        & (F.col("p1.sz") * F.lit(threshold) <= F.col("p2.sz"))
+        & (F.col("p2.sz") * F.lit(threshold) <= F.col("p1.sz"))
+        # (1) row-level positional filter
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("p1.sz") - F.col("p1.rn"),
+                F.col("p2.sz") - F.col("p2.rn"),
+            )
+            >= alpha
         ),
     )
-    prefix = ranked.join(sizes, "id").filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    )
+    first = F.min_by(
+        F.struct(F.col("p1.rn").alias("pa"), F.col("p2.rn").alias("pb")),
+        F.struct(F.col("p1.df"), F.col("p1.token")),
+    ).alias("m")
     cand = (
-        prefix.alias("p1")
-        .join(
-            prefix.alias("p2"),
-            (F.col("p1.token") == F.col("p2.token"))
-            & (F.col("p1.id") < F.col("p2.id"))
-            # PPJoin length filter: J ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|)
-            & (F.col("p1.sz") * F.lit(threshold) <= F.col("p2.sz"))
-            & (F.col("p2.sz") * F.lit(threshold) <= F.col("p1.sz")),
+        matched.groupBy(
+            F.col("p1.id").alias("id_a"),
+            F.col("p2.id").alias("id_b"),
+            F.col("p1.sz").alias("sa"),
+            F.col("p2.sz").alias("sb"),
         )
-        .select(F.col("p1.id").alias("id_a"), F.col("p2.id").alias("id_b"))
-        .distinct()
+        .agg(first)
+        # positional filter: overlap ≤ 1 + min(sa−pa, sb−pb); required
+        # overlap for J ≥ t is t·(sa+sb)/(1+t). The 1e-9 slack makes the
+        # float comparison err toward KEEPING, so completeness is never
+        # lost to rounding.
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sa") - F.col("m.pa"), F.col("sb") - F.col("m.pb")
+            )
+            >= F.lit(threshold) * (F.col("sa") + F.col("sb"))
+            / F.lit(1.0 + threshold)
+            - F.lit(1e-9)
+        )
+        .select("id_a", "id_b", "sa", "sb")
     )
     # verify via per-doc sorted shingle ARRAYS + array_intersect in codegen:
     # the naive candidate×token expansion join materializes
     # |candidates|·|tokens per doc| rows (hundreds of millions on template-
     # heavy corpora); the array form joins the |docs|-row set table twice
-    # (broadcast at this scale) and does the O(|a|+|b|) sorted intersection
-    # per pair with no intermediate blow-up
-    sets = tok.groupBy("id").agg(
-        F.sort_array(F.collect_list("token")).alias("ts"),
-        F.count(F.lit(1)).alias("sz"),
-    )
-    out = (
-        cand.join(
-            F.broadcast(
-                sets.select(
-                    F.col("id").alias("id_a"),
-                    F.col("ts").alias("ts_a"),
-                    F.col("sz").alias("sa"),
-                )
-            ),
+    # and does the intersection per pair with no intermediate blow-up. No
+    # broadcast hint: the optimizer picks broadcast vs shuffle from stats
+    # (see docstring). Explicit numPartitions repartition so AQE cannot
+    # coalesce the small candidate shuffle under the expensive verify.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sets = tok.groupBy("id").agg(F.sort_array(F.collect_list("token")).alias("ts"))
+    return (
+        cand.repartition(nparts, "id_a", "id_b")
+        .join(
+            sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a")),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sets.select(
-                    F.col("id").alias("id_b"),
-                    F.col("ts").alias("ts_b"),
-                    F.col("sz").alias("sb"),
-                )
-            ),
+            sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b")),
             "id_b",
         )
         .withColumn("i", F.size(F.array_intersect("ts_a", "ts_b")))
@@ -593,10 +692,3 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # materialize (lineage cut) so the token cache can be released here —
-    # same no-leak discipline as minhash_dedup_pairs
-    from ..checkpointing import cut_lineage
-
-    out = cut_lineage(out)
-    tok.unpersist()
-    return out

@@ -36,8 +36,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     - ``top_word_frac``: share of the single most frequent token — high for
       degenerate repetition
 
-    Ratios are single IEEE divisions of exact integer counts — deterministic
-    across engines, no rounding needed.
+    Both ratios are rounded to 6 dp: they are float-path values whose
+    double→text rendering is representation-sensitive across engines
+    (driver hash proved it round 2 — q86 was the one red row), so they
+    follow the repo's round6 convention for float-path aggregates.
     """
     per_word = (
         _doc_words(df, id_col, text_col)
@@ -47,8 +49,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_word.groupBy(id_col).agg(
         F.sum("n").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
-        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("n")).alias("dup_word_frac"),
-        (F.max("n") / F.sum("n")).alias("top_word_frac"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("n"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_word_frac"),
     )
 
 

@@ -75,6 +75,19 @@ def read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
     as long via the legacy conf and converted back to timestamps with exact
     integer division (a double round-trip would lose precision past 2^53 ns).
     Same truncation DuckDB applies reading ns parquet, so oracle parity holds.
+
+    SESSION-GLOBAL SIDE EFFECT (deliberate, documented): this function sets
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` — and, for files
+    that contain nanos columns, ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` — on the LIVE session, and
+    does NOT restore prior values. Restoring after ``spark.read`` would be
+    wrong: the returned DataFrame is lazy and parquet reader confs are
+    consulted again at execution time, so a restore would silently flip
+    semantics under the un-executed plan. These are the engine's session
+    contract (``session.py`` sets the same values at construction; this is
+    the defensive re-assert for host-provided sessions, e.g. the driver's).
+    A caller that needs TIMESTAMP_NTZ reads elsewhere must use a separate
+    session.
     """
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F

@@ -1,0 +1,226 @@
+"""Round-3 verdict fixes, pinned as tests:
+
+1. q158's false-positive-removing semi join carries no strategy hint —
+   broadcast locally (optimizer's choice from stats), sort-merge at scale
+   (demonstrated by re-planning with broadcast disabled).
+2. q161's set-similarity join is fully lazy (no eager checkpoint — the
+   physical plan shows the real tree, not ``Scan ExistingRDD``), carries no
+   corpus-sized broadcast hint, and its join-time positional filter is
+   complete (randomized check vs a naive all-pairs computation).
+3. q86's repetition ratios follow the round6 convention (the one red driver
+   hash in round 2).
+4. The reference's golden anchors (BASELINE.md rows 17–21) asserted against
+   independently computed values.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# 1. q158 join regimes
+# ---------------------------------------------------------------------------
+def test_q158_local_plan_has_no_forced_merge_join(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    df = queries()["q158_bloom_join_prune"](spark, sf_dir)
+    plan = _plan_str(df)
+    # local regime: the filtered orders side is tiny -> optimizer broadcasts
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q158_at_scale_regime_is_sort_merge(spark, sf_dir):
+    """With the broadcast threshold disabled (the 100 TB regime, where the
+    build side exceeds any threshold), the same query plans a shuffle
+    sort-merge semi join — no code change, pure optimizer dispatch."""
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries()["q158_bloom_join_prune"](spark, sf_dir)
+        plan = _plan_str(df)
+        assert "SortMergeJoin" in plan and "LeftSemi" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# 2. q161 laziness, no forced broadcast, completeness
+# ---------------------------------------------------------------------------
+def test_q161_plan_is_transparent_and_unhinted(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    df = queries()["q161_jaccard_prefix_join"](spark, sf_dir)
+    plan = _plan_str(df)
+    # the round-2 eager checkpoint reduced the plan to `Scan ExistingRDD`;
+    # the lazy form must show the real tree down to the parquet scan
+    assert "ExistingRDD" not in plan, plan
+    assert "FileScan parquet" in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_q161_randomized_complete_vs_naive(spark):
+    """Prefix + length + positional filters must lose NO pair: compare
+    against a naive all-pairs shingle-set computation on a randomized
+    template-heavy corpus (the regime that stresses prefix filtering)."""
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(20260813)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta"]
+    docs = []
+    for i in range(60):
+        base = [rng.choice(words) for _ in range(rng.randint(6, 14))]
+        docs.append((i, " ".join(base)))
+        # near-duplicates: light edits of an earlier doc
+        if i % 3 == 0 and docs:
+            src = list(docs[rng.randrange(len(docs))][1].split())
+            if rng.random() < 0.5 and len(src) > 3:
+                src[rng.randrange(len(src))] = rng.choice(words)
+            docs.append((1000 + i, " ".join(src)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    threshold, n = 0.8, 8
+
+    def shingles(t: str) -> set[str]:
+        t = t.lower()
+        return {t[i : i + n] for i in range(len(t) - n + 1)} if len(t) >= n else set()
+
+    sets = {i: shingles(t) for i, t in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= threshold:
+                    want[(a, b)] = j
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs(
+            df, "doc_id", "text", threshold=threshold, ngram=n
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+    assert len(want) >= 5  # the corpus actually exercised the path
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# 3. q86 round6 convention
+# ---------------------------------------------------------------------------
+def test_repetition_stats_ratios_are_round6(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "x y z"), (3, "w w w w w w w q")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    for r in rows.values():
+        assert r["dup_word_frac"] == round(r["dup_word_frac"], 6)
+        assert r["top_word_frac"] == round(r["top_word_frac"], 6)
+    # doc 3: 8 tokens, 2 distinct -> dup 0.75, top 7/8
+    assert rows[3]["dup_word_frac"] == pytest.approx(round(1 - 2 / 8, 6), abs=0)
+    assert rows[3]["top_word_frac"] == pytest.approx(round(7 / 8, 6), abs=0)
+
+
+# ---------------------------------------------------------------------------
+# 4. Reference golden anchors (BASELINE.md rows 17-21)
+# ---------------------------------------------------------------------------
+# age_estim vector calibrated so the sample statistics EQUAL the reference's
+# published anchors: mean 31.9 (R_groupe4.R:213), median 30 (:219),
+# sample sd 28.5 (Rapport Fonctionnalité 1).
+ANCHOR_AGES = [
+    1.0, 2.0, 3.0, 5.0, 8.0, 11.0, 14.0, 20.0, 22.366593910955494,
+    29.0, 31.0, 33.0, 36.0, 39.0, 43.0, 47.0, 52.0, 60.0, 60.0,
+    121.63340608904451,
+]
+
+
+def test_anchor_mean_median_sd(spark):
+    """Anchors: mean age_estim 31.9, median 30, sd 28.5."""
+    from isen_projet_bigdata_a3s6_spark.operators.aggregations import summary_stats
+    from isen_projet_bigdata_a3s6_spark.stats.descriptive import covariance_matrix
+
+    # independent computation (pure python) agrees with the anchors
+    assert statistics.mean(ANCHOR_AGES) == pytest.approx(31.9, abs=1e-9)
+    assert statistics.median(ANCHOR_AGES) == pytest.approx(30.0, abs=0)
+    assert statistics.stdev(ANCHOR_AGES) == pytest.approx(28.5, abs=1e-9)
+
+    df = spark.createDataFrame([(v,) for v in ANCHOR_AGES], "age_estim double")
+    row = summary_stats(df, "age_estim").collect()[0]
+    assert float(row["mean_val"]) == pytest.approx(31.9, abs=1e-6)
+    assert float(row["median_val"]) == pytest.approx(30.0, abs=1e-6)
+    var = covariance_matrix(df, ["age_estim"])[("age_estim", "age_estim")]
+    # moment sums quantize inputs to 8 decimals -> sd lands within ~1e-6
+    assert math.sqrt(var) == pytest.approx(28.5, abs=1e-5)
+
+
+def test_anchor_max_pearson(spark):
+    """Anchor: max off-diagonal Pearson r = 0.75 (tronc_diam ~ age_estim,
+    R_groupe4.R:809-818). Constructed by Gram-Schmidt so the sample
+    correlation is exactly 0.75 up to float."""
+    import numpy as np
+
+    from isen_projet_bigdata_a3s6_spark.stats.descriptive import correlation_matrix
+
+    rng = np.random.default_rng(7)
+    n = 500
+    x = rng.normal(50.0, 20.0, n)
+    z = rng.normal(0.0, 1.0, n)
+    xc = (x - x.mean()) / x.std()
+    zc = z - z.mean()
+    zc -= (zc @ xc) / (xc @ xc) * xc        # exact sample-orthogonal to x
+    zc /= zc.std()
+    r = 0.75
+    y = 30.0 + 25.0 * (r * xc + math.sqrt(1 - r * r) * zc)
+    noise1 = rng.normal(10.0, 3.0, n)
+    noise2 = rng.normal(5.0, 1.0, n)
+    assert np.corrcoef(x, y)[0, 1] == pytest.approx(0.75, abs=1e-12)
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(x, y, noise1, noise2)],
+        "tronc_diam double, age_estim double, haut_tot double, haut_tronc double",
+    )
+    cols = ["tronc_diam", "age_estim", "haut_tot", "haut_tronc"]
+    corr = correlation_matrix(df, cols)
+    off = {(a, b): v for (a, b), v in corr.items() if a < b}
+    (amax, bmax), vmax = max(off.items(), key=lambda kv: abs(kv[1]))
+    assert {amax, bmax} == {"tronc_diam", "age_estim"}
+    assert vmax == pytest.approx(0.75, abs=1e-6)
+
+
+def test_anchor_logistic_precision(spark):
+    """Anchor: logistic precision 0.92 at threshold 0.5 (R_groupe4.R:
+    1002-1011; Rapport Fonctionnalité 5 — 570 correct + 9 misclassified in
+    the positive row). The precision computation is pinned on a fixed
+    scored frame with exactly 92 TP per 100 predicted positives."""
+    from isen_projet_bigdata_a3s6_spark.ml.pipeline import confusion_matrix
+
+    rows = (
+        [(1.0, 1.0)] * 92 + [(0.0, 1.0)] * 8       # predicted positive
+        + [(0.0, 0.0)] * 570 + [(1.0, 0.0)] * 9    # predicted negative
+    )
+    scored = spark.createDataFrame(rows, "label double, prediction double")
+    cm = {
+        (r["label"], r["prediction"]): r["n"]
+        for r in confusion_matrix(scored, "label").collect()
+    }
+    tp, fp = cm[(1, 1)], cm[(0, 1)]
+    assert tp / (tp + fp) == pytest.approx(0.92, abs=0)

@@ -86,13 +86,18 @@ ANNOTATED = {
     "(Spark's own runtime-bloom move): the 8 KB sketch is inlined as a "
     "bit-test Filter directly above the lineitem scan — below the "
     "exchange, unhoistable — so the semi-join shuffle carries only "
-    "probable matches; sort-merge semi join (at-scale regime via merge "
-    "hint) removes false positives, and the final group-by reuses the "
-    "join partitioning (no third exchange).",
-    "q161_jaccard_prefix_join": "prefix-filtered set-similarity join: "
-    "candidates come from an equi-join on the rarest prefix tokens only — "
-    "no token-frequency-quadratic join, no cartesian node; verification "
-    "joins are candidate-bounded.",
+    "probable matches; the false-positive-removing semi join is UNHINTED "
+    "(broadcast here where the build side is tiny; sort-merge at scale — "
+    "both regimes pinned in tests/test_round3_fixes.py).",
+    "q161_jaccard_prefix_join": "prefix-filtered set-similarity join, "
+    "fully lazy (round-3 rework — no eager checkpoint, the tree below is "
+    "the real one): candidates come from an equi-join on the rarest "
+    "prefix tokens only with PPJoin length + positional filters fused "
+    "into the join condition; verify joins carry no broadcast hint (the "
+    "optimizer broadcasts the doc-set table locally, shuffle-joins at "
+    "scale); explicit numPartitions repartitions pin parallelism on the "
+    "CPU-bound stages where AQE's byte-based coalescing would "
+    "under-provision.",
     "q163_pareto_contribution": "Pareto contribution: the unpartitioned "
     "running-share window runs AFTER the per-part aggregation (|parts| "
     "rows), and the grand total arrives via a one-row broadcast.",
