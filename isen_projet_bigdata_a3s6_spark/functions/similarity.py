@@ -240,3 +240,31 @@ def lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column — the
+    standard storage/ANN-memory reduction (4x vs float32): each vector gets
+    ``scale = max(|v|)/127`` and components ``q_i = round(v_i/scale)``
+    clamped to [-127, 127]; zero vectors quantize to zeros with scale 0.
+
+    Returns ``(id, scale, qvec)`` with scale round6'd (float path). Pure
+    higher-order array expressions (aggregate/transform) — fully codegen'd,
+    no shuffle at all: the operator is embarrassingly row-parallel, which
+    is exactly what you want applied to 10^11 vectors.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (absmax / F.lit(127.0)).cast("double")
+    q = F.when(absmax > 0, F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x / scale).cast("int")),
+        ),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        q.alias("qvec"),
+    )

@@ -129,3 +129,52 @@ def ngram_contamination(
         # ANSI divide-by-zero error
         F.try_divide(F.count("__hit"), F.count("gram")).alias("contamination_frac"),
     )
+
+
+def gopher_quality_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_word_frac: float = 0.6,
+) -> DataFrame:
+    """Gopher-style document-quality rule report (Rae et al. 2021 §A1.1,
+    thresholds scaled to the synthetic corpus): per document, the raw
+    signals each rule reads plus the combined verdict —
+
+    - ``n_words``: token count (rule: within [min_words, max_words])
+    - ``mean_word_len``: average token length over occurrences, round6
+      (rule: within [min_mean_word_len, max_mean_word_len])
+    - ``dup_word_frac``: repeated-token share, round6
+      (rule: ≤ max_dup_word_frac)
+    - ``passes``: conjunction of the three rules
+
+    One explode → one groupBy(id) with count / count-distinct / sum(len)
+    aggregates — a single shuffle keyed by doc id, everything builtin. At
+    100 TB this is the cheap first-pass filter a curation funnel runs
+    before any pairwise dedup.
+    """
+    words = _doc_words(df, id_col, text_col)
+    agg = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.sum(F.length("word")).alias("sum_len"),
+    )
+    mean_len = F.round(F.col("sum_len") / F.col("n_words"), 6)
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_distinct") / F.col("n_words").cast("double"), 6
+    )
+    return agg.select(
+        id_col,
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        (
+            F.col("n_words").between(min_words, max_words)
+            & mean_len.between(min_mean_word_len, max_mean_word_len)
+            & (dup_frac <= max_dup_word_frac)
+        ).alias("passes"),
+    )

@@ -5643,3 +5643,458 @@ def q175_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 3: sequence packing, incremental corpus dedup, Gopher quality rules,
+# domain mixture resampling, embedding quantization, and the remaining
+# TPC-H join/agg shapes (Q4/Q13/Q15/Q16/Q17 analogs on the driver tables)
+# ---------------------------------------------------------------------------
+@register(
+    "q176_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, tok_offset,
+           CAST(FLOOR(tok_offset / 512.0) AS BIGINT) AS pack_start,
+           CAST(FLOOR((tok_offset + GREATEST(n_tokens - 1, 0)) / 512.0) AS BIGINT)
+             AS pack_end
+    FROM c
+    """,
+)
+def q176_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing (operators/packing.py):
+    documents laid end-to-end per source stream and cut every 512 tokens —
+    per-doc token offsets and the pack span, as pure window-cumsum
+    arithmetic. One shuffle on the stream key; the per-source window keeps
+    the sequential dependency inside natural training shards instead of a
+    single global ordering (which would serialize the corpus at 100 TB)."""
+    from .operators.packing import concat_chunk_packing
+
+    d = load_table(spark, sf_dir, "documents")
+    return concat_chunk_packing(d, "doc_id", "text", budget=512, group_col="source")
+
+
+@register("q177_greedy_packing")
+def q177_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy bin packing into 512-token packs, sharded across 32
+    hash buckets (operators/packing.py::greedy_pack). The greedy scan is
+    inherently sequential, so it runs per bucket in an Arrow-batched
+    applyInPandas — the worker-sharded packing discipline real training
+    pipelines use. Sequential recurrence ⇒ no SQL oracle; semantics are
+    pinned by tests/test_packing_curation.py (budget respected, packs
+    contiguous, deterministic)."""
+    from .operators.packing import greedy_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    return greedy_pack(d, "doc_id", "text", budget=512, num_buckets=32)
+
+
+@register(
+    "q178_incremental_dedup",
+    oracle="""
+    WITH new_batch AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE doc_id % 5 = 0
+    ), corpus AS (
+      SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT n.doc_id FROM new_batch n
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm = n.norm)
+    """,
+)
+def q178_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production shape: an arriving batch is
+    deduplicated AGAINST the existing corpus (not the corpus against
+    itself). Anti join on the 64-bit normalized-text fingerprint: the
+    shuffle carries 8-byte keys for the corpus side, never document text,
+    and only the (small) new batch is fully rescanned — at 100 TB the
+    corpus side is a pre-computed fingerprint table and each increment
+    costs O(|batch| + |corpus keys|). The oracle anti-joins on the
+    normalized text itself: identical result unless two distinct
+    normalized docs collide in 64 bits (P ≈ |corpus|²/2⁶⁵ — and the
+    comparison would surface it)."""
+    from .functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corpus_fp = corpus.select(fingerprint("text").alias("__fp")).distinct()
+    return (
+        new_batch.withColumn("__fp", fingerprint("text"))
+        .join(corpus_fp, "__fp", "left_anti")
+        .select("doc_id")
+    )
+
+
+@register(
+    "q179_gopher_rules",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                w -> w <> '')) AS word
+      FROM documents
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct,
+             SUM(LEN(word)) AS sum_len
+      FROM words GROUP BY 1
+    )
+    SELECT doc_id, n_words,
+           ROUND(sum_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           ROUND(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+           (n_words BETWEEN 10 AND 100000)
+             AND (ROUND(sum_len / CAST(n_words AS DOUBLE), 6) BETWEEN 2.0 AND 12.0)
+             AND (ROUND(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) <= 0.6)
+             AS passes
+    FROM agg
+    """,
+)
+def q179_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule report (operators/textstats.py::
+    gopher_quality_report): token count, mean word length, repeated-word
+    share, and the combined pass verdict per document — the cheap
+    first-pass curation filter. One explode → one doc-keyed shuffle, all
+    builtin expressions."""
+    from .operators.textstats import gopher_quality_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_quality_report(d, "doc_id", "text")
+
+
+@register(
+    "q180_domain_mixture_sample",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT CAST(CEIL(MIN(n) * 0.4) AS BIGINT) AS m FROM c),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id * 2654435761) % 10000 + 10000) % 10000, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r, m WHERE rn <= m.m
+    """,
+)
+def q180_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling for training-set composition: every source
+    (domain) is deterministically downsampled to the same budget —
+    ceil(0.4 × the smallest domain's size) — by ranking docs on a Knuth
+    multiplicative hash (content-independent, retry-stable, no RNG state).
+    One count aggregate (|domains| rows, broadcast back) + one window
+    shuffle keyed by domain. The exact-k-per-stratum discipline of q123
+    applied to the mixture-balancing problem every pretraining corpus
+    has."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(
+        F.ceil(F.min("n") * F.lit(0.4)).cast("long").alias("m")
+    )
+    h = ((F.col("doc_id") * F.lit(2654435761)) % 10000 + 10000) % 10000
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(m), ranked.rn <= m.m)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "q181_order_count_distribution",
+    oracle="""
+    WITH cnt AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist FROM cnt GROUP BY 1
+    """,
+)
+def q181_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution including
+    zero-order customers (left outer join, COUNT of the nullable side,
+    then a count-of-counts). Two shuffles, both keyed on genuinely needed
+    keys; the second aggregates |customers| rows down to the distinct
+    count values."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cnt = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return cnt.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q182_small_qty_revenue",
+    oracle="""
+    WITH avgq AS (SELECT l_partkey, AVG(l_quantity) AS a FROM lineitem GROUP BY 1)
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS small_rev,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN avgq USING (l_partkey)
+    WHERE l_quantity < 0.5 * a
+    GROUP BY 1
+    """,
+)
+def q182_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-half-average-quantity line items,
+    per part. The correlated scalar subquery becomes a per-part aggregate
+    joined back to the fact table — the decorate-with-own-aggregate shape
+    (J1) at TPC-H scale. The per-part average table is |parts| rows (the
+    optimizer broadcasts it while it fits; plain shuffle join beyond).
+    AVG of integral quantities is exact in doubles, so the 0.5·avg
+    comparison is engine-stable."""
+    from .functions.scalar import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("a"))
+    return (
+        li.join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("a"))
+        .groupBy("l_partkey")
+        .agg(
+            dec_sum("l_extendedprice").alias("small_rev"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q183_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(r AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q183_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, return the
+    supplier(s) achieving the maximum (ties kept, per spec). The MAX
+    scalar subquery is an unpartitioned window MAX over the |suppliers|-row
+    aggregate — cheap because it runs post-aggregation; the equality test
+    happens on EXACT decimals (cast to double only for output), so no
+    float-boundary flakiness."""
+    from pyspark.sql import Window as W
+
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 18, 4)
+                * dec(F.lit(1) - F.col("l_discount"), 18, 4)
+            ).alias("r")
+        )
+    )
+    top = rev.withColumn("__mx", F.max("r").over(W.partitionBy())).filter(
+        F.col("r") == F.col("__mx")
+    )
+    return (
+        top.join(s, top.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q184_priority_late_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY 1
+    """,
+)
+def q184_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line item shipped > 30 days
+    after the order date, counted by priority. The EXISTS compiles to a
+    LEFT SEMI join (no row duplication however many line items are late)
+    with the date arithmetic in the join condition; one aggregate shuffle
+    on the 5-value priority key afterwards."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q185_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def q185_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part brand/size,
+    excluding deficit-balance suppliers via an ANTI join (never NOT IN on
+    a subquery at scale — anti joins stream, NOT IN null-semantics force
+    a nullable cross check). COUNT(DISTINCT) runs as Spark's standard
+    two-phase expand — exact, shuffle keyed by (brand, size, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q186_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+             n2.n_name AS supp_nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS r
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1, 2
+    )
+    SELECT yr,
+           ROUND(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN r
+                                    ELSE 0 END) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
+    FROM rev GROUP BY 1
+    """,
+)
+def q186_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of revenue from ASIA-region
+    customers, per order year. Supplier/nation/region dimension tables
+    broadcast; revenue accumulates in exact decimals per (year, supplier
+    nation) — |years|×|nations| rows — and the share division is the only
+    float step (round6). Conditional aggregation replaces a second scan."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1, n2 = n.alias("n1"), n.alias("n2")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+    )
+    amount = dec("l_extendedprice", 18, 4) * dec(
+        F.lit(1) - F.col("l_discount"), 18, 4
+    )
+    rev = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("n2.n_name").alias("supp_nation"),
+    ).agg(F.sum(amount).alias("r"))
+    return rev.groupBy("yr").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("r")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("r").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q187_embedding_quantize",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS am
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(am / 127.0, 6) AS scale,
+           CASE WHEN am > 0 THEN
+             list_transform(embedding,
+               x -> GREATEST(-127, LEAST(127,
+                      CAST(ROUND(CAST(x AS DOUBLE) / (am / 127.0)) AS INT))))
+           ELSE list_transform(embedding, x -> 0) END AS qvec
+    FROM t
+    """,
+)
+def q187_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (functions/similarity.py::quantize_int8) — the 4× memory reduction
+    every large-scale ANN index applies before serving. Pure higher-order
+    array expressions, zero shuffles: embarrassingly row-parallel, the
+    shape you want over 10^11 vectors."""
+    from .functions.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(e, "embedding", "vec_id")
