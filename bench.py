@@ -87,12 +87,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry.queries()
 
-    # warmup at the smallest SF (twice): JIT + codegen + arrow init, not the
-    # data — two passes because C2 compilation of the widest codegen stages
-    # needs more than one execution to reach steady state
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for _ in range(2):
+    # warmup: JIT + codegen + arrow init, not the data. First pass at the
+    # smallest SF initializes every path cheaply; second pass at sf0.01
+    # actually heats the inner loops (C2 needs realistic iteration counts —
+    # a 500-row warmup leaves the widest stages interpreted and the first
+    # timed runs pay compilation instead of the query)
+    for warm_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if os.path.isdir(warm_dir):
             for name in HEADLINE:
                 try:
                     qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
@@ -100,14 +101,18 @@ def main() -> None:
                     pass
             spark.catalog.clearCache()
 
-    # two timed passes, best-of-2 per query: damps co-tenant CPU noise.
-    # Caches are cleared before EVERY measurement so best-of-N is honest:
-    # no run may reuse a persisted frame a previous run built (the round-1
-    # q38 signature-cache leak, and any operator-internal lazy persist).
+    # best-of-3 per query, the three runs CONSECUTIVE (not interleaved
+    # passes): running 23 other queries between repetitions churns the JIT
+    # code cache and the widest codegen stages never reach steady state
+    # (measured: q161 7.3 s interleaved vs 4.5 s consecutive, identical
+    # code). Caches are cleared before EVERY measurement so best-of-N is
+    # honest: no run may reuse a persisted frame a previous run built (the
+    # round-1 q38 signature-cache leak, and any operator-internal lazy
+    # persist).
     timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            fn = qs[name]
+    for name in HEADLINE:
+        fn = qs[name]
+        for _rep in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

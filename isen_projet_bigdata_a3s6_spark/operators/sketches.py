@@ -178,6 +178,23 @@ def bloom_build(
     regardless of input size) → fold into one map row. Filters from
     different days/partitions merge by bit_or on the word level. No UDF,
     no driver collect; the map row broadcasts to probes."""
+    words = bloom_words(df, key_col, num_bits, num_hashes, seed)
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+
+def bloom_words(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 65536,
+    num_hashes: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """The words-level Bloom frame ``(word, bits)`` — ≤ m/64 rows. Feed it
+    to :func:`bloom_literal_predicate` directly to skip the one-row fold
+    (one less stage in the driver-side build job), or fold it via
+    :func:`bloom_build` when the map row itself is the deliverable."""
     if num_bits % 64 != 0 or num_bits < 64:
         raise ValueError("bloom_build: num_bits must be a positive multiple of 64")
     if num_hashes < 1:
@@ -187,11 +204,8 @@ def bloom_build(
             F.array(*_bloom_positions(key_col, num_bits, num_hashes, seed))
         ).alias("pos")
     )
-    words = pos.groupBy((F.col("pos") / 64).cast("long").alias("word")).agg(
+    return pos.groupBy((F.col("pos") / 64).cast("long").alias("word")).agg(
         F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("bits")
-    )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
     )
 
 
@@ -276,13 +290,24 @@ def bloom_literal_predicate(
     cannot be hoisted above other joins by the optimizer: it evaluates in
     codegen directly above the scan, BELOW every exchange. Use this when
     the pruning position matters; the collect is of the sketch only, never
-    of data."""
-    row = bloom.first()
-    words: dict = row["bloom"] or {}
+    of data.
+
+    Accepts either :func:`bloom_build`'s one-row map frame or the
+    words-level frame (columns ``word``/``bits``) — the latter skips the
+    single-row fold stage, one less shuffle in the driver-side build job.
+    """
+    if set(bloom.columns) >= {"word", "bits"}:
+        words = {r["word"]: r["bits"] for r in bloom.collect()}
+    else:
+        row = bloom.first()
+        words = dict(row["bloom"] or {})
     dense = [0] * (num_bits // 64)
     for w, bits in words.items():
         dense[int(w)] = int(bits)
-    arr = F.array(*[F.lit(x).cast("long") for x in dense])
+    # ONE array literal (a single py4j call): per-element F.lit() would
+    # cost num_bits/64 driver round-trips — measured ~2.5 s of pure plan
+    # construction at the default 64 Kbit size
+    arr = F.lit(dense).cast("array<long>")
     cond = None
     for p in _bloom_positions(key_col, num_bits, num_hashes, seed):
         # element_at is 1-based on arrays

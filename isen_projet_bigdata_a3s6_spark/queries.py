@@ -4818,7 +4818,7 @@ def q158_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     an 8 KB broadcast. A final exact semi join removes the false
     positives, so the result is exact and oracle-matched."""
     from .functions.scalar import dec_sum
-    from .operators.sketches import bloom_build, bloom_literal_predicate
+    from .operators.sketches import bloom_literal_predicate, bloom_words
 
     li = load_table(spark, sf_dir, "lineitem")
     o_sel = (
@@ -4826,7 +4826,9 @@ def q158_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 400000)
         .select("o_orderkey")
     )
-    bloom = bloom_build(o_sel, "o_orderkey")
+    # words-level frame: the literal-predicate build collects <=1024 word
+    # rows directly, skipping the one-row map fold stage
+    bloom = bloom_words(o_sel, "o_orderkey")
     # literal-predicate form (Spark's own runtime-bloom move): the bit test
     # becomes a scan-level filter the optimizer cannot hoist above the semi
     # join — PLANS.md shows it in codegen directly above the lineitem scan,
@@ -6098,3 +6100,199 @@ def q187_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(e, "embedding", "vec_id")
+
+
+@register(
+    "q188_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                  w -> w <> '')) AS BIGINT) AS n
+      FROM documents
+    ), agg AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n) AS n_tokens FROM t GROUP BY 1
+    ), tot AS (SELECT SUM(n_tokens) AS tt FROM agg)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens / CAST(tt AS DOUBLE), 6) AS token_share
+    FROM agg, tot
+    """,
+)
+def q188_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per source — the bookkeeping every
+    pretraining mixture starts from: docs, tokens, and each domain's share
+    of the total token budget. One doc-keyed map + one |domains|-row
+    aggregate; the grand total arrives via a one-row broadcast (no second
+    scan)."""
+    from .functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    agg = (
+        d.select("source", token_count("text").cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    tot = agg.agg(F.sum("n_tokens").alias("tt"))
+    return agg.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tt").cast("double"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
+@register("q189_neardup_clusters")
+def q189_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate CLUSTERING — the composition a real corpus
+    cleaner runs: MinHash-LSH candidate pairs (q38) → connected components
+    (q78's pointer-jumping label propagation) → one canonical representative
+    per cluster (lowest doc id; production would rank by quality score).
+    Emits (cluster, doc_id, is_canonical) for every doc in a non-trivial
+    cluster. Iterative label propagation ⇒ rows-only; each constituent is
+    independently oracle-checked by its own query."""
+    from pyspark.sql import Window as W
+
+    from .functions.dedup import connected_components, minhash_dedup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "text", "doc_id", threshold=0.7)
+    comp = connected_components(pairs.select("id_a", "id_b"))  # (id, component)
+    id_col, comp_col = comp.columns[0], comp.columns[1]
+    w = W.partitionBy(comp_col).orderBy(F.asc(id_col))
+    return (
+        comp.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col(comp_col).alias("cluster"),
+            F.col(id_col).alias("doc_id"),
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
+@register(
+    "q190_corpus_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+      FROM documents WHERE doc_id % 2 = 0
+    ), b AS (
+      SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT (SELECT COUNT(*) FROM a) AS n_a,
+           (SELECT COUNT(*) FROM b) AS n_b,
+           (SELECT COUNT(*) FROM a JOIN b USING (n)) AS n_common,
+           ROUND((SELECT COUNT(*) FROM a JOIN b USING (n))
+                 / CAST((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+                        - (SELECT COUNT(*) FROM a JOIN b USING (n)) AS DOUBLE),
+                 6) AS jaccard
+    """,
+)
+def q190_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap between two corpora (even/odd halves here):
+    distinct-document counts, common documents, and corpus Jaccard — the
+    train/eval corpus-contamination summary. Both sides reduce to 8-byte
+    fingerprint sets BEFORE the join, so the shuffle carries |distinct
+    docs| longs, never text; the oracle reproduces it on normalized
+    strings."""
+    from .functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        fingerprint("text").alias("fp")
+    ).distinct()
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        fingerprint("text").alias("fp")
+    ).distinct()
+    common = a.join(b, "fp")
+    stats = (
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .join(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_b"))))
+        .join(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "q191_top_quality_per_domain",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                w -> w <> '')) AS word
+      FROM documents
+    ), agg AS (
+      SELECT doc_id, source, COUNT(*) AS n_words, COUNT(DISTINCT word) AS nd
+      FROM words GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_id, source,
+             ROUND(nd / CAST(n_words AS DOUBLE), 6) AS lex_diversity,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(nd / CAST(n_words AS DOUBLE), 6) DESC, doc_id
+             ) AS rn
+      FROM agg
+    )
+    SELECT doc_id, source, lex_diversity FROM scored WHERE rn <= 5
+    """,
+)
+def q191_top_quality_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection per domain: score every document (lexical
+    diversity = distinct/total tokens, round6) and keep each source's top 5
+    — the 'best-of-domain' curation pass. Score is one explode→groupBy;
+    selection is a per-domain window (never a global sort), deterministic
+    tiebreak on doc id."""
+    from pyspark.sql import Window as W
+
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "source", F.explode(tokens("text")).alias("word"))
+    agg = words.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("nd"),
+    )
+    score = F.round(F.col("nd") / F.col("n_words").cast("double"), 6)
+    scored = agg.select("doc_id", "source", score.alias("lex_diversity"))
+    w = W.partitionBy("source").orderBy(
+        F.desc("lex_diversity"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "q192_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q192_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: each (user, event_type) emitted exactly
+    once on first sight, with WATERMARKED key state so an unbounded stream
+    cannot accumulate unbounded dedup state (keys older than the horizon
+    are evicted). The emitted key SET equals batch DISTINCT — the oracle;
+    which physical row arrived first is micro-batch-order dependent and
+    deliberately not part of the contract (only key columns are emitted)."""
+    import os
+
+    from .streaming.windows import streaming_dedup_keys
+
+    return streaming_dedup_keys(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        keys=["user_id", "event_type"],
+        query_name="q192_stream_dedup_out",
+    )

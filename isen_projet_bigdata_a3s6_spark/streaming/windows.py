@@ -288,3 +288,61 @@ def streaming_dedup_counts(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def streaming_dedup_keys(
+    spark: SparkSession,
+    parquet_path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming deduplication — emit each key combination exactly once, on
+    first sight (``dropDuplicates`` with a watermark so the key state is
+    bounded: keys older than the watermark horizon are evicted instead of
+    accumulating forever — the only way streaming dedup survives an
+    unbounded stream).
+
+    Emits the KEY columns only: which physical row "was first" depends on
+    micro-batch partition order and is not part of the operator's contract,
+    but the SET of emitted keys is exactly the distinct key set — the batch
+    twin any engine can verify. At 100 TB the dedup state is a per-key hash
+    in the state store, sharded by key hash; the watermark bounds its size
+    to the horizon's key cardinality.
+    """
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet_ns_safe
+
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    deduped = (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )
+    sink_dir = tempfile.mkdtemp(prefix="stream_dedup_out_") + "/result"
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink_dir)

@@ -152,3 +152,36 @@ def test_quantize_int8_roundtrip_error(spark):
             assert abs(qi * scale - orig) <= scale / 2 + 1e-4
         # the max-|v| component hits full range
         assert 127 in (max(q), -min(q))
+
+
+def test_neardup_clusters_one_canonical_per_cluster(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    out = queries()["q189_neardup_clusters"](spark, sf_dir).collect()
+    assert out, "expected non-trivial clusters on the sf0.001 corpus"
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1
+        # canonical = lowest doc id, and the cluster label is reachable-min
+        assert canon[0]["doc_id"] == min(m["doc_id"] for m in members)
+        assert cluster == min(m["doc_id"] for m in members)
+    spark.catalog.clearCache()
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    import os
+
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+    from isen_projet_bigdata_a3s6_spark.streaming.windows import streaming_dedup_keys
+
+    got = streaming_dedup_keys(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        keys=["user_id", "event_type"],
+        query_name="test_stream_dedup",
+    )
+    want = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
