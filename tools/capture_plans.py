@@ -104,6 +104,13 @@ ANNOTATED = {
     "q167_kfold_cv_ols": "5-fold CV in one pass: a single two-phase "
     "aggregate builds all per-fold decimal moments; everything after is "
     "5-row algebra — no per-fold rescans, no row duplication.",
+    "q176_sequence_packing": "concat-then-chunk sequence packing: ONE "
+    "exchange (the per-source window), token counting and the pack-index "
+    "arithmetic all inside codegen above it — the sequential dependency "
+    "is confined to each source stream, never a global ordering.",
+    "q187_embedding_quantize": "per-vector int8 quantization: ZERO "
+    "exchanges — a single Project over the scan with higher-order array "
+    "expressions; embarrassingly row-parallel at any corpus size.",
 }
 
 
