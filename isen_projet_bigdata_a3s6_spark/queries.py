@@ -6296,3 +6296,45 @@ def q192_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id", "event_type"],
         query_name="q192_stream_dedup_out",
     )
+
+
+@register("q193_quantized_ann_recall")
+def q193_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact cosine search over the INT8-QUANTIZED corpus
+    (q187's representation) against float ground truth (q41) — the
+    evaluation that decides whether the 4× memory cut is free at serving
+    time. Dequantize (scale·q) inside codegen and run the same exact
+    top-k; join on (query, neighbor), hits / k. Float recurrence over a
+    lossy representation ⇒ rows-only; the unit test pins a recall floor."""
+    from .functions.similarity import cosine_topk, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    deq = quantize_int8(emb, "embedding", "vec_id").select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda x: (x.cast("double") * F.col("scale")).cast("float")
+        ).alias("embedding"),
+    )
+    exact = cosine_topk(emb, q, k=10, query_id="query_id").select(
+        "query_id", "vec_id"
+    )
+    quant = cosine_topk(deq, q, k=10, query_id="query_id").select(
+        "query_id", "vec_id"
+    )
+    hits = exact.join(quant, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce("hit", F.lit(0)) / F.col("k")).alias("recall_at_10"),
+        )
+    )

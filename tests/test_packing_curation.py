@@ -185,3 +185,13 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
     )
     want = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_quantized_ann_recall_floor(spark, sf_dir):
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    rows = queries()["q193_quantized_ann_recall"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    # int8 quantization perturbs cosines by <~1%; top-10 should be nearly
+    # unchanged on any realistic embedding distribution
+    assert all(r["recall_at_10"] >= 0.9 for r in rows)
