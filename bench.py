@@ -48,6 +48,10 @@ HEADLINE = [
     "q158_bloom_join_prune",  # literal bloom predicate below the shuffle
     "q161_jaccard_prefix_join",  # SSJoin prefix-filtered similarity join
     "q167_kfold_cv_ols",      # one-pass 5-fold CV aggregate algebra
+    # round-3 additions (appended, earlier timings stay comparable)
+    "q176_sequence_packing",  # concat-chunk packing, per-source window
+    "q179_gopher_rules",      # quality-rule report, one doc-keyed shuffle
+    "q187_embedding_quantize",  # int8 quantization, zero-exchange
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -78,6 +82,9 @@ _INPUT_TABLE = {
     "q158_bloom_join_prune": "lineitem",
     "q161_jaccard_prefix_join": "documents",
     "q167_kfold_cv_ols": "lineitem",
+    "q176_sequence_packing": "documents",
+    "q179_gopher_rules": "documents",
+    "q187_embedding_quantize": "embeddings",
 }
 
 
