@@ -366,10 +366,18 @@ def connected_components(
     """
     from ..checkpointing import cut_lineage
 
+    # PERSIST the edge frame: it is joined on every iteration, and the
+    # caller's pairs pipeline may be arbitrarily expensive (q78/q189 feed
+    # the full LSH band-join + verify here) — without the cache that
+    # pipeline re-executes up to max_iter times. Lazy persist, so nothing
+    # runs before the first iteration's action; released before return
+    # (safe: the result is eagerly materialized by the in-loop lineage
+    # cuts, so it no longer references edges).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -415,6 +423,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
@@ -521,11 +530,13 @@ def jaccard_prefix_pairs(
     (every word frequent ⇒ no token is selective and BOTH the candidate
     set and the true result degenerate toward all-pairs).
 
-    Plan shape (fully lazy — no persist/checkpoint, so the optimizer sees
-    and shows the whole tree): the token stream is a cheap narrow scan
-    that Catalyst re-derives per branch; at 100 TB you would persist it to
-    DISK_ONLY or reuse the shuffle output, but never eagerly materialize
-    at plan-construction time. The verify joins carry the per-doc sorted
+    Plan shape (fully LAZY — nothing executes at construction time, and no
+    eager checkpoint collapses the tree): the hashed token stream and the
+    prefix frame carry lazy ``persist`` marks because each feeds multiple
+    branches (the InMemoryRelation keeps the child plan visible; caches
+    are released by ``spark.catalog.clearCache()``, which bench runs
+    between repetitions — at 100 TB use DISK_ONLY or accept recompute).
+    The verify joins carry the per-doc sorted
     shingle arrays with NO broadcast hint: the optimizer broadcasts the
     |docs|-row set table while its stats fit ``autoBroadcastJoinThreshold``
     and falls back to a plain shuffle join beyond that — a corpus-sized
@@ -670,9 +681,9 @@ def jaccard_prefix_pairs(
     # heavy corpora); the array form joins the |docs|-row set table twice
     # and does the intersection per pair with no intermediate blow-up. No
     # broadcast hint: the optimizer picks broadcast vs shuffle from stats
-    # (see docstring). Explicit numPartitions repartition so AQE cannot
-    # coalesce the small candidate shuffle under the expensive verify.
-    nparts = df.sparkSession.sparkContext.defaultParallelism
+    # (see docstring). Explicit numPartitions repartition (same nparts as
+    # the tokenize stages) so AQE cannot coalesce the small candidate
+    # shuffle under the expensive verify.
     sets = tok.groupBy("id").agg(F.sort_array(F.collect_list("token")).alias("ts"))
     return (
         cand.repartition(nparts, "id_a", "id_b")

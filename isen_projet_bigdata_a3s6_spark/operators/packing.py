@@ -117,9 +117,11 @@ def greedy_pack(
         token_count(text_col).cast("long").alias("n_tokens"),
     )
 
+    # the id keeps the CALLER's type (string uuids, ints, ...) — only the
+    # derived columns have fixed types
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", df.schema[id_col].dataType),
             T.StructField("bucket", T.IntegerType()),
             T.StructField("n_tokens", T.LongType()),
             T.StructField("pack_id", T.LongType()),

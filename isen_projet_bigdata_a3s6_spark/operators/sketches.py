@@ -196,9 +196,9 @@ def bloom_words(
     (one less stage in the driver-side build job), or fold it via
     :func:`bloom_build` when the map row itself is the deliverable."""
     if num_bits % 64 != 0 or num_bits < 64:
-        raise ValueError("bloom_build: num_bits must be a positive multiple of 64")
+        raise ValueError("bloom_words: num_bits must be a positive multiple of 64")
     if num_hashes < 1:
-        raise ValueError("bloom_build: need num_hashes >= 1")
+        raise ValueError("bloom_words: need num_hashes >= 1")
     pos = df.select(
         F.explode(
             F.array(*_bloom_positions(key_col, num_bits, num_hashes, seed))

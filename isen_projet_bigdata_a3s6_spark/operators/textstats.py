@@ -153,27 +153,37 @@ def gopher_quality_report(
     - ``passes``: conjunction of the three rules
 
     One explode → one groupBy(id) with count / count-distinct / sum(len)
-    aggregates — a single shuffle keyed by doc id, everything builtin. At
-    100 TB this is the cheap first-pass filter a curation funnel runs
+    aggregates, left-joined back onto the document ids — a single shuffle
+    keyed by doc id, everything builtin. Zero-token documents (empty or
+    whitespace-only) are REPORTED, not silently dropped: n_words 0,
+    null length/repetition signals, ``passes`` false (they fail the
+    min-words rule — exactly the documents the rule exists to reject, so
+    omitting them would corrupt any pass-rate computed from the report).
+    At 100 TB this is the cheap first-pass filter a curation funnel runs
     before any pairwise dedup.
     """
     words = _doc_words(df, id_col, text_col)
     agg = words.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_words"),
+        F.count(F.lit(1)).alias("__nw"),
         F.countDistinct("word").alias("n_distinct"),
         F.sum(F.length("word")).alias("sum_len"),
     )
-    mean_len = F.round(F.col("sum_len") / F.col("n_words"), 6)
+    joined = df.select(id_col).join(agg, id_col, "left")
+    n_words = F.coalesce(F.col("__nw"), F.lit(0))
+    mean_len = F.round(F.col("sum_len") / n_words, 6)
     dup_frac = F.round(
-        F.lit(1.0) - F.col("n_distinct") / F.col("n_words").cast("double"), 6
+        F.lit(1.0) - F.col("n_distinct") / n_words.cast("double"), 6
     )
-    return agg.select(
+    return joined.select(
         id_col,
-        "n_words",
+        n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
         dup_frac.alias("dup_word_frac"),
+        # three-valued logic makes the conjunction FALSE (not null) for
+        # zero-token docs: the min-words conjunct is false, which absorbs
+        # the null length/repetition conjuncts
         (
-            F.col("n_words").between(min_words, max_words)
+            n_words.between(min_words, max_words)
             & mean_len.between(min_mean_word_len, max_mean_word_len)
             & (dup_frac <= max_dup_word_frac)
         ).alias("passes"),

@@ -4179,8 +4179,31 @@ def q141_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # table names carry the scale tag AND the application id: concurrent
     # sessions (e.g. a bench run next to a correctness sweep) must never
-    # drop/overwrite each other's warehouse locations mid-write
+    # drop/overwrite each other's warehouse locations mid-write. The
+    # per-app names mean THIS session's overwrite can't reclaim a dead
+    # session's directories, so sweep other apps' *_bkt_* leftovers —
+    # but only ones untouched for an hour, so a LIVE concurrent session's
+    # fresh dirs are never ripped out from under it (that race is exactly
+    # what the app tag exists to prevent).
+    import os
+    import shutil
+    import time as _time
+    from urllib.parse import urlparse
+
     app_tag = spark.sparkContext.applicationId.replace("-", "_")[-10:]
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path or "spark-warehouse"
+    if os.path.isdir(wh):
+        cutoff = _time.time() - 3600
+        for d in os.listdir(wh):
+            full = os.path.join(wh, d)
+            try:
+                stale = os.path.getmtime(full) < cutoff
+            except OSError:
+                stale = False
+            if "_bkt_" in d and not d.endswith(app_tag) and stale:
+                shutil.rmtree(full, ignore_errors=True)
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     to = f"orders_bkt_{sf_tag}_{app_tag}"
     tl = f"lineitem_bkt_{sf_tag}_{app_tag}"
@@ -5750,18 +5773,21 @@ def q178_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 w -> w <> '')) AS word
       FROM documents
     ), agg AS (
-      SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_distinct,
+      SELECT doc_id, COUNT(*) AS nw, COUNT(DISTINCT word) AS n_distinct,
              SUM(LEN(word)) AS sum_len
       FROM words GROUP BY 1
     )
-    SELECT doc_id, n_words,
-           ROUND(sum_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
-           ROUND(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
-           (n_words BETWEEN 10 AND 100000)
-             AND (ROUND(sum_len / CAST(n_words AS DOUBLE), 6) BETWEEN 2.0 AND 12.0)
-             AND (ROUND(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) <= 0.6)
+    SELECT d.doc_id, COALESCE(nw, 0) AS n_words,
+           ROUND(sum_len / CAST(COALESCE(nw, 0) AS DOUBLE), 6) AS mean_word_len,
+           ROUND(1.0 - n_distinct / CAST(COALESCE(nw, 0) AS DOUBLE), 6)
+             AS dup_word_frac,
+           (COALESCE(nw, 0) BETWEEN 10 AND 100000)
+             AND (ROUND(sum_len / CAST(COALESCE(nw, 0) AS DOUBLE), 6)
+                  BETWEEN 2.0 AND 12.0)
+             AND (ROUND(1.0 - n_distinct / CAST(COALESCE(nw, 0) AS DOUBLE), 6)
+                  <= 0.6)
              AS passes
-    FROM agg
+    FROM documents d LEFT JOIN agg USING (doc_id)
     """,
 )
 def q179_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6193,24 +6219,30 @@ def q189_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q190_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level overlap between two corpora (even/odd halves here):
     distinct-document counts, common documents, and corpus Jaccard — the
-    train/eval corpus-contamination summary. Both sides reduce to 8-byte
-    fingerprint sets BEFORE the join, so the shuffle carries |distinct
-    docs| longs, never text; the oracle reproduces it on normalized
-    strings."""
+    train/eval corpus-contamination summary. ONE scan: each document
+    reduces to (8-byte fingerprint, side flag); a single fingerprint-keyed
+    aggregate yields per-fingerprint membership bits, and one final
+    aggregate folds them into all three counts — no join, no repeated
+    corpus passes, shuffle carries longs, never text; the oracle
+    reproduces it on normalized strings."""
     from .functions.text import fingerprint
 
     d = load_table(spark, sf_dir, "documents")
-    a = d.filter(F.col("doc_id") % 2 == 0).select(
-        fingerprint("text").alias("fp")
-    ).distinct()
-    b = d.filter(F.col("doc_id") % 2 == 1).select(
-        fingerprint("text").alias("fp")
-    ).distinct()
-    common = a.join(b, "fp")
-    stats = (
-        a.agg(F.count(F.lit(1)).alias("n_a"))
-        .join(F.broadcast(b.agg(F.count(F.lit(1)).alias("n_b"))))
-        .join(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
+    per_fp = (
+        d.select(
+            fingerprint("text").alias("fp"),
+            (F.col("doc_id") % 2 == 0).alias("ea"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.max(F.when(F.col("ea"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(~F.col("ea"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    stats = per_fp.agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
     )
     return stats.select(
         "n_a",
@@ -6280,12 +6312,15 @@ def q191_top_quality_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
 def q192_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming deduplication: each (user, event_type) emitted exactly
-    once on first sight, with WATERMARKED key state so an unbounded stream
-    cannot accumulate unbounded dedup state (keys older than the horizon
-    are evicted). The emitted key SET equals batch DISTINCT — the oracle;
-    which physical row arrived first is micro-batch-order dependent and
-    deliberately not part of the contract (only key columns are emitted)."""
+    """Streaming deduplication via dropDuplicatesWithinWatermark: each
+    (user, event_type) emitted once per watermark horizon, with key state
+    EVICTED as the watermark passes (plain dropDuplicates on key columns
+    alone never evicts and grows without bound on an unbounded stream). On
+    this bounded replay the watermark only advances after the final batch,
+    so nothing expires mid-run and the emitted key SET equals batch
+    DISTINCT — the oracle; which physical row arrived first is
+    micro-batch-order dependent and deliberately not part of the
+    contract (only key columns are emitted)."""
     import os
 
     from .streaming.windows import streaming_dedup_keys

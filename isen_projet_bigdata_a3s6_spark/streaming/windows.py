@@ -245,6 +245,31 @@ def streaming_session_windows(
     return spark.table(query_name)
 
 
+def _stage_stream(
+    spark: SparkSession, parquet_path: str, prefix: str
+) -> DataFrame:
+    """Stage a single parquet file as a file-source stream: FileStreamSource
+    wants a directory (symlink the file in), and nanos-timestamp columns get
+    the same exact-integer-division conversion the batch reader applies (so
+    stream and batch see identical event times)."""
+    import os
+    import tempfile
+
+    from ..sources.readers import read_parquet_ns_safe
+
+    batch = read_parquet_ns_safe(spark, parquet_path)
+    raw_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    return stream
+
+
 def streaming_dedup_counts(
     spark: SparkSession,
     parquet_path: str,
@@ -256,21 +281,7 @@ def streaming_dedup_counts(
     key within the watermark horizon, counts per event_type. State is
     bounded by the watermark (keys expire), unlike a batch distinct.
     Batch twin for correctness: dropDuplicates(keys) + count."""
-    import os
-    import tempfile
-
-    from ..sources.readers import read_parquet_ns_safe
-
-    batch = read_parquet_ns_safe(spark, parquet_path)
-    raw_schema = spark.read.parquet(parquet_path).schema
-    stage = tempfile.mkdtemp(prefix="stream_dedup_")
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    for f in batch.schema.fields:
-        if str(raw_schema[f.name].dataType) != str(f.dataType):
-            stream = stream.withColumn(
-                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
-            )
+    stream = _stage_stream(spark, parquet_path, "stream_dedup_")
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(list(keys))
@@ -305,30 +316,22 @@ def streaming_dedup_keys(
     unbounded stream).
 
     Emits the KEY columns only: which physical row "was first" depends on
-    micro-batch partition order and is not part of the operator's contract,
-    but the SET of emitted keys is exactly the distinct key set — the batch
-    twin any engine can verify. At 100 TB the dedup state is a per-key hash
-    in the state store, sharded by key hash; the watermark bounds its size
-    to the horizon's key cardinality.
+    micro-batch partition order and is not part of the operator's contract.
+    State is bounded via ``dropDuplicatesWithinWatermark`` — plain
+    ``dropDuplicates(keys)`` without the event-time column in the subset
+    would NEVER evict and grow forever on an unbounded stream. The honest
+    contract is therefore exactly-once per key WITHIN the watermark
+    horizon; a key recurring after its state expired re-emits. On a
+    bounded replay like this one the watermark only advances after the
+    final batch, so no state expires mid-run and the emitted set equals
+    batch ``DISTINCT`` — the oracle.
     """
-    import os
     import tempfile
 
-    from ..sources.readers import read_parquet_ns_safe
-
-    batch = read_parquet_ns_safe(spark, parquet_path)
-    raw_schema = spark.read.parquet(parquet_path).schema
-    stage = tempfile.mkdtemp(prefix="stream_dedup_src_")
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    for f in batch.schema.fields:
-        if str(raw_schema[f.name].dataType) != str(f.dataType):
-            stream = stream.withColumn(
-                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
-            )
+    stream = _stage_stream(spark, parquet_path, "stream_dedup_src_")
     deduped = (
         stream.withWatermark(ts_col, watermark)
-        .dropDuplicates(list(keys))
+        .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
     sink_dir = tempfile.mkdtemp(prefix="stream_dedup_out_") + "/result"

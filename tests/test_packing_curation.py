@@ -97,15 +97,19 @@ def test_gopher_rules_hand_values(spark):
             (1, " ".join(["tok"] * 20)),            # dup-heavy: fails dup rule
             (2, " ".join(f"w{i:02d}" for i in range(30))),  # clean: passes
             (3, "one two"),                          # too short
+            (4, "   "),                              # zero tokens: reported
         ],
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in gopher_quality_report(df, "doc_id", "text").collect()}
+    assert len(rows) == 4  # zero-token docs are reported, not dropped
     assert rows[1]["n_words"] == 20 and rows[1]["dup_word_frac"] == round(1 - 1 / 20, 6)
     assert rows[1]["passes"] is False
     assert rows[2]["passes"] is True
     assert rows[2]["mean_word_len"] == pytest.approx(3.0)
     assert rows[3]["passes"] is False
+    assert rows[4]["n_words"] == 0 and rows[4]["passes"] is False
+    assert rows[4]["mean_word_len"] is None
 
 
 def test_incremental_dedup_drops_known_docs(spark):
