@@ -69,6 +69,10 @@ def test_q161_plan_is_transparent_and_unhinted(spark, sf_dir):
     # the lazy form must show the real tree down to the parquet scan
     assert "ExistingRDD" not in plan, plan
     assert "FileScan parquet" in plan, plan
+    # the explicit numPartitions repartitions are the guard against AQE's
+    # byte-based coalescing serializing the CPU-bound stages (the root
+    # cause of the round-2 40.9s) — they must stay in the plan
+    assert plan.count("REPARTITION_BY_NUM") >= 3, plan
     spark.catalog.clearCache()
 
 
