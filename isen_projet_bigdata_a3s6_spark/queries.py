@@ -6373,3 +6373,82 @@ def q193_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("hit", F.lit(0)) / F.col("k")).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "q194_decontaminate",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+      FROM grams, UNNEST(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5
+    ), probe AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= 20
+    ), eval_set AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id < 20
+    ), contaminated AS (
+      SELECT p.doc_id
+      FROM probe p JOIN eval_set e ON p.gram = e.gram
+      GROUP BY p.doc_id
+      HAVING COUNT(*) / CAST((SELECT COUNT(*) FROM probe p2
+                              WHERE p2.doc_id = p.doc_id) AS DOUBLE) > 0.2
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id >= 20
+      AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    """,
+)
+def q194_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination ACTION (q88 only measures): drop every training
+    document whose distinct word-5-gram overlap with the eval set
+    (doc_id < 20 here) exceeds 20% — the n-gram-overlap rule actually
+    applied before pretraining. Measurement reuses
+    ngram_contamination (one gram-keyed join, eval side reduced to its
+    distinct gram set); the action is an anti join on the contaminated
+    ids. Docs too short to have any 5-gram are kept (null fraction ≠
+    contaminated)."""
+    from .operators.textstats import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") >= 20)
+    eval_set = d.filter(F.col("doc_id") < 20)
+    frac = ngram_contamination(train, eval_set, "doc_id", "text", n=5)
+    contaminated = frac.filter(F.col("contamination_frac") > 0.2).select("doc_id")
+    return train.join(contaminated, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "q195_dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN ((doc_id * 2654435761) % 10000 + 10000) % 10000 < 8000
+               THEN 'train'
+             WHEN ((doc_id * 2654435761) % 10000 + 10000) % 10000 < 9000
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def q195_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from a
+    multiplicative hash of the id — content-independent, RNG-free,
+    retry/repartition-stable, and disjoint-by-construction (one hash value
+    maps to exactly one split). The assignment every training pipeline
+    needs to be REPRODUCIBLE across reruns and engines; pure row-parallel
+    expression, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * F.lit(2654435761)) % 10000 + 10000) % 10000
+    return d.select(
+        "doc_id",
+        F.when(h < 8000, F.lit("train"))
+        .when(h < 9000, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
