@@ -6452,3 +6452,685 @@ def q195_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 9: remaining TPC-H shapes (Q6/Q11/Q12), CCNet-style chunk dedup,
+# DSIR importance scoring, zero-shuffle char entropy, winnowing
+# fingerprints, SCD-2 intervals, last-touch attribution, CUBE margins,
+# MinHash self-evaluation
+# ---------------------------------------------------------------------------
+@register(
+    "q196_tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q196_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-sum query — the predicate-
+    pushdown showcase. Every predicate (two date bounds, a numeric range,
+    a comparison) reaches the parquet reader as PushedFilters, the scan
+    reads exactly three columns, and the aggregate is a two-phase
+    partial/final sum with no shuffle beyond the 1-row exchange. Money sum
+    in decimal per the float-parity convention. (Reference analog: the
+    filtered means over Gricourt rows, R_groupe4.R:309-331.)"""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q197_tpch_q11_value_threshold",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(CAST(val AS VARCHAR) AS DOUBLE)
+          > (SELECT CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) FROM pv) * 0.0002
+    """,
+)
+def q197_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped value with a HAVING threshold computed from
+    a GLOBAL aggregate (scalar subquery). Spark plan: one shuffle for the
+    per-part aggregate, then the 1-row global total re-aggregated FROM the
+    grouped result (no second scan) and broadcast into the filter — the
+    scalar-subquery pattern that keeps the threshold computation off the
+    driver. Threshold compare in correctly-rounded doubles on both engines
+    (decimal→string→double on the DuckDB side, BigDecimal→double here)."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            .alias("val")
+        )
+    )
+    total = pv.agg(F.sum("val").cast("double").alias("__total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("__total") * 0.0002)
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q198_tpch_q12_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q198_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to this schema's columns): join lineitem to
+    orders and pivot the order priority into conditional counts per return
+    flag. The CASE-inside-SUM conditional aggregation avoids two separate
+    grouped counts + a re-join; the date filter prunes lineitem BEFORE the
+    join so the shuffle carries only the year's rows. Exact integer counts
+    — no float path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q199_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(t[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ') AS chunk
+      FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) u(i)
+      WHERE len(t) > 0
+    ), dup AS (
+      SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 3
+    ), kept AS (
+      SELECT c.doc_id, c.chunk FROM chunks c
+      WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.chunk = c.chunk)
+    )
+    SELECT d.doc_id,
+           COALESCE(k.kept_chunks, 0) AS kept_chunks,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS kept_chunks,
+             SUM(len(string_split(chunk, ' '))) AS kept_tokens
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def q199_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document CHUNK dedup: split every document into
+    non-overlapping 10-token chunks, drop any chunk whose exact text occurs
+    in ≥ 3 distinct documents (boilerplate/template removal — the
+    paragraph-dedup stage every web-corpus pipeline runs before model
+    training), and report surviving chunk/token counts per document.
+
+    Scale shape: chunking is a per-row array expression (no shuffle); the
+    duplicate-chunk table is ONE groupBy on the chunk text (at 100 TB you'd
+    group on xxhash64(chunk) so the shuffle carries 8-byte keys — kept as
+    text here so the DuckDB twin is exact); the removal is a broadcast-able
+    anti join (the ≥3-doc boilerplate set is tiny relative to the corpus).
+    Distinct from q194 (overlapping n-gram MEASUREMENT) and q117 (chunking
+    only): this is the act-on-it dedup."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / F.lit(10.0)) - 1),
+                lambda i: F.array_join(F.slice("t", i * 10 + 1, 10), " "),
+            )
+        ).alias("chunk"),
+    )
+    dup = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("chunk")
+    )
+    kept = chunks.join(dup, "chunk", "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.sum(F.size(F.split("chunk", " "))).alias("kept_tokens"),
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
+
+
+@register(
+    "q200_dsir_importance",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                w -> w <> '')) AS w
+      FROM documents
+    ), dc AS (
+      SELECT doc_id, lang, w, COUNT(*) AS cnt FROM dt GROUP BY doc_id, lang, w
+    ), corpus AS (
+      SELECT w, SUM(cnt) AS cc FROM dc GROUP BY w
+    ), target AS (
+      SELECT w, SUM(cnt) AS ct FROM dc WHERE lang = 'en' GROUP BY w
+    ), consts AS (
+      SELECT (SELECT SUM(cc) FROM corpus) AS nc,
+             (SELECT COALESCE(SUM(ct), 0) FROM target) AS nt,
+             (SELECT COUNT(*) FROM corpus) AS v
+    ), terms AS (
+      SELECT d.doc_id, d.cnt,
+             CAST(ROUND(ln(((COALESCE(t.ct, 0) + 1.0) / (k.nt + k.v))
+                           / ((c.cc + 1.0) / (k.nc + k.v))), 9)
+                  AS DECIMAL(12,9)) AS lr
+      FROM dc d
+      JOIN corpus c USING (w)
+      LEFT JOIN target t USING (w)
+      CROSS JOIN consts k
+    )
+    SELECT doc_id,
+           ROUND(CAST(CAST(SUM(lr * cnt) AS VARCHAR) AS DOUBLE)
+                 / SUM(cnt), 6) AS llr,
+           CASE WHEN ROUND(CAST(CAST(SUM(lr * cnt) AS VARCHAR) AS DOUBLE)
+                           / SUM(cnt), 6) > 0 THEN 1 ELSE 0 END AS selected
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q200_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the average unigram log-likelihood ratio between a TARGET distribution
+    (here: the 'en' slice) and the full-corpus distribution, with add-1
+    smoothing over the joint vocabulary; documents with llr > 0 look more
+    target-like than corpus-like and get selected.
+
+    Scale shape: the two language models reduce to VOCAB-sized count
+    tables (same reduction as TF-IDF q87) and broadcast into the per-doc
+    term join; the only corpus-sized shuffle is the (doc, word) count. At
+    100 TB you'd feature-hash words into 2^20 buckets exactly as the paper
+    does — same plan, bounded LM size. Float parity: each ln ratio is
+    quantized to DECIMAL(12,9) so the per-doc sum is order-independent
+    (the q170 convention), then one correctly-rounded double division."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    dc = (
+        d.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    corpus = dc.groupBy("w").agg(F.sum("cnt").alias("cc"))
+    target = dc.filter(F.col("lang") == "en").groupBy("w").agg(
+        F.sum("cnt").alias("ct")
+    )
+    consts = corpus.agg(
+        F.sum("cc").alias("nc"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(target.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    terms = (
+        dc.join(F.broadcast(corpus), "w")
+        .join(F.broadcast(target), "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "cnt",
+            F.round(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + F.lit(1.0)) / (F.col("nt") + F.col("v")))
+                    / ((F.col("cc") + F.lit(1.0)) / (F.col("nc") + F.col("v")))
+                ),
+                9,
+            )
+            .cast("decimal(12,9)")
+            .alias("lr"),
+        )
+    )
+    llr = F.round(
+        F.sum(F.col("lr") * F.col("cnt")).cast("double") / F.sum("cnt"), 6
+    )
+    return terms.groupBy("doc_id").agg(
+        llr.alias("llr"),
+        F.when(llr > 0, F.lit(1)).otherwise(F.lit(0)).alias("selected"),
+    )
+
+
+@register(
+    "q201_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      FROM documents, UNNEST(range(1, len(text) + 1)) u(i)
+    ), rc AS (
+      SELECT c.doc_id, COUNT(*) AS cnt, d.n
+      FROM c JOIN (SELECT doc_id, len(text) AS n FROM documents) d
+        USING (doc_id)
+      GROUP BY c.doc_id, c.ch, d.n
+    ), ent AS (
+      SELECT doc_id, n,
+             CAST(SUM(CAST(ROUND((CAST(cnt AS DOUBLE) / n)
+                                 * ln(CAST(cnt AS DOUBLE) / n), 9)
+                           AS DECIMAL(12,9))) AS DOUBLE) AS s
+      FROM rc GROUP BY doc_id, n
+    )
+    SELECT e.doc_id, e.n AS n_chars,
+           ROUND(-e.s, 6) AS entropy,
+           ROUND(CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)
+                 / e.n, 6) AS digit_frac,
+           ROUND(CAST(len(regexp_extract_all(d.text, '\\s')) AS DOUBLE)
+                 / e.n, 6) AS space_frac
+    FROM ent e JOIN documents d USING (doc_id)
+    """,
+)
+def q201_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level quality signals with ZERO shuffle: Shannon entropy
+    of the character distribution plus digit/whitespace fractions, computed
+    entirely inside whole-stage codegen via array higher-order functions —
+    split to chars, array_distinct for the alphabet (≤ a few dozen entries),
+    and an `aggregate` lambda accumulating −Σ p·ln p. Low-entropy documents
+    are repeated-character junk; high digit fractions are tables/serial
+    dumps — the gibberish filters every pretraining pipeline applies.
+
+    The relational alternative (explode chars → groupBy) shuffles one row
+    PER CHARACTER of the corpus — at 100 TB that is a 100 TB shuffle; this
+    form touches each row once and shuffles nothing. Each p·ln p term is
+    quantized to DECIMAL(12,9) (q170 convention) so the sum is
+    order-independent and hash-stable vs the oracle's relational twin."""
+    d = load_table(spark, sf_dir, "documents")
+    cs = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    n = F.length("text")
+    zero = F.lit("0").cast("decimal(28,9)")
+    p_of = lambda cnt: cnt.cast("double") / F.col("n_chars")  # noqa: E731
+    term = lambda ch: F.round(  # noqa: E731
+        p_of(F.size(F.filter(F.col("__cs"), lambda c: c == ch)))
+        * F.log(p_of(F.size(F.filter(F.col("__cs"), lambda c: c == ch)))),
+        9,
+    ).cast("decimal(12,9)")
+    return (
+        d.select("doc_id", "text", cs.alias("__cs"), n.alias("n_chars"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                -F.aggregate(
+                    F.array_distinct("__cs"),
+                    zero,
+                    lambda acc, ch: (acc + term(ch)).cast("decimal(28,9)"),
+                ).cast("double"),
+                6,
+            ).alias("entropy"),
+            F.round(
+                F.regexp_count("text", F.lit("[0-9]")).cast("double")
+                / F.col("n_chars"),
+                6,
+            ).alias("digit_frac"),
+            F.round(
+                F.regexp_count("text", F.lit("\\s")).cast("double")
+                / F.col("n_chars"),
+                6,
+            ).alias("space_frac"),
+        )
+    )
+
+
+@register(
+    "q202_winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i,
+             (ascii(substr(t, CAST(i AS INT), 1))
+              + ascii(substr(t, CAST(i + 1 AS INT), 1)) * 31
+              + ascii(substr(t, CAST(i + 2 AS INT), 1)) * 961
+              + ascii(substr(t, CAST(i + 3 AS INT), 1)) * 29791
+              + ascii(substr(t, CAST(i + 4 AS INT), 1)) * 923521
+             ) % 1000003 AS h,
+             len(t) AS n
+      FROM (SELECT doc_id, lower(text) AS t FROM documents),
+           UNNEST(range(1, len(t) - 3)) u(i)
+    ), w AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             n
+      FROM g
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - 7
+    ), live AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50
+    ), kept AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN live l USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 40
+    """,
+)
+def q202_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via WINNOWING (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): rolling polynomial hashes of char
+    5-grams, a sliding window of 4 keeps each window's MINIMUM hash, and
+    the distinct selected fingerprints form the document's signature.
+    Documents sharing ≥ 40 fingerprints are reported as likely partial
+    copies — winnowing guarantees any shared substring ≥ w+k−1 chars
+    produces at least one shared fingerprint (detection, unlike MinHash's
+    whole-doc similarity estimate).
+
+    Scale shape: gram hashing + window-min + distinct all happen INSIDE one
+    row's array expressions (no shuffle, whole-stage codegen); only the
+    ~2/w-sampled fingerprints explode into the corpus-wide index.
+    Fingerprints appearing in > 50 docs are dropped as boilerplate "stop
+    fingerprints" (standard MOSS practice) which also BOUNDS the self-join
+    fan-out per bucket — the same hot-key cap as the LSH band join. The
+    hash is an explicit polynomial (not xxhash64) so the DuckDB twin is
+    bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    pw = [1, 31, 961, 29791, 923521]
+    gram_hash = lambda i: (  # noqa: E731
+        sum(
+            F.ascii(F.col("__t").substr(i + F.lit(j), F.lit(1))) * F.lit(pw[j])
+            for j in range(5)
+        )
+        % F.lit(1000003)
+    )
+    hashes = F.transform(F.sequence(F.lit(1), F.col("__n") - 4), gram_hash)
+    # bind the hash array ONCE as a lambda variable (outer transform over a
+    # 1-element array): referencing the `hashes` expression directly inside
+    # the window lambda would let CollapseProject inline and re-evaluate the
+    # whole O(n) gram-hash array per window position — O(n²) per document.
+    window_mins = F.flatten(
+        F.transform(
+            F.array(hashes),
+            lambda h: F.transform(
+                F.sequence(F.lit(1), F.size(h) - 3),
+                lambda w: F.array_min(F.slice(h, w, 4)),
+            ),
+        )
+    )
+    fps = d.select(
+        "doc_id", t.alias("__t"), F.length(t).alias("__n")
+    ).filter(F.col("__n") >= 8).select(
+        "doc_id",
+        F.explode(F.array_distinct(window_mins)).alias("fp"),
+    )
+    live = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= 50)
+        .select("fp")
+    )
+    kept = fps.join(live, "fp")
+    a = kept.select("fp", F.col("doc_id").alias("doc_a"))
+    b = kept.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 40)
+    )
+
+
+@register(
+    "q203_scd2_intervals",
+    oracle="""
+    WITH tiers AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value >= 300 THEN 'high'
+                  WHEN value >= 100 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id, tier,
+             CASE WHEN lag(tier) OVER w IS NULL
+                       OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      FROM tiers
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grouped AS (
+      SELECT user_id, tier,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp,
+             ts
+      FROM flagged
+    ), intervals AS (
+      SELECT user_id, tier, grp, MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM grouped GROUP BY user_id, tier, grp
+    )
+    SELECT user_id, tier, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+    FROM intervals
+    """,
+)
+def q203_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build: collapse each
+    user's event stream into value-tier VALIDITY INTERVALS — consecutive
+    events in the same tier merge into one row with [valid_from, valid_to)
+    bounds, valid_to = the next interval's start (NULL = current). The
+    change-flag + running-sum grouping is the standard sessionize-on-change
+    idiom (one window pass, no self-join); all three window/group steps
+    share the user_id partitioning so Spark shuffles ONCE and reuses the
+    exchange. (user_id, ts) is unique in events ⇒ deterministic; tie-break
+    on event_id anyway for engine parity."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") >= 300, "high")
+        .when(F.col("value") >= 100, "mid")
+        .otherwise("low")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select("user_id", "ts", "event_id", tier.alias("tier")).withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull() | (F.lag("tier").over(w) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = grouped.groupBy("user_id", "tier", "grp").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
+    "q204_last_touch_attribution",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER w AS ch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS) OVER w AS ch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN ch IS NOT NULL AND ch_ts >= ts - INTERVAL 7 DAY
+                THEN ch ELSE 'direct' END AS channel
+    FROM marked WHERE event_type = 'purchase'
+    """,
+)
+def q204_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 7-day lookback: each
+    purchase is credited to the user's most recent PRIOR non-purchase
+    event (view/click/signup/error = the "channel"), or 'direct' when none
+    exists within the window. One window pass per user (ignore-nulls
+    last_value over the preceding frame) — no self-join, no per-purchase
+    subquery; the 7-day rule is a plain timestamp comparison on the
+    carried-along channel timestamp. The interval compare uses ts
+    DIFFERENCES so LTZ-vs-naive reading cancels out."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    nonp_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(nonp, ignorenulls=True).over(w).alias("ch"),
+        F.last(nonp_ts, ignorenulls=True).over(w).alias("ch_ts"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ch").isNotNull()
+            & (F.col("ch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+            F.col("ch"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+    )
+
+
+@register(
+    "q205_cube_margins",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q205_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id: all four margin combinations (cell, row
+    total, column total, grand total) in ONE aggregation pass — Spark
+    expands the grouping sets map-side, so the input is scanned once
+    instead of four times (the UNION-of-GROUP-BYs a user would otherwise
+    write). Completes the grouping-sets family started by q144 (explicit
+    GROUPING SETS); gid disambiguates a real NULL dimension value from a
+    margin row. Decimal revenue per the money convention."""
+    from .functions.scalar import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register("q206_minhash_eval")
+def q206_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH SELF-EVALUATION (the dedup twin of q172's ANN recall):
+    on a bounded slice of the corpus (doc_id < 150 ⇒ ≤ 11k pairs), compute
+    exact all-pairs char-5-gram Jaccard as ground truth and score the
+    production q38 MinHash pipeline (64 hashes, 16 bands, est ≥ 0.8)
+    against truth ≥ 0.8: precision / recall / F1 in one row. This is the
+    tune-before-trust loop for the banding parameters — run it on a sample
+    BEFORE a 100 TB dedup pass; the all-pairs truth is intentionally
+    bounded to the sample (labeled oracle baseline, never the scale path).
+    Not SQL-expressible (xxhash64 signatures) ⇒ rows-only driver check;
+    the thresholds/invariants are pinned in tests/test_wave9.py."""
+    from .functions.dedup import minhash_dedup_pairs
+    from .functions.text import char_ngrams
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pred = minhash_dedup_pairs(d, "text", "doc_id", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    g = d.select(
+        F.col("doc_id").alias("__id"),
+        F.array_distinct(char_ngrams("text", 5)).alias("__g"),
+    ).filter(F.size("__g") > 0)
+    a = g.select(F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
+    b = g.select(F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size(F.array_union("__ga", "__gb")).cast("double")
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.8)
+        .select("id_a", "id_b")
+    )
+    tp = pred.join(truth, ["id_a", "id_b"]).count()
+    n_pred = pred.count()
+    n_truth = truth.count()
+    prec = tp / n_pred if n_pred else 1.0
+    rec = tp / n_truth if n_truth else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return spark.createDataFrame(
+        [(n_pred, n_truth, tp, round(prec, 6), round(rec, 6), round(f1, 6))],
+        "n_pred bigint, n_truth bigint, tp bigint, precision double, recall double, f1 double",
+    )
