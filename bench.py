@@ -52,6 +52,10 @@ HEADLINE = [
     "q176_sequence_packing",  # concat-chunk packing, per-source window
     "q179_gopher_rules",      # quality-rule report, one doc-keyed shuffle
     "q187_embedding_quantize",  # int8 quantization, zero-exchange
+    # round-4 additions (appended, earlier timings stay comparable)
+    "q196_tpch_q6_forecast_revenue",  # pure pushdown scan-filter-sum
+    "q199_chunk_dedup",       # cross-doc chunk dedup (CCNet stage)
+    "q202_winnowing_fingerprints",  # MOSS winnowing, in-row window mins
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -85,6 +89,9 @@ _INPUT_TABLE = {
     "q176_sequence_packing": "documents",
     "q179_gopher_rules": "documents",
     "q187_embedding_quantize": "embeddings",
+    "q196_tpch_q6_forecast_revenue": "lineitem",
+    "q199_chunk_dedup": "documents",
+    "q202_winnowing_fingerprints": "documents",
 }
 
 

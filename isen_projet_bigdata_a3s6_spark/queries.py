@@ -7134,3 +7134,391 @@ def q206_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_pred, n_truth, tp, round(prec, 6), round(rec, 6), round(f1, 6))],
         "n_pred bigint, n_truth bigint, tp bigint, precision double, recall double, f1 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: product-quantization ANN, corpus statistics (Zipf, lexical
+# richness), language-ID evaluation, small-file compaction
+# ---------------------------------------------------------------------------
+@register("q207_pq_ann")
+def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN (Jégou et al., PAMI 2011): split each
+    64-dim vector into 8 subvectors, train a 16-centroid KMeans codebook
+    per subspace (on a corpus SAMPLE — codebook training never needs the
+    full data), encode every vector to 8 four-bit codes, and answer
+    queries via ADC (asymmetric distance computation): the query's
+    distance to each of the 8×16 centroids is precomputed into a
+    lookup table, so scoring a database vector is 8 table lookups
+    instead of 64 multiplies — and the encoded corpus is 64 B → 8 B
+    per vector, the memory cut that lets a 100 TB embedding store fit
+    an in-RAM serving tier.
+
+    Scale shape: codebooks are tiny (8×16×8 floats) and broadcast as
+    literal arrays; encoding and ADC scoring are zero-shuffle array
+    expressions inside codegen; the ADC pass returns a 5× SHORTLIST that
+    an exact-distance pass re-ranks (the standard two-stage PQ serving
+    pipeline — full-precision math touches only the shortlist, never the
+    corpus). KMeans float reductions are not SQL-expressible ⇒ rows-only
+    driver check; recall@10 vs exact search is pinned in
+    tests/test_wave10.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .functions.similarity import cosine
+
+    M, K, DSUB = 8, 16, 8  # subspaces, centroids per codebook, dims each
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # per-subspace codebooks, trained on a deterministic sample
+    train = vecs.filter(F.col("vec_id") % 2 == 0)
+    codebooks: list[list[list[float]]] = []
+    for m in range(M):
+        sub = train.select(
+            array_to_vector(F.slice("emb", m * DSUB + 1, DSUB)).alias("features")
+        )
+        model = KMeans(k=K, seed=7 + m, maxIter=10).fit(sub)
+        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+
+    # broadcast codebooks as one literal array<array<array<double>>>
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in book])
+            for book in codebooks
+        ]
+    )
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    # encode: per subspace, argmin centroid (4-bit code). The codebook is
+    # bound once as a lambda variable so it is not re-evaluated per vector.
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        lambda m: F.aggregate(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            F.struct(F.lit(-1).alias("c"), F.lit(float("inf")).alias("d")),
+            lambda acc, k: F.when(
+                l2sq(
+                    F.slice("emb", m * F.lit(DSUB) + 1, DSUB),
+                    F.element_at(F.element_at(cb, m + 1), k + 1),
+                )
+                < acc["d"],
+                F.struct(
+                    k.alias("c"),
+                    l2sq(
+                        F.slice("emb", m * F.lit(DSUB) + 1, DSUB),
+                        F.element_at(F.element_at(cb, m + 1), k + 1),
+                    ).alias("d"),
+                ),
+            ).otherwise(acc),
+        )["c"],
+    )
+    encoded = vecs.select("vec_id", codes_expr.alias("codes"))
+
+    # ADC: queries are the first 5 vectors; LUT[m][k] = l2² of query
+    # subvector vs centroid, computed driver-side (5×8×16 floats) and
+    # broadcast as literals per query
+    queries = vecs.filter(F.col("vec_id") < 5).collect()
+    out = None
+    for qrow in queries:
+        lut = [
+            [
+                sum(
+                    (qrow.emb[m * DSUB + j] - codebooks[m][k][j]) ** 2
+                    for j in range(DSUB)
+                )
+                for k in range(K)
+            ]
+            for m in range(M)
+        ]
+        lut_lit = F.array(
+            *[F.array(*[F.lit(v) for v in row]) for row in lut]
+        )
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(M - 1)),
+                lambda c, m: F.element_at(F.element_at(lut_lit, m + 1), c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        # ADC shortlist (cheap, 8 lookups/vector) → exact re-rank of the
+        # shortlist only (the standard PQ serving pipeline: quantized scan
+        # for candidates, exact distances on the 5× shortlist)
+        shortlist = (
+            encoded.select(
+                F.lit(qrow.vec_id).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(adc, 6).alias("adc_dist"),
+            )
+            .orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+            .limit(50)
+        )
+        qlit = F.array(*[F.lit(float(x)) for x in qrow.emb])
+        exact_d2 = F.aggregate(
+            F.zip_with(qlit, F.col("emb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        topk = (
+            shortlist.join(
+                vecs.select(F.col("vec_id").alias("neighbor_id"), "emb"),
+                "neighbor_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                "adc_dist",
+                F.round(exact_d2, 6).alias("l2_dist"),
+            )
+            .orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+            .limit(10)
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
+
+
+@register(
+    "q208_zipf_fit",
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                      t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ), ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w ASC) AS rnk
+      FROM wc
+    ), pts AS (
+      SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(15,9)) AS x,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(15,9)) AS y
+      FROM ranked
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_types,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM sums
+    """,
+)
+def q208_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regress ln(frequency) on
+    ln(rank) — the slope (≈ −1 for natural language) is the standard
+    sanity check that a scraped corpus has natural token statistics rather
+    than machine-generated repetition. One corpus-wide word count (the
+    TF-IDF reduction, vocab-sized output), a vocab-sized ranking window,
+    and a closed-form OLS on (ln rank, ln freq) — the unpartitioned
+    row_number window is over the VOCABULARY, not the corpus, so it stays
+    small at any scale. Each ln is quantized to DECIMAL(15,9) so the
+    moment sums are order-independent (q170 convention); slope/intercept
+    computed once in doubles from the exact sums."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = wc.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("w")))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9)
+        .cast("decimal(15,9)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9)
+        .cast("decimal(15,9)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_types"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "q209_lexical_richness",
+    oracle="""
+    WITH dt AS (
+      SELECT source,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                t -> t <> '')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT source, w, COUNT(*) AS cnt FROM dt GROUP BY source, w
+    )
+    SELECT source,
+           SUM(cnt) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS ttr,
+           ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_frac
+    FROM wc GROUP BY source
+    """,
+)
+def q209_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness report per source: type-token ratio and hapax-
+    legomenon fraction (words occurring exactly once). Low TTR / low hapax
+    flags template-generated or boilerplate-heavy sources before they
+    flood a training mix — the per-source twin of the corpus-wide Zipf
+    check (q208). Two-stage aggregation: (source, word) counts shuffle
+    vocab×sources rows, then reduce to one row per source; both stages
+    map-side combine."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return wc.groupBy("source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_frac"),
+    )
+
+
+@register(
+    "q210_langid_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang AS labeled,
+             list_filter(string_split(lower(trim(text)), ' '), t -> t <> '')
+               AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, labeled,
+             len(list_filter(t, x -> list_contains(
+               ['der','die','das','und','ist','nicht','ein','eine','zu','mit'],
+               x))) AS h_de,
+             len(list_filter(t, x -> list_contains(
+               ['the','and','of','to','is','in','that','it','was','for'],
+               x))) AS h_en,
+             len(list_filter(t, x -> list_contains(
+               ['el','la','los','las','de','que','es','en','un','una'],
+               x))) AS h_es,
+             len(list_filter(t, x -> list_contains(
+               ['le','la','les','de','des','et','est','un','une','que'],
+               x))) AS h_fr
+      FROM toks
+    ), pred AS (
+      SELECT doc_id, labeled,
+             CASE
+               WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'und'
+               WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+               WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+               WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+               ELSE 'fr'
+             END AS predicted
+      FROM hits
+    )
+    SELECT labeled, predicted, COUNT(*) AS n
+    FROM pred GROUP BY labeled, predicted
+    """,
+)
+def q210_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION: confusion matrix of the heuristic
+    stopword-marker classifier (q36's `language_id`) against the labeled
+    `lang` column — the measure-before-trust step for any filter that
+    routes documents by detected language. The oracle twin re-derives the
+    classifier in SQL (per-language marker hits, argmax with
+    alphabetically-first tie-break — exactly `language_id`'s fold order),
+    so a green hash proves the Spark classifier and its documented
+    semantics agree. One row-parallel classify pass + one tiny groupBy."""
+    from .functions.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("labeled"),
+            language_id("text").alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q211_compaction_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(event_id) AS sum_event_id,
+           SUM(user_id) AS sum_user_id,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def q211_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the lakehouse maintenance op every streaming
+    ingest needs: a directory that accreted many small parquet files is
+    rewritten into few right-sized files (repartition to the target file
+    count, maxRecordsPerFile as the safety bound), and the result is read
+    BACK and content-checksummed. The oracle computes the same checksums
+    on the original table, so a green hash proves the rewrite is lossless
+    — the invariant that actually matters in a compaction job. File-count
+    assertions (fragmented in, few out) live in tests/test_wave10.py.
+
+    Scale shape: compaction is one shuffle-free coalesce when reducing
+    file count (repartition only when rebalancing skewed files); the
+    checksum aggregates are exact integers."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="compact_")
+    frag = f"{root}/fragmented"
+    compact = f"{root}/compacted"
+    # simulate the small-file problem deterministically: 64 tiny files
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    small = spark.read.parquet(frag)
+    # the compaction itself: coalesce (no shuffle) to the target count
+    small.coalesce(4).write.mode("overwrite").option(
+        "maxRecordsPerFile", 5_000_000
+    ).parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("user_id").alias("sum_user_id"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
