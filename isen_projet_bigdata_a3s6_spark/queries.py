@@ -7522,3 +7522,472 @@ def q211_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").alias("sum_user_id"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: search/indexing, entity resolution, privacy audit, stream-static
+# enrichment, semantic dedup, corpus diversity
+# ---------------------------------------------------------------------------
+@register(
+    "q212_intra_doc_dedup",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i
+      FROM dt WHERE len(t) > 0
+    ), ch AS (
+      SELECT doc_id, i // 2 AS ci, string_agg(w, ' ' ORDER BY i) AS chunk
+      FROM tok GROUP BY doc_id, i // 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS total_chunks,
+           COUNT(DISTINCT chunk) AS kept_chunks,
+           ROUND(1.0 - COUNT(DISTINCT chunk) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_frac
+    FROM ch GROUP BY doc_id
+    """,
+)
+def q212_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-chunk removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    spans inside a single document are memorization fuel even when no other
+    document shares them). Every doc is split into non-overlapping 2-token
+    chunks; repeats of a chunk already seen in the SAME doc are dropped
+    (keep-first) and the per-doc removal fraction reported. Complements
+    q199 (cross-doc chunk dedup): this is the intra-doc stage CCNet runs
+    first.
+
+    Scale shape: the entire operator is higher-order array expressions on
+    one row — chunk, array_distinct, size — ZERO shuffles, embarrassingly
+    parallel over 10^10 docs. The oracle must unnest+string_agg because SQL
+    lacks array lambdas; the Spark plan never explodes anything."""
+    d = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokens
+
+    t = F.filter(tokens("text"), lambda w: w != "")
+    ch = F.transform(
+        F.sequence(F.lit(0), (F.ceil(F.size(t) / F.lit(2.0))).cast("long") - 1),
+        lambda i: F.array_join(F.slice(t, i * 2 + 1, 2), " "),
+    )
+    out = d.select("doc_id", ch.alias("ch")).filter(F.size("ch") > 0)
+    return out.select(
+        "doc_id",
+        F.size("ch").alias("total_chunks"),
+        F.size(F.array_distinct("ch")).alias("kept_chunks"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("ch")) / F.size("ch").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+@register(
+    "q213_inverted_index",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+      FROM documents
+    ), w AS (SELECT doc_id, unnest(t) AS term FROM dt)
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df,
+           COUNT(*) AS tf,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:8], ',')
+             AS postings_head
+    FROM w GROUP BY term HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q213_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the core text-retrieval structure: one row
+    per term with document frequency, total term frequency, and the head
+    of the sorted posting list (first 8 doc ids; full lists would be the
+    payload of an index table, truncated here to keep the result
+    comparable). Terms appearing in a single document are dropped (they
+    never help conjunctive retrieval pruning).
+
+    Scale shape: explode + ONE groupBy on the term — the same map-side-
+    combinable shuffle as word count; posting heads via sort_array over a
+    collect_set bounded by df (for a real serving index you'd write the
+    full postings bucketed by term). No driver collection, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokens
+
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 8), ","
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+@register(
+    "q214_index_search",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, n_chars FROM dt
+    WHERE list_contains(t, 'spark') AND list_contains(t, 'merge')
+      AND list_contains(t, 'window')
+    """,
+)
+def q214_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword search answered the way a search engine
+    does it: intersect posting lists instead of scanning full text. The
+    token stream is filtered to the 3 query terms FIRST (a tiny fraction of
+    the corpus), then a doc qualifies iff it matched all 3 distinct terms.
+
+    Scale shape: the term filter prunes before the only shuffle, so the
+    groupBy carries |matching postings| rows, not |corpus tokens|; the
+    final semi join back to documents recovers display columns. Contrast
+    with the oracle's LIKE-style full scan — same answer, but the Spark
+    plan is the index-intersection shape that survives a 10^10-doc
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokens
+
+    terms = ["spark", "merge", "window"]
+    hits = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+    return d.join(hits, "doc_id", "left_semi").select("doc_id", "n_chars")
+
+
+@register(
+    "q215_er_blocking",
+    oracle="""
+    WITH n AS (
+      SELECT lower(p_name) AS nm,
+             regexp_extract(lower(p_name), '(\\S+)$', 1) AS blk,
+             COUNT(*) AS n_rows
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.blk AS blk, a.nm AS name_a, b.nm AS name_b,
+           levenshtein(a.nm, b.nm) AS dist,
+           a.n_rows AS rows_a, b.n_rows AS rows_b
+    FROM n a JOIN n b ON a.blk = b.blk AND a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    """,
+)
+def q215_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with BLOCKING — the classic record-linkage
+    pipeline: canonicalize to distinct name strings first (exact dedup
+    with occurrence counts), block on a cheap key (the last name token) so
+    candidate pairs form only within a block, then verify candidates with
+    edit distance ≤ 3. Emits matched name pairs with their occurrence
+    counts — the input a merge step would consume.
+
+    Scale shape: the distinct-name table is |vocabulary|, orders of
+    magnitude smaller than the corpus, so the quadratic verify runs on
+    name-level rows, never record-level; blocking bounds each join bucket
+    (the standard skew control in ER). Distinct from q126 (SymSpell
+    delete-variants over single tokens): this blocks full multi-token
+    names and verifies with true Levenshtein."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.select(F.lower("p_name").alias("nm"))
+        .groupBy("nm")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("blk", F.regexp_extract("nm", r"(\S+)$", 1))
+    )
+    a = names.select(
+        F.col("blk"),
+        F.col("nm").alias("name_a"),
+        F.col("n_rows").alias("rows_a"),
+    )
+    b = names.select(
+        F.col("blk").alias("blk_b"),
+        F.col("nm").alias("name_b"),
+        F.col("n_rows").alias("rows_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 3)
+        .select("blk", "name_a", "name_b", "dist", "rows_a", "rows_b")
+    )
+
+
+@register(
+    "q216_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+    """,
+)
+def q216_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier tuple
+    (nation, market segment, account-balance band): every QI group with
+    fewer than k=5 members is a re-identification risk — the privacy check
+    a training-data release pipeline runs before publishing per-group
+    statistics. Emits the risky groups with their sizes; the release step
+    would suppress or generalize exactly these rows.
+
+    Scale shape: one map-side-combinable groupBy on the QI tuple — the
+    same cost as any grouped count at 100 TB; banding the continuous
+    attribute is a scalar expression, so no per-row Python anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long").alias(
+                "bal_band"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 5)
+    )
+
+
+@register(
+    "q217_stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('day', e.ts) AS day_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q217_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the one Structured Streaming join
+    shape the registry didn't yet demonstrate: a live event stream joined
+    to a slowly-changing batch dimension (customer → segment), then a
+    watermarked daily windowed aggregate per segment. The static side needs
+    no watermark and holds no join state: Spark re-plans it per micro-batch
+    and broadcasts it under the stream, which is why stream-static is the
+    recommended enrichment pattern over copying dimension data into the
+    stream.
+
+    Scale shape: state is O(open windows × segments); the broadcast
+    dimension is the only non-stream input, re-read per trigger (at scale
+    you'd cache it or use a Delta table so updates flow through). The
+    oracle is the batch twin — append-mode emission is deterministic here
+    because the file source drains fully."""
+    import os
+    import tempfile
+
+    from .functions.scalar import dec_sum
+    from .sources.readers import read_parquet_ns_safe
+
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = read_parquet_ns_safe(spark, path)
+    raw_schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix="stream_static_")
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    for f in batch.schema.fields:
+        if str(raw_schema[f.name].dataType) != str(f.dataType):
+            stream = stream.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("day_start"), "segment", "n", "sum_value")
+    )
+    qname = "q217_stream_static_out"
+    sq = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    return spark.table(qname)
+
+
+@register(
+    "q218_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+      SELECT b.vec_id AS vec_id, b.label AS label, a.vec_id AS u,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, label, MIN(u) AS kept_by, COUNT(*) AS n_nbrs,
+           MAX(score) AS max_score
+    FROM p WHERE score >= 0.30 GROUP BY vec_id, label
+    """,
+)
+def q218_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): inside each cluster of the
+    embedding space, documents whose embeddings are near-parallel are
+    semantic duplicates — keep one representative, drop the rest. The
+    cluster key here is the precomputed `label` column (the k-means step is
+    q69); within a cluster every vector that has a cosine ≥ τ neighbor with
+    a smaller id is marked dropped, keeping the smallest id as the
+    survivor. Emits each dropped vector with its keeper, neighbor count,
+    and the strongest similarity.
+
+    Scale shape: THE point of SemDeDup — clustering first makes the
+    quadratic pairwise stage run per-cluster, never corpus-wide; the
+    equi-join on label is an ordinary shuffle join whose buckets are
+    cluster-sized (skew-bounded by the clustering objective itself). τ is
+    data-dependent (0.30 here: the synthetic embeddings are near-orthogonal;
+    real sentence embeddings use ~0.95+)."""
+    from .functions.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("u"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    b = e.select("vec_id", "label", F.col("v").alias("vb"))
+    pairs = a.join(
+        b, (F.col("label_a") == F.col("label")) & (F.col("u") < F.col("vec_id"))
+    ).select(
+        "vec_id",
+        "label",
+        "u",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+    )
+    return (
+        pairs.filter(F.col("score") >= 0.30)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min("u").alias("kept_by"),
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+@register(
+    "q219_source_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT d.source, e.vec_id,
+             list_transform(e.embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), ex AS (
+      SELECT source, vec_id, unnest(qv) AS q,
+             unnest(range(len(qv))) AS pos
+      FROM t
+    ), cent AS (
+      SELECT source, pos, SUM(q) AS s FROM ex GROUP BY 1, 2
+    ), norms AS (
+      SELECT source, SUM(CAST(s AS DECIMAL(38,0)) * s) AS norm_s
+      FROM cent GROUP BY 1
+    ), dots AS (
+      SELECT ex.source, ex.vec_id,
+             SUM(CAST(ex.q * cent.s AS DECIMAL(38,0))) AS dot,
+             SUM(CAST(ex.q AS DECIMAL(38,0)) * ex.q) AS norm_q
+      FROM ex JOIN cent ON ex.source = cent.source AND ex.pos = cent.pos
+      GROUP BY 1, 2
+    ), cos AS (
+      SELECT d.source,
+             CAST(ROUND(CAST(CAST(d.dot AS VARCHAR) AS DOUBLE)
+                        / (sqrt(CAST(CAST(d.norm_q AS VARCHAR) AS DOUBLE))
+                           * sqrt(CAST(CAST(n.norm_s AS VARCHAR) AS DOUBLE))), 9)
+                  AS DECIMAL(12,9)) AS c
+      FROM dots d JOIN norms n ON d.source = n.source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_cos,
+           CAST(MIN(c) AS DOUBLE) AS min_cos,
+           CAST(MAX(c) AS DOUBLE) AS max_cos
+    FROM cos GROUP BY source
+    """,
+)
+def q219_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DIVERSITY: how tightly each source's document
+    embeddings concentrate around their own centroid (avg/min/max cosine
+    to the source centroid). Low average = diverse source, high = redundant
+    or templated — the signal mixture designers use to discount a domain's
+    token budget. Cosine to the centroid equals cosine to the SUM vector
+    (scale invariance), so no division by n ever happens; embeddings are
+    quantized to 1e-6 ints first so every aggregate on both engines is
+    EXACT integer/decimal algebra (the float-sum ordering problem cannot
+    arise), and the per-doc cosine is quantized to DECIMAL(12,9) before
+    the final order-insensitive average.
+
+    Scale shape: two grouped aggregates (|sources|×dim and |docs|) plus a
+    broadcast of the |sources|×dim centroid table — no quadratic stage at
+    all, in contrast to q218; this is the cheap diversity proxy you can
+    afford on every ingest batch."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    t = d.join(e, d.doc_id == e.vec_id).select("source", "vec_id", qv.alias("qv"))
+    ex = t.select("source", "vec_id", F.posexplode("qv").alias("pos", "q"))
+    cent = ex.groupBy("source", "pos").agg(F.sum("q").alias("s"))
+    norms = cent.groupBy("source").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("norm_s")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), ["source", "pos"])
+        .groupBy("source", "vec_id")
+        .agg(
+            F.sum((F.col("q") * F.col("s")).cast("decimal(38,0)")).alias("dot"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("norm_q"),
+        )
+    )
+    cos = dots.join(F.broadcast(norms), "source").select(
+        "source",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("norm_q").cast("double"))
+                * F.sqrt(F.col("norm_s").cast("double"))
+            ),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("c"),
+    )
+    return cos.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("c").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_cos"),
+        F.min("c").cast("double").alias("min_cos"),
+        F.max("c").cast("double").alias("max_cos"),
+    )
