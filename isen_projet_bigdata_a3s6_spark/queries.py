@@ -7991,3 +7991,292 @@ def q219_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("double").alias("min_cos"),
         F.max("c").cast("double").alias("max_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 12: mixture temperature, VARIANT ingestion, Python DataSource,
+# DP release, unigram-LM tokenizer, tokenizer fertility
+# ---------------------------------------------------------------------------
+@register(
+    "q220_alpha_mixture",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                      w -> w <> '')) AS BIGINT)) AS n_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (SELECT SUM(n_tokens) AS tt FROM t),
+    p AS (
+      SELECT source, n_tokens,
+             pow(n_tokens / CAST(tt AS DOUBLE), 0.7) AS pa
+      FROM t, tot
+    ), z AS (SELECT SUM(pa) AS za FROM p)
+    SELECT source, n_tokens,
+           ROUND(pa / za, 6) AS alpha_share,
+           CAST(ROUND(pa / za * 1000000) AS BIGINT) AS budget_tokens
+    FROM p, z
+    """,
+)
+def q220_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the α-sampling of XLM-R /
+    mC4: q_i ∝ p_i^α with α=0.7): upweight low-resource domains without
+    letting the head domains dominate. Emits each source's raw token
+    count, its α-scaled sampling share, and the token budget it receives
+    out of a 1M-token allocation.
+
+    Scale shape: one grouped token count (map-side combinable), then all
+    arithmetic on a |domains|-row table with two one-row broadcasts for
+    the normalizers — nothing here grows with corpus size except the
+    first aggregate. pow/round6 is the documented float-path convention."""
+    from .functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("source", token_count("text").cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    tot = t.agg(F.sum("n_tokens").alias("tt"))
+    p = t.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("tt").cast("double"), 0.7).alias("pa"),
+    )
+    z = p.agg(F.sum("pa").alias("za"))
+    return p.join(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("pa") / F.col("za"), 6).alias("alpha_share"),
+        F.round(F.col("pa") / F.col("za") * 1000000).cast("long").alias(
+            "budget_tokens"
+        ),
+    )
+
+
+@register(
+    "q221_variant_shred",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) // 10)
+             AS k_decades
+    FROM events WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q221_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the VARIANT type (Spark 4):
+    `parse_json` turns the raw JSON payload into a binary variant ONCE at
+    scan time, and every downstream access is `variant_get` with a typed
+    path — the open-schema ingestion pattern that replaces
+    schema-on-write for event payloads (and the engine's answer to JSON
+    columns that evolve weekly). Aggregates a typed field extracted from
+    the variant per event type.
+
+    Scale shape: variant parse + path extraction are per-row JVM
+    expressions (no Python, no UDF); the single groupBy is map-side
+    combinable. Compare q29 (string get_json_object): variant parses the
+    JSON once even when several paths are read, which is the at-scale
+    difference when payloads carry dozens of fields."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = e.select(
+        "event_type", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type",
+        F.variant_get("pv", "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.count_distinct(F.floor(F.col("k") / 10).cast("long")).alias(
+            "k_decades"
+        ),
+    )
+
+
+@register(
+    "q222_python_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT i,
+             i % 16 AS bucket,
+             (i * 48271) % 1000003 AS metric
+      FROM range(80000) t(i)
+    )
+    SELECT bucket, COUNT(*) AS n, SUM(metric) AS sum_metric,
+           MIN(metric) AS min_metric, MAX(metric) AS max_metric
+    FROM g GROUP BY 1
+    """,
+)
+def q222_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python DataSource API (Spark 4,
+    SPARK-44076): a deterministic synthetic-telemetry source that plans 8
+    input partitions, each generating its own id range worker-side — the
+    template for wrapping any Python-reachable system (REST feed, custom
+    binary format, internal queue) as a first-class `spark.read.format()`
+    source with real partition parallelism. The oracle regenerates the
+    same rows from the closed-form generator, proving the source is
+    exact, not just plausible.
+
+    Scale shape: partition planning happens on the driver (8 splits
+    here; a real source would split by shard/offset), generation is
+    embarrassingly parallel, and everything after the scan is ordinary
+    JVM aggregation. The class is defined in-function so cloudpickle
+    ships it by value — no worker-side module install needed."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_rows, n_parts = 80000, 8
+
+    class _SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(n_parts)]
+
+        def read(self, partition):
+            per = n_rows // n_parts
+            start = partition.value * per
+            for i in range(start, start + per):
+                yield (i, i % 16, (i * 48271) % 1000003)
+
+    class SyntheticTelemetry(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_telemetry"
+
+        def schema(self):
+            return "i BIGINT, bucket INT, metric BIGINT"
+
+        def reader(self, schema):
+            return _SynthReader()
+
+    spark.dataSource.register(SyntheticTelemetry)
+    df = spark.read.format("synthetic_telemetry").load()
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metric").alias("sum_metric"),
+        F.min("metric").alias("min_metric"),
+        F.max("metric").alias("max_metric"),
+    )
+
+
+@register(
+    "q223_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                    w -> w <> '')) AS BIGINT)) AS ws_tokens,
+           SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                    AS BIGINT)) AS bpe_tokens,
+           SUM(CAST(len(text) AS BIGINT)) AS n_chars,
+           ROUND(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                          AS BIGINT))
+                 / CAST(SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                                 w -> w <> '')) AS BIGINT)) AS DOUBLE),
+                 6) AS fertility,
+           ROUND(SUM(CAST(len(text) AS BIGINT))
+                 / CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                                 AS BIGINT)) AS DOUBLE), 6) AS chars_per_token
+    FROM documents GROUP BY 1
+    """,
+)
+def q223_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per language: pieces-per-word (how many
+    subword tokens the BPE-ish pre-tokenizer emits per whitespace word)
+    and chars-per-token (compression). Fertility far above ~1.3 on a
+    language means the tokenizer fragments it — the standard fairness
+    check before fixing a multilingual token budget (the reason XLM-R
+    retrained its vocab). Pure counting twin of q220: q220 decides the
+    budget, this measures how far each language's budget actually goes.
+
+    Scale shape: per-row regexp counts + one grouped sum — all JVM
+    codegen, no explode (regexp_count avoids materializing the token
+    array), map-side combinable."""
+    from .functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast(
+        "long"
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        F.round(F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("n_chars") / F.col("bpe_tokens").cast("double"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register("q224_dp_noisy_counts")
+def q224_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε=1 Laplace mechanism) over
+    the (source, lang) histogram — the other half of the privacy surface
+    next to q216's k-anonymity audit: instead of suppressing risky groups,
+    every published count gets calibrated Laplace noise so any single
+    document's presence changes the distribution by at most e^ε.
+
+    The noise is DERIVED, not drawn: xxhash64(group key, salt) → uniform
+    in (0,1) → inverse-CDF Laplace. Deterministic noise is what makes a
+    DP release reproducible across reruns and testable (same seed ⇒ same
+    release), exactly like the content-hash sampling in q89/q123; the
+    privacy analysis is identical to random draws as long as the salt
+    stays secret. Iterative-free, one grouped count + per-row scalar
+    math — but the noise path is engine-specific (xxhash64), so no SQL
+    oracle: rows-only with distribution/determinism tests in
+    tests/test_wave12.py.
+
+    Scale shape: one map-side-combinable groupBy; the noise is a handful
+    of JVM scalar ops per OUTPUT row (|groups|, not |corpus|)."""
+    epsilon = 1.0
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("true_n"))
+    # u in (0,1): low 52 bits of the group hash, offset half a ulp so
+    # u is never exactly 0 or 1 and ln() below stays finite
+    h = F.xxhash64("source", "lang", F.lit("dp_salt_v1"))
+    u = (F.pmod(h, F.lit(2**52)).cast("double") + 0.5) / F.lit(float(2**52))
+    # inverse-CDF Laplace(0, b=1/eps)
+    centered = u - 0.5
+    noise = (
+        -F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+        / F.lit(epsilon)
+    )
+    return counts.select(
+        "source",
+        "lang",
+        F.greatest(
+            F.lit(0), F.round(F.col("true_n") + noise).cast("long")
+        ).alias("noisy_n"),
+        F.lit(epsilon).alias("epsilon"),
+    )
+
+
+@register("q225_unigram_tokenizer")
+def q225_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (functions/unigram.py — Kudo 2018,
+    the SentencePiece unigram model): EM over Viterbi segmentations of
+    the distinct-word frame, piece probabilities renormalized each round,
+    single-char coverage guaranteed. Complements q149 (BPE): the two
+    subword families every production tokenizer comes from. Iterative
+    float recurrence ⇒ rows-only; the EM mechanics are pinned on a
+    hand-checkable corpus in tests/test_wave12.py."""
+    from .functions.unigram import unigram_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_train(d, "text", vocab_size=48, max_piece_len=4, iterations=2)
