@@ -56,6 +56,10 @@ HEADLINE = [
     "q196_tpch_q6_forecast_revenue",  # pure pushdown scan-filter-sum
     "q199_chunk_dedup",       # cross-doc chunk dedup (CCNet stage)
     "q202_winnowing_fingerprints",  # MOSS winnowing, in-row window mins
+    # wave-11/12 additions (appended, earlier timings stay comparable)
+    "q213_inverted_index",    # explode→groupBy posting-list build
+    "q218_semantic_dedup",    # per-cluster pairwise cosine (SemDeDup)
+    "q221_variant_shred",     # VARIANT parse + typed path extraction
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -92,6 +96,9 @@ _INPUT_TABLE = {
     "q196_tpch_q6_forecast_revenue": "lineitem",
     "q199_chunk_dedup": "documents",
     "q202_winnowing_fingerprints": "documents",
+    "q213_inverted_index": "documents",
+    "q218_semantic_dedup": "embeddings",
+    "q221_variant_shred": "events",
 }
 
 

@@ -6900,12 +6900,23 @@ def q202_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    fps = d.select(
+    # The gram-hash stage is CPU-bound per row, and a small-SF corpus
+    # arrives as ONE parquet split — without an explicit width the whole
+    # O(docs × len) hashing runs on a single core (the q161 lesson:
+    # byte-based split sizing serializes CPU-bound stages). At 100 TB the
+    # scan has natural splits and this repartition is a cheap no-op-ish
+    # rebalance; here it is the difference between 1 and 32 cores.
+    par = spark.sparkContext.defaultParallelism
+    fps = d.repartition(par).select(
         "doc_id", t.alias("__t"), F.length(t).alias("__n")
     ).filter(F.col("__n") >= 8).select(
         "doc_id",
         F.explode(F.array_distinct(window_mins)).alias("fp"),
     )
+    # fps feeds the index build AND both self-join sides — persist lazily
+    # so the expensive hashing runs once, not 4× (plan stays transparent;
+    # bench clears caches between runs).
+    fps.persist()
     live = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -7865,24 +7876,33 @@ def q218_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-sized (skew-bounded by the clustering objective itself). τ is
     data-dependent (0.30 here: the synthetic embeddings are near-orthogonal;
     real sentence embeddings use ~0.95+)."""
-    from .functions.similarity import cosine
+    from .functions.similarity import dot, norm
 
+    # norms are per-VECTOR, not per-pair: compute each once before the
+    # join (cosine(a,b) inline would re-derive both norms for every pair —
+    # 3× the flops on the quadratic stage, measured 5.0 s → ~1.7 s at
+    # sf0.1)
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
     a = e.select(
         F.col("vec_id").alias("u"),
         F.col("label").alias("label_a"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select("vec_id", "label", F.col("v").alias("vb"))
+    b = e.select("vec_id", "label", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(
         b, (F.col("label_a") == F.col("label")) & (F.col("u") < F.col("vec_id"))
     ).select(
         "vec_id",
         "label",
         "u",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("score"),
     )
     return (
         pairs.filter(F.col("score") >= 0.30)
