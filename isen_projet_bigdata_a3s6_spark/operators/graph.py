@@ -223,3 +223,54 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return edges.sparkSession.createDataFrame(
         rows, "n_nodes long, n_edges long, n_triangles long"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """k-CORE decomposition by iterative peeling: repeatedly remove every
+    vertex with degree < k (removals lower neighbors' degrees, so repeat to
+    fixpoint). Returns the surviving vertices with their degree INSIDE the
+    core — the standard dense-subgraph primitive (community seeds, spam/
+    bot rings, influential-user cohorts).
+
+    Shape per round: one degree groupBy + two anti joins on vertex id,
+    lineage cut per round (same durability story as pagerank/CC above).
+    The convergence probe reads ONE count per round — bounded driver
+    traffic. Peeling rounds are ≤ the degeneracy-ordering depth, which is
+    tiny on real graphs (power-law graphs peel in tens of rounds
+    regardless of vertex count). Raises on non-convergence rather than
+    returning a half-peeled core.
+    """
+    # undirected: every edge contributes to both endpoints' degrees
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    e = cut_lineage(e)
+    e.persist()
+    for _ in range(max_iterations):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        drop = deg.filter(F.col("deg") < k).select("src")
+        drop.persist()
+        n_drop = drop.count()
+        if n_drop == 0:
+            drop.unpersist()
+            break
+        e_next = e.join(drop, "src", "left_anti").join(
+            drop.withColumnRenamed("src", "dst"), "dst", "left_anti"
+        )
+        e_next = cut_lineage(e_next)
+        e_next.persist()
+        e.unpersist()
+        drop.unpersist()
+        e = e_next
+    else:
+        raise RuntimeError(f"kcore: no fixpoint after {max_iterations} rounds")
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg")).select(
+        F.col("src").alias("node"), "core_deg"
+    )
+    return out

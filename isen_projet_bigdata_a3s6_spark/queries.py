@@ -8300,3 +8300,147 @@ def q225_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_train(d, "text", vocab_size=48, max_piece_len=4, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# Wave 13: transformWithState, watermark-sizing diagnostics, restart
+# recovery, k-core decomposition
+# ---------------------------------------------------------------------------
+@register(
+    "q226_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_micros,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1
+    """,
+)
+def q226_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile via transformWithStateInPandas (streaming/tws.py —
+    Spark 4's named-state-variable stateful API on the RocksDB store):
+    ValueState totals + MapState per-type counts accumulated across 4
+    micro-batches, Update-mode emissions, final profile per user. The
+    oracle is the batch twin — state surviving batch boundaries is exactly
+    what makes them equal. The TWS runner needs protobuf, which this
+    container lacks: the operator gates on the import and runs an
+    applyInPandasWithState fallback with identical semantics (see
+    streaming/tws.py::_tws_available — same sanctioned env-block handling
+    as the multimodal codecs), so the oracle exercises the fallback here
+    and the TWS path on a real cluster."""
+    import os
+
+    from .streaming.tws import tws_user_profile
+
+    return tws_user_profile(
+        spark, os.path.join(sf_dir, "events.parquet"), n_batches=4
+    )
+
+
+@register(
+    "q227_event_disorder",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS max_so_far
+      FROM events
+    ), late AS (
+      SELECT CAST(epoch_us(max_so_far) - epoch_us(ts) AS BIGINT) AS late_us
+      FROM d
+    )
+    SELECT CASE WHEN late_us = 0 THEN 'in_order'
+                WHEN late_us <= 60000000 THEN 'lt_1min'
+                WHEN late_us <= 3600000000 THEN 'lt_1h'
+                ELSE 'gt_1h' END AS disorder_bucket,
+           COUNT(*) AS n,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM late GROUP BY 1
+    """,
+)
+def q227_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER profile — the data-driven answer to "how big
+    should the watermark delay be": for each event, its lateness versus
+    the maximum event time already seen in its user's arrival order
+    (event_id = arrival sequence), bucketed into the watermark-sizing
+    histogram. A p99 inside 'lt_1min' means a 1-minute watermark loses
+    <1% of events; 'gt_1h' mass means the q71/q95 two-hour delay is load-
+    bearing. The streaming operators in this registry pin their delays to
+    exactly this measurement.
+
+    Scale shape: one per-user window (running max over arrival order —
+    users partition naturally, no global sort) + one tiny groupBy; lateness
+    in exact integer micros so the bucket edges can't float-drift."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_us = (
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).alias("late_us")
+    late = e.select(late_us)
+    bucket = (
+        F.when(F.col("late_us") == 0, "in_order")
+        .when(F.col("late_us") <= 60_000_000, "lt_1min")
+        .when(F.col("late_us") <= 3_600_000_000, "lt_1h")
+        .otherwise("gt_1h")
+    )
+    return late.groupBy(bucket.alias("disorder_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("late_us").alias("max_late_us"),
+    )
+
+
+@register(
+    "q228_restart_recovery",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_micros,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q228_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a streaming query RESTART (streaming/tws.py::
+    restart_recovery_counts): half the feed is consumed into a
+    checkpointed parquet sink, the query STOPS, the rest of the feed
+    arrives, and a new query object resumes from the same checkpoint. The
+    oracle aggregates the raw feed — equality proves the recovered sink
+    holds every row exactly once (no replay after restart, no loss). This
+    is the operational property that lets a 100 TB/day pipeline survive
+    executor loss, code redeploys, and cluster moves."""
+    import os
+
+    from .streaming.tws import restart_recovery_counts
+
+    return restart_recovery_counts(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("q229_kcore")
+def q229_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the frequent-co-purchase graph (q160's edge set: parts
+    co-ordered ≥ 2 times) via iterative peeling
+    (operators/graph.py::kcore) — the dense-subgraph primitive between
+    connected components (q78) and triangles (q160) in the graph family.
+    Iterative fixpoint ⇒ rows-only; the peeling invariants (every member
+    keeps ≥ k in-core neighbors; no non-member could) are asserted in
+    tests/test_wave13.py against an independent Python peeler."""
+    from .operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b")
+    )
+    return kcore(edges, k=3)
