@@ -8444,3 +8444,248 @@ def q229_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return kcore(edges, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Wave 14: expectation suite, readability, PSI drift
+# ---------------------------------------------------------------------------
+@register(
+    "q230_expectation_suite",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM orders),
+    rows_out AS (
+      SELECT 'not_null(o_orderkey)' AS "constraint", 'o_orderkey' AS "column",
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS violations,
+             total FROM t
+      UNION ALL
+      SELECT 'unique(o_orderkey)', 'o_orderkey',
+             (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) FROM orders),
+             total FROM t
+      UNION ALL
+      SELECT 'in_range(o_totalprice)', 'o_totalprice',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND (o_totalprice < 0 OR o_totalprice > 600000)),
+             total FROM t
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)', 'o_orderstatus',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('O','F','P')),
+             total FROM t
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+             total FROM t
+      UNION ALL
+      SELECT 'references(o_custkey)', 'o_custkey',
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             total FROM t
+    )
+    SELECT "constraint", "column", CAST(violations AS BIGINT) AS violations,
+           CAST(total AS BIGINT) AS total,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM rows_out
+    """,
+)
+def q230_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/expectations.py — the
+    Deequ / Great Expectations capability): six constraints over the
+    orders table — not-null and uniqueness of the key, a price range, an
+    accepted-value set, a format regex, and referential integrity to
+    customer — compiled into ONE scan plus one anti join, reported as a
+    per-constraint pass/fail ledger. This is the ingest gate a production
+    pipeline runs before publishing a batch.
+
+    Scale shape: every non-relational constraint is an expression in a
+    single agg (adding a check adds no job); the RI check prunes to the
+    key column before its anti join."""
+    from .operators.expectations import Expect, run_suite
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    suite = [
+        Expect("not_null", "o_orderkey"),
+        Expect("unique", "o_orderkey"),
+        Expect("in_range", "o_totalprice", lo=0, hi=600000),
+        Expect("in_set", "o_orderstatus", values=["O", "F", "P"]),
+        Expect("matches", "o_orderpriority", pattern="^[1-5]-"),
+        Expect("references", "o_custkey", ref=c, ref_column="c_custkey"),
+    ]
+    return run_suite(o, suite)
+
+
+@register(
+    "q231_readability",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                  w -> w <> '')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS syllables,
+             CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) + 1
+               AS sentences
+      FROM documents
+    )
+    , q AS (
+      SELECT lang,
+             CAST(ROUND(206.835 - 1.015 * (words / CAST(sentences AS DOUBLE))
+                        - 84.6 * (syllables / CAST(words AS DOUBLE)), 6)
+                  AS DECIMAL(14,6)) AS s
+      FROM m WHERE words > 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_flesch,
+           CAST(MIN(s) AS DOUBLE) AS min_flesch
+    FROM q GROUP BY 1
+    """,
+)
+def q231_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language (vowel-group syllable heuristic,
+    sentence count from terminal punctuation + 1) — the classic
+    readability member of the quality-signal family (q35 rule scores,
+    q170 char-LM perplexity, q179 Gopher rules): pretraining filters
+    routinely drop the extreme-unreadable tail.
+
+    Scale shape: three regexp counts per row (no explode, no Python), one
+    grouped average. Per-doc scores are quantized to DECIMAL(14,6) before
+    summation (the q170 convention) so the grouped average is
+    order-independent — a raw double AVG would hash-flake on partition
+    layout."""
+    from .functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    words = token_count("text").cast("long")
+    syllables = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("long")
+    sentences = (F.regexp_count("text", F.lit("[.!?]")) + 1).cast("long")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    m = d.select(
+        "lang",
+        words.alias("words"),
+        syllables.alias("syllables"),
+        sentences.alias("sentences"),
+    ).filter(F.col("words") > 0)
+    q = m.select("lang", F.round(score, 6).cast("decimal(14,6)").alias("s"))
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_flesch"),
+        F.min("s").cast("double").alias("min_flesch"),
+    )
+
+
+@register(
+    "q232_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             (SELECT COUNT(*) FROM events) AS n_total,
+             (SELECT MIN(value) FROM events) AS vmin,
+             (SELECT MAX(value) FROM events) AS vmax
+      FROM events
+    ), tagged AS (
+      SELECT CASE WHEN event_id < n_total // 2 THEN 'ref' ELSE 'cur' END AS period,
+             event_type,
+             LEAST(9, CAST(floor((value - vmin) / (vmax - vmin) * 10)
+                           AS BIGINT)) AS bucket
+      FROM base
+    ), feats AS (
+      SELECT period, 'value_decile' AS feature, CAST(bucket AS VARCHAR) AS cat
+      FROM tagged
+      UNION ALL
+      SELECT period, 'event_type' AS feature, event_type AS cat FROM tagged
+    ), counts AS (
+      SELECT feature, cat,
+             SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS nr,
+             SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM feats GROUP BY 1, 2
+    ), tot AS (
+      SELECT feature, SUM(nr) AS tr, SUM(nc) AS tc, COUNT(*) AS ncat
+      FROM counts GROUP BY 1
+    ), terms AS (
+      SELECT c.feature,
+             CAST(ROUND(((c.nr + 0.5) / (t.tr + 0.5 * t.ncat)
+                         - (c.nc + 0.5) / (t.tc + 0.5 * t.ncat))
+                        * ln(((c.nr + 0.5) / (t.tr + 0.5 * t.ncat))
+                             / ((c.nc + 0.5) / (t.tc + 0.5 * t.ncat))), 9)
+                  AS DECIMAL(12,9)) AS term
+      FROM counts c JOIN tot t USING (feature)
+    )
+    SELECT feature,
+           ROUND(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY 1
+    """,
+)
+def q232_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index DRIFT report — the ML-ops monitor run
+    between a reference batch and the current batch before retraining or
+    alerting: the event feed splits into earlier/later halves (arrival
+    order), each monitored feature is bucketed (fixed-width deciles for
+    the numeric value, categories for event_type), and PSI =
+    Σ (p−q)·ln(p/q) with 0.5 add-k smoothing per bucket. PSI > 0.2 is the
+    standard retrain trigger.
+
+    Scale shape: one pass tags period + bucket per row, one grouped count
+    per (feature, category), and the PSI reduction runs on |categories|
+    rows; per-bucket terms quantize to DECIMAL(12,9) pre-sum so the
+    result is order-independent (q170 convention)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    base = e.join(F.broadcast(stats))
+    tagged = base.select(
+        F.when(F.col("event_id") < (F.col("n_total") / 2).cast("long"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 10
+            ).cast("long"),
+        ).alias("bucket"),
+    )
+    feats = tagged.select(
+        "period", F.lit("value_decile").alias("feature"),
+        F.col("bucket").cast("string").alias("cat"),
+    ).unionByName(
+        tagged.select(
+            "period", F.lit("event_type").alias("feature"),
+            F.col("event_type").alias("cat"),
+        )
+    )
+    counts = feats.groupBy("feature", "cat").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("nc"),
+    )
+    tot = counts.groupBy("feature").agg(
+        F.sum("nr").alias("tr"), F.sum("nc").alias("tc"),
+        F.count(F.lit(1)).alias("ncat"),
+    )
+    p = (F.col("nr") + 0.5) / (F.col("tr") + 0.5 * F.col("ncat"))
+    q = (F.col("nc") + 0.5) / (F.col("tc") + 0.5 * F.col("ncat"))
+    terms = counts.join(F.broadcast(tot), "feature").select(
+        "feature",
+        F.round((p - q) * F.log(p / q), 9).cast("decimal(12,9)").alias("term"),
+    )
+    return terms.groupBy("feature").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("psi")
+    )
