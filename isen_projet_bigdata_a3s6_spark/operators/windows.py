@@ -71,3 +71,65 @@ def sessionize(
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0))
     ).drop("__new")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Globally-ordered running sums WITHOUT a single-reducer window.
+
+    An unpartitioned ``Window.orderBy(...)`` funnels every row through one
+    task — the classic scale-killer for CDF/rank shapes. This is the
+    textbook two-phase parallel prefix scan instead:
+
+      1. ``repartitionByRange(order_col)`` — each partition holds a
+         contiguous key range (one shuffle, same cost the single-reducer
+         plan pays anyway);
+      2. per-partition running sums via a window PARTITIONED by the
+         materialized ``spark_partition_id`` (parallel across partitions);
+      3. per-partition totals (|partitions| rows) get their own tiny
+         cumulative offset, broadcast-joined back and added.
+
+    Requires ``order_col`` values to be UNIQUE rows (aggregate to distinct
+    keys first — CDF/rank callers already do): equal keys straddling a
+    range boundary would otherwise make per-row prefixes depend on
+    partition placement.
+
+    Result is partitioning-independent, so the downstream hash is stable
+    even though range boundaries come from sampling.
+    """
+    part = df.repartitionByRange(F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part.select(
+        "*", *[F.sum(c).over(w).alias(f"{c}__local") for c in sum_cols]
+    )
+    totals = part.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"{c}__tot") for c in sum_cols]
+    )
+    # offsets: cumulative total of PRECEDING partitions (|partitions| rows —
+    # the tiny single-reducer window here is over ~hundreds of rows, not data)
+    offsets = totals.select(
+        "__pid",
+        *[
+            (F.sum(f"{c}__tot").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)))
+            .alias(f"{c}__off")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.col(f"{c}__local") + F.coalesce(F.col(f"{c}__off"), F.lit(0)),
+        )
+    drop = ["__pid"] + [f"{c}__local" for c in sum_cols] + [f"{c}__off" for c in sum_cols]
+    return out.drop(*drop)

@@ -8689,3 +8689,306 @@ def q232_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("feature").agg(
         F.round(F.sum("term").cast("double"), 6).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 15 — nonparametric two-sample tests on the scalable prefix-scan
+# (stats/ranktests.py + operators/windows.py::global_prefix_sum)
+# ---------------------------------------------------------------------------
+_SEG_GROUP_SQL = """
+  SELECT o_totalprice AS v,
+         CASE WHEN c_mktsegment = 'BUILDING'  THEN 1
+              WHEN c_mktsegment = 'MACHINERY' THEN 2 END AS g
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+"""
+
+
+@register(
+    "q233_ks_two_sample",
+    oracle=f"""
+    WITH j AS ({_SEG_GROUP_SQL}),
+    counts AS (
+      SELECT v,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS d2
+      FROM j GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             SUM(d1) OVER (ORDER BY v) AS c1,
+             SUM(d2) OVER (ORDER BY v) AS c2
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+                   CAST(SUM(d2) AS BIGINT) AS n2 FROM counts),
+    scored AS (
+      SELECT v, n1, n2,
+             CAST(ABS(c1 * n2 - c2 * n1) AS BIGINT) AS gap
+      FROM cum, tot
+    ),
+    best AS (SELECT MAX(gap) AS max_gap FROM scored)
+    SELECT n1, n2,
+           ROUND(CAST(max_gap AS DOUBLE) / (n1 * n2), 6) AS d_stat,
+           MIN(v) AS d_location,
+           ROUND(1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+             AS crit_05,
+           (CAST(max_gap AS DOUBLE) / (n1 * n2))
+             > (1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)))
+             AS reject_05
+    FROM scored, best WHERE gap = max_gap
+    GROUP BY n1, n2, max_gap
+    """,
+)
+def q233_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test: order totals of BUILDING
+    vs MACHINERY customers (stats/ranktests.py::ks_two_sample). The
+    engine's distribution-free sibling of the reference's parametric
+    tests (R_groupe4.R:809-887 runs cor.test/ANOVA; base-R ks.test is the
+    canonical companion), and the standard train/serve drift gate.
+
+    Scale shape: join (AQE-broadcastable dim), one groupBy on distinct
+    values, then the two-phase parallel prefix scan
+    (operators/windows.py::global_prefix_sum) — NEVER a single-reducer
+    global window — and a max reduction. D reduces to exact integer
+    algebra (max |c1·n2 − c2·n1|), one division at the end (round6)."""
+    from .stats.ranktests import ks_two_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    grp = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .when(F.col("c_mktsegment") == "MACHINERY", 2)
+    )
+    return ks_two_sample(j, "o_totalprice", grp)
+
+
+@register(
+    "q234_mannwhitney_u",
+    oracle=f"""
+    WITH j AS ({_SEG_GROUP_SQL}),
+    counts AS (
+      SELECT v,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS t
+      FROM j GROUP BY v
+    ),
+    cum AS (
+      SELECT d1, t,
+             SUM(t) OVER (ORDER BY v) - t AS before
+      FROM counts
+    ),
+    a AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+             CAST(SUM(t - d1) AS BIGINT) AS n2,
+             CAST(SUM(d1 * (2 * before + t + 1)) AS BIGINT) AS two_r1,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+           ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                   - CAST(n1 * n2 AS DOUBLE) / 2.0)
+                 / SQRT(CAST(n1 * n2 AS DOUBLE) / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - CAST(tie_sum AS DOUBLE)
+                             / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
+                 6) AS z_score,
+           ROUND(1.0 - CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+                       / CAST(n1 * n2 AS DOUBLE), 6) AS rank_biserial
+    FROM a
+    """,
+)
+def q234_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) with midrank ties and the
+    tie-corrected normal approximation, same two customer segments as
+    q233 (stats/ranktests.py::mannwhitney_u) — the location-shift member
+    of the nonparametric pair (KS = shape, MWU = location).
+
+    Scale shape: identical to q233 — distinct-value counts, two-phase
+    prefix scan for the pooled before-counts, one sum reduction. 2·R1 and
+    the tie term are exact integers; z and the rank-biserial effect size
+    are single float expressions over them (round6)."""
+    from .stats.ranktests import mannwhitney_u
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    grp = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .when(F.col("c_mktsegment") == "MACHINERY", 2)
+    )
+    return mannwhitney_u(j, "o_totalprice", grp)
+
+
+@register(
+    "q235_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT prio, CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mean_x,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.prio, d.day, n_days, d.x - mean_x AS dv
+      FROM daily d JOIN m ON d.prio = m.prio
+    ),
+    lagged AS (
+      SELECT prio, n_days, dv,
+             LAG(dv, 1) OVER (PARTITION BY prio ORDER BY day) AS l1,
+             LAG(dv, 2) OVER (PARTITION BY prio ORDER BY day) AS l2,
+             LAG(dv, 3) OVER (PARTITION BY prio ORDER BY day) AS l3,
+             LAG(dv, 7) OVER (PARTITION BY prio ORDER BY day) AS l7
+      FROM dev
+    ),
+    terms AS (
+      SELECT prio, n_days,
+             CAST(ROUND(dv * dv, 4) AS DECIMAL(28,4)) AS d0,
+             CAST(ROUND(dv * l1, 4) AS DECIMAL(28,4)) AS t1,
+             CAST(ROUND(dv * l2, 4) AS DECIMAL(28,4)) AS t2,
+             CAST(ROUND(dv * l3, 4) AS DECIMAL(28,4)) AS t3,
+             CAST(ROUND(dv * l7, 4) AS DECIMAL(28,4)) AS t7
+      FROM lagged
+    )
+    SELECT prio, n_days,
+           ROUND(CAST(SUM(t1) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_1,
+           ROUND(CAST(SUM(t2) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_2,
+           ROUND(CAST(SUM(t3) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_3,
+           ROUND(CAST(SUM(t7) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_7
+    FROM terms GROUP BY prio, n_days
+    """,
+)
+def q235_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the DAILY-REVENUE series per order priority at
+    lags 1/2/3/7 — the seasonality detector that feeds q168's seasonal
+    decomposition (a lag-7 spike ⇒ weekly period) and the q169 anomaly
+    windows. r_k = Σ dv_t·dv_{t−k} / Σ dv_t² on the mean-centered series
+    (full-series denominator — the statsmodels/Box-Jenkins convention).
+
+    Scale shape: the raw table collapses to |priorities|×|days| rows in
+    one groupBy before any window; the lag windows partition by priority
+    (parallel; the per-partition sort is over the bounded calendar axis,
+    not data). Exactness: daily x and its mean come from decimal sums;
+    products quantize to DECIMAL(28,4) pre-sum (q170 convention) so the
+    grouped sums are order-independent; one division + round6 at the end."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("xd"))
+    m = daily.groupBy("prio").agg(
+        (F.sum("xd").cast("double") / F.count(F.lit(1))).alias("mean_x"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = daily.join(F.broadcast(m), "prio").select(
+        "prio", "day", "n_days", (F.col("xd").cast("double") - F.col("mean_x")).alias("dv")
+    )
+    w = Window.partitionBy("prio").orderBy("day")
+    lagged = dev.select(
+        "prio",
+        "n_days",
+        "dv",
+        *[F.lag("dv", k).over(w).alias(f"l{k}") for k in (1, 2, 3, 7)],
+    )
+    q4 = lambda col: F.round(col, 4).cast("decimal(28,4)")
+    terms = lagged.select(
+        "prio",
+        "n_days",
+        q4(F.col("dv") * F.col("dv")).alias("d0"),
+        *[q4(F.col("dv") * F.col(f"l{k}")).alias(f"t{k}") for k in (1, 2, 3, 7)],
+    )
+    den = F.sum("d0").cast("double")
+    return terms.groupBy("prio", "n_days").agg(
+        *[
+            F.round(F.sum(f"t{k}").cast("double") / den, 6).alias(f"acf_{k}")
+            for k in (1, 2, 3, 7)
+        ]
+    )
+
+
+@register(
+    "q236_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS x
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mean_x
+      FROM daily
+    ),
+    dev AS (
+      SELECT day, CAST(ROUND(x - mean_x, 4) AS DECIMAL(28,4)) AS dv,
+             CAST(ROUND((x - mean_x) * (x - mean_x), 4) AS DECIMAL(28,4)) AS dv2
+      FROM daily, m
+    ),
+    cum AS (
+      SELECT day, SUM(dv) OVER (ORDER BY day) AS s FROM dev
+    ),
+    ss AS (SELECT CAST(SUM(dv2) AS DOUBLE) AS ssd FROM dev)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CAST(s AS DOUBLE) / SQRT(ssd), 6) AS cusum_norm
+    FROM cum, ss
+    ORDER BY ABS(CAST(s AS DOUBLE) / SQRT(ssd)) DESC, day
+    LIMIT 5
+    """,
+)
+def q236_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint scan on the global daily-revenue
+    series: S_t = Σ_{i≤t}(x_i − x̄), normalized by √(Σ dv²) so
+    max |S_t|/√(Σdv²) is the standard CUSUM changepoint statistic; the
+    five largest-|S| days are the candidate changepoints a monitoring
+    pipeline alerts on (the batch twin of q169's rolling z-score).
+
+    Scale shape: collapse to |days| rows in one groupBy, then the
+    two-phase prefix scan (operators/windows.py::global_prefix_sum) for
+    the cumulative sums — no single-reducer data window; top-5 by |S| via
+    ordered LIMIT (TakeOrderedAndProject, no full sort materialized).
+    Exactness: deviations and squares quantize to DECIMAL(28,4) pre-sum;
+    the normalizing √Σdv² is one float op on an exact decimal (round6)."""
+    from .operators.windows import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("xd")
+    )
+    m = daily.agg(
+        (F.sum("xd").cast("double") / F.count(F.lit(1))).alias("mean_x")
+    )
+    dev = daily.join(F.broadcast(m)).select(
+        "day",
+        F.round(F.col("xd").cast("double") - F.col("mean_x"), 4)
+        .cast("decimal(28,4)")
+        .alias("dv"),
+        F.round(
+            (F.col("xd").cast("double") - F.col("mean_x"))
+            * (F.col("xd").cast("double") - F.col("mean_x")),
+            4,
+        )
+        .cast("decimal(28,4)")
+        .alias("dv2"),
+    )
+    ss = dev.agg(F.sum("dv2").alias("ss"))
+    cum = global_prefix_sum(dev, "day", ["dv"])
+    scored = cum.join(F.broadcast(ss)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.col("dv_cum").cast("double") / F.sqrt(F.col("ss").cast("double")),
+            6,
+        ).alias("cusum_norm"),
+    )
+    return scored.orderBy(F.abs("cusum_norm").desc(), "day").limit(5)
