@@ -268,3 +268,69 @@ def quantize_int8(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         q.alias("qvec"),
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy k-CENTER (farthest-point) selection — the classic 2-approx
+    coreset / diverse-subset picker (Gonzalez 1985) used to choose
+    maximally-spread training examples or ANN pivots. Deterministic seed:
+    the smallest id. Each round adds the point FARTHEST from the chosen
+    set and records its distance (the coverage radius as of that round —
+    non-increasing by construction).
+
+    Returns (step, id, radius): step 1 is the seed (radius null).
+
+    Scale shape: the corpus-sized state is one (id, vec, d_min) frame;
+    each round is (a) one broadcast of the single new center, (b) one
+    vectorized ``least(d_min, dist-to-center)`` map, (c) one
+    max_by reduction — k rounds of map+reduce, never a pairwise matrix.
+    Driver traffic is ONE row per round (the argmax), the same bounded
+    contract as BPE's per-merge collect (bpe.py). Lineage cut per round.
+    Squared-euclidean in builtin array algebra (zip_with/aggregate), so
+    the hot loop is all codegen.
+    """
+    from ..checkpointing import cut_lineage
+
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    seed = df.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    chosen: list[tuple[int, object, float | None]] = [(1, seed[id_col], None)]
+    center = seed[vec_col]
+
+    def sqdist_to(center_vec) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    state = df.select(
+        F.col(id_col), F.col(vec_col), sqdist_to(center).alias("d_min")
+    ).filter(F.col(id_col) != F.lit(seed[id_col]))
+    state = cut_lineage(state)
+    for step in range(2, k + 1):
+        far = state.orderBy(F.desc("d_min"), F.asc(id_col)).limit(1).collect()
+        if not far:
+            break
+        row = far[0]
+        chosen.append((step, row[id_col], float(row["d_min"]) ** 0.5))
+        state = (
+            state.filter(F.col(id_col) != F.lit(row[id_col]))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.least(F.col("d_min"), sqdist_to(row[vec_col])).alias("d_min"),
+            )
+        )
+        state = cut_lineage(state)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(s, i, (round(r, 6) if r is not None else None)) for s, i, r in chosen],
+        f"step int, {id_col} long, radius double",
+    )

@@ -274,3 +274,54 @@ def kcore(
         F.col("src").alias("node"), "core_deg"
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    rounds: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous LABEL PROPAGATION (Raghavan et
+    al. 2007, arXiv:0709.2938) with a deterministic update rule: each
+    round, every vertex adopts the most frequent label among its
+    neighbors, ties broken by smallest label — so the fixpoint is
+    reproducible (the paper's random tie-break is not, and a
+    nondeterministic operator can't be driver-hashed or re-run).
+
+    Distinct from connected components (functions/dedup.py CC finds
+    REACHABILITY classes): LPA splits a connected graph into dense
+    neighborhoods — the cheap community primitive next to pagerank /
+    triangles / k-core in this registry's graph family.
+
+    Shape per round: one join (labels onto the undirected edge list), one
+    (dst, label) count groupBy, one max_by per dst — all key-partitioned
+    shuffles, no driver traffic; lineage cut per round. A fixed small
+    round budget is the standard LPA convention (it converges in a few
+    sweeps or oscillates; bounded rounds make cost predictable).
+    """
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    e = cut_lineage(e)
+    e.persist()
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e.src == labels.node)
+            .select("dst", "label")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # most-frequent neighbor label; ties -> smallest label (max_by on
+        # (cnt, -label) is the deterministic argmax)
+        labels = votes.groupBy("dst").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")))).alias(
+                "label"
+            )
+        ).select(F.col("dst").alias("node"), "label")
+        labels = cut_lineage(labels)
+    e.unpersist()
+    return labels

@@ -8992,3 +8992,95 @@ def q236_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum_norm"),
     )
     return scored.orderBy(F.abs("cusum_norm").desc(), "day").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Wave 15b — WordPiece encoder, k-center coreset selection, label
+# propagation communities
+# ---------------------------------------------------------------------------
+@register("q237_wordpiece_stats")
+def q237_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization audit per language: vocab bootstrapped from
+    the corpus's own BPE merges (functions/wordpiece.py::vocab_from_bpe),
+    then the genuine greedy longest-match-first encoder with ## pieces —
+    the third member of the tokenizer triad (BPE q149/q150 = merge
+    replay, Unigram q225 = Viterbi, WordPiece = greedy set lookup).
+    Reports docs, words, pieces, split-word share and fertility
+    (pieces/word, round6) per lang — the cross-tokenizer comparison a
+    pretraining team runs before committing a vocab.
+
+    Iterative BPE training upstream ⇒ rows-only; the greedy encoder is
+    pinned against hand-worked segmentations in tests/test_wave15.py.
+    Scale: vocab ships in the closure (broadcast-sized); encode is one
+    Arrow-batched map; the aggregate is one |langs|-group shuffle."""
+    from .functions.bpe import bpe_train
+    from .functions.wordpiece import vocab_from_bpe, wordpiece_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = vocab_from_bpe(bpe_train(d, "text", num_merges=8))
+    stats = wordpiece_stats(d, "text", vocab)
+    j = stats.join(d.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        F.round(
+            F.sum("n_pieces").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_split_words").cast("double") / F.sum("n_words"), 6
+        ).alias("split_frac"),
+    )
+
+
+@register("q238_kcenter_coreset")
+def q238_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embeddings table
+    (functions/similarity.py::kcenter_select, k=8): the diverse-subset
+    selector for training-data curation — complements SemDeDup (q218
+    removes redundancy) by SELECTING spread (Gonzalez 2-approx to the
+    k-center radius). Returns the selection order with per-step coverage
+    radii (non-increasing — pinned in tests alongside exact parity with a
+    numpy reference run).
+
+    Iterative argmax ⇒ rows-only. Scale: k map+reduce rounds over an
+    (id, vec, d_min) frame; one row to the driver per round; no pairwise
+    stage anywhere."""
+    from .functions.similarity import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(e, "embedding", "vec_id", k=8)
+
+
+@register("q239_label_propagation")
+def q239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes on the frequent-co-purchase graph (q160/q229's
+    edge set) via deterministic synchronous label propagation
+    (operators/graph.py::label_propagation, 5 rounds, most-frequent-
+    neighbor-label rule with min-label ties): the community layer of the
+    graph family — CC (q78) answers "connected?", LPA answers "which
+    dense neighborhood?". Output: top-20 communities by size (ties by
+    label) — deterministic because the update rule is.
+
+    Iterative fixpoint ⇒ rows-only; the update rule is pinned against an
+    independent Python sweep in tests/test_wave15.py."""
+    from .operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b")
+    )
+    labels = label_propagation(edges)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("label"))
+        .limit(20)
+    )

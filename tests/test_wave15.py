@@ -136,3 +136,153 @@ def test_cusum_rows_and_normalization(spark):
     # sorted by |s| descending
     vals = [abs(r["cusum_norm"]) for r in out]
     assert vals == sorted(vals, reverse=True)
+
+
+# --- WordPiece -------------------------------------------------------------
+
+def test_wordpiece_greedy_longest_match():
+    from isen_projet_bigdata_a3s6_spark.functions.wordpiece import encode_word
+
+    vocab = {"un", "##aff", "##able", "aff", "##ab", "##le", "hug", "##s"}
+    assert encode_word("unaffable", vocab) == ["un", "##aff", "##able"]
+    assert encode_word("hugs", vocab) == ["hug", "##s"]
+    # no multi-char matches -> falls back to single chars (##-marked after 0)
+    assert encode_word("xyz", vocab) == ["x", "##y", "##z"]
+    # longest match wins over shorter prefixes
+    vocab2 = {"a", "ab", "abc", "##d"}
+    assert encode_word("abcd", vocab2) == ["abc", "##d"]
+    assert encode_word("x" * 200, vocab) == ["[UNK]"]
+
+
+def test_wordpiece_stats_counts(spark):
+    from isen_projet_bigdata_a3s6_spark.functions.wordpiece import (
+        wordpiece_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "unaffable hugs"), (2, None), (3, "un un")],
+        ["doc_id", "text"],
+    )
+    vocab = {"un", "##aff", "##able", "hug", "##s"}
+    out = {r["doc_id"]: r for r in wordpiece_stats(df, "text", vocab).collect()}
+    assert (out[1]["n_words"], out[1]["n_pieces"], out[1]["n_split_words"]) == (2, 5, 2)
+    assert (out[2]["n_words"], out[2]["n_pieces"]) == (0, 0)
+    assert (out[3]["n_words"], out[3]["n_pieces"], out[3]["n_split_words"]) == (2, 2, 0)
+
+
+def test_vocab_from_bpe_strips_eow():
+    from isen_projet_bigdata_a3s6_spark.functions.wordpiece import (
+        vocab_from_bpe,
+    )
+
+    rules = [("t", "h", 10), ("th", "e</w>", 9)]
+    v = vocab_from_bpe(rules)
+    assert "th" in v and "##th" in v and "the" in v and "##the" in v
+    assert not any("</w>" in p for p in v)
+
+
+# --- k-center --------------------------------------------------------------
+
+def _py_kcenter(vecs, k):
+    import math
+
+    ids = sorted(vecs)
+    chosen = [ids[0]]
+    radii = [None]
+    d = {
+        i: sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[chosen[0]]))
+        for i in ids
+        if i != chosen[0]
+    }
+    for _ in range(k - 1):
+        if not d:
+            break
+        far = max(d.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        radii.append(round(math.sqrt(d.pop(far)), 6))
+        chosen.append(far)
+        for i in list(d):
+            nd = sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[far]))
+            if nd < d[i]:
+                d[i] = nd
+    return chosen, radii
+
+
+def test_kcenter_matches_numpy_reference(spark):
+    from isen_projet_bigdata_a3s6_spark.functions.similarity import (
+        kcenter_select,
+    )
+
+    rng = random.Random(5)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(4)] for i in range(60)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    out = kcenter_select(df, "embedding", "vec_id", k=6).collect()
+    chosen, radii = _py_kcenter(vecs, 6)
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["step"])] == chosen
+    got_radii = [r["radius"] for r in sorted(out, key=lambda r: r["step"])]
+    assert got_radii[0] is None
+    for g, w in zip(got_radii[1:], radii[1:]):
+        assert abs(g - w) < 1e-6
+    # coverage radius is non-increasing
+    rs = [r for r in got_radii[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(rs, rs[1:]))
+
+
+# --- label propagation ------------------------------------------------------
+
+def _py_lpa(edges, rounds=5):
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            c = Counter(labels[m] for m in adj[n])
+            top = max(c.values())
+            new[n] = min(l for l, v in c.items() if v == top)
+        labels = new
+    return labels
+
+
+def test_lpa_matches_python_two_cliques(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two 5-cliques joined by a single bridge edge
+    edges = [
+        (a, b) for grp in ([1, 2, 3, 4, 5], [11, 12, 13, 14, 15])
+        for i, a in enumerate(grp) for b in grp[i + 1:]
+    ] + [(5, 11)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["node"]: r["label"] for r in label_propagation(df, rounds=5).collect()
+    }
+    want = _py_lpa(edges, rounds=5)
+    assert got == want
+    # the two cliques must end in different communities
+    assert len({got[n] for n in [1, 2, 3, 4]}) == 1
+    assert len({got[n] for n in [12, 13, 14, 15]}) == 1
+    assert got[1] != got[15]
+
+
+def test_wordpiece_local_encoder_parity_with_module_fn(spark):
+    # the UDF's by-value closure must stay in sync with encode_word
+    from isen_projet_bigdata_a3s6_spark.functions.wordpiece import (
+        encode_word,
+        wordpiece_stats,
+    )
+
+    words = ["unaffable", "hugs", "zebra", "aa", "x"]
+    vocab = {"un", "##aff", "##able", "hug", "##s", "ze", "##bra", "aa"}
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_pieces"] for r in wordpiece_stats(df, "text", vocab).collect()}
+    for i, w in enumerate(words):
+        assert out[i] == len(encode_word(w, vocab)), w
