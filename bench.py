@@ -60,6 +60,9 @@ HEADLINE = [
     "q213_inverted_index",    # explode→groupBy posting-list build
     "q218_semantic_dedup",    # per-cluster pairwise cosine (SemDeDup)
     "q221_variant_shred",     # VARIANT parse + typed path extraction
+    # wave-15 additions (appended, earlier timings stay comparable)
+    "q233_ks_two_sample",     # two-phase global prefix scan (no 1-reducer)
+    "q235_acf",               # per-group daily series + lag windows
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -99,6 +102,8 @@ _INPUT_TABLE = {
     "q213_inverted_index": "documents",
     "q218_semantic_dedup": "embeddings",
     "q221_variant_shred": "events",
+    "q233_ks_two_sample": "orders",
+    "q235_acf": "orders",
 }
 
 

@@ -9084,3 +9084,260 @@ def q239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), F.asc("label"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 16 — BM25 retrieval, Theil–Sen robust slope, partition-pruned
+# layout, grouped weighted median
+# ---------------------------------------------------------------------------
+@register(
+    "q240_bm25_topk",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dt),
+    g AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    w AS (SELECT doc_id, unnest(t) AS term FROM dt),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM w
+      WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl))),
+               9) AS DECIMAL(12,9)) AS s
+      FROM tf JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id, g
+    )
+    SELECT doc_id, ROUND(CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q240_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones; the Lucene-variant
+    idf ln((N−df+.5)/(df+.5)+1), k1=1.2, b=0.75) for the 3-term query of
+    q214 — the SCORED counterpart of that boolean search, completing the
+    retrieval family: q213 builds the index, q214 intersects it, this
+    ranks. Top-10 docs, ties by doc_id.
+
+    Scale shape: the token stream is filtered to the query's terms before
+    the only data-sized shuffle (tf groupBy) — exactly how a search engine
+    reads 3 posting lists, not the corpus; df and the (N, avgdl) scalars
+    are |terms|- and 1-row broadcasts. Float path: per-(doc,term) scores
+    quantize to DECIMAL(12,9) (q170 convention) so the per-doc sum is
+    order-independent; idf/tf-norm are single expressions over exact
+    integers, identically associated in both engines."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.filter(tokens("text"), lambda w: w != "").alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = ["spark", "merge", "window"]
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfnorm = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.round(idf * tfnorm, 9).cast("decimal(12,9)").alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q241_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS t,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS x
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.x - a.x) / (b.t - a.t) AS s
+      FROM daily a JOIN daily b ON b.t > a.t
+    ),
+    sl AS (SELECT ROUND(quantile_cont(s, 0.5), 6) AS slope,
+                  COUNT(*) AS n_pairs FROM slopes)
+    SELECT slope,
+           ROUND(quantile_cont(x - slope * t, 0.5), 6) AS intercept,
+           n_pairs
+    FROM daily, sl GROUP BY slope, n_pairs
+    """,
+)
+def q241_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: slope = MEDIAN of all pairwise slopes of
+    the daily-revenue series, intercept = median residual — the
+    outlier-immune companion to the OLS family (M6 q33 closed-form, M4
+    multiple OLS): one corrupted day moves OLS arbitrarily, moves
+    Theil–Sen not at all (29% breakdown point).
+
+    Scale shape: the raw table collapses to |days| rows FIRST (one
+    groupBy); the pairwise self-join is over the bounded calendar axis
+    (|days|² pairs ≈ 3M at 8 years — independent of row count, the same
+    bounded-axis argument as q235), and exact-median interpolation runs
+    on that pair set. Slopes are IEEE-identical in both engines (exact
+    decimal-sourced doubles, one subtraction and one division); the
+    median interpolation midpoint is round6'd."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("t")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double").alias("x"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        ((F.col("b.x") - F.col("a.x")) / (F.col("b.t") - F.col("a.t"))).alias("s")
+    )
+    sl = slopes.agg(
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return (
+        daily.join(F.broadcast(sl))
+        .groupBy("slope", "n_pairs")
+        .agg(
+            F.round(
+                F.expr("percentile(x - slope * t, 0.5)"), 6
+            ).alias("intercept")
+        )
+        .select("slope", "intercept", "n_pairs")
+    )
+
+
+@register(
+    "q242_partitioned_layout",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_micros,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1
+    """,
+)
+def q242_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout round-trip: events written
+    ``partitionBy(event_date)``, read back through a partition-pruned scan
+    (one week's filter touches only 7 directories — the layout primitive
+    behind every date-partitioned lake table; sibling of q128 Z-order and
+    q211 compaction in the layout family). The oracle aggregates the RAW
+    feed under the same predicate — equality proves the partitioned
+    round-trip is lossless AND the pruned read is complete (a dropped or
+    double-read partition changes the counts). tests/test_wave16.py
+    additionally asserts the physical scan prunes (PartitionFilters, not
+    a post-scan filter).
+
+    Scale shape: the write is one pass with no extra shuffle beyond the
+    partition spill; the read's pruning is metadata-only — at 100 TB the
+    7-day query plans 7/2922 partitions and never lists the rest."""
+    import os
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="part_layout_") + "/events_by_day"
+    e.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(out_dir)
+    back = spark.read.parquet(out_dir).where(
+        F.col("event_date").between("2024-01-08", "2024-01-14")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_micros"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q243_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS wt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, v, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    )
+    SELECT flag,
+           MIN(v) AS weighted_median,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM cum WHERE 2 * cw >= tw GROUP BY flag
+    """,
+)
+def q243_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GROUPED WEIGHTED MEDIAN (lower-median convention: smallest v
+    with cumulative weight ≥ half the total): extended price weighted by
+    quantity per return flag — the robust center the plain median family
+    (A2 q02, q140 MAD, q173 winsorize) can't express when rows carry
+    unequal mass (shipped units, token counts, bytes).
+
+    Scale shape: collapse to distinct (group, value) with decimal weight
+    sums first; the cumulative weight runs in a PER-GROUP window
+    (partition-parallel — the global-scan problem q233 solves doesn't
+    arise because the partition key is the group); threshold + min per
+    group ends it. All decimal-exact — no float until the reported total
+    (cast once, round-free)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias("wt")
+    )
+    win = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("flag")
+    cum = w.select(
+        "flag",
+        "v",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        cum.where(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+    )
