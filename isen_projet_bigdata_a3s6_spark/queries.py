@@ -6121,10 +6121,20 @@ def q187_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.py::quantize_int8) — the 4× memory reduction
     every large-scale ANN index applies before serving. Pure higher-order
     array expressions, zero shuffles: embarrassingly row-parallel, the
-    shape you want over 10^11 vectors."""
+    shape you want over 10^11 vectors.
+
+    Local-bench caveat (the q202 single-split pattern): the small-SF
+    embeddings table arrives as ONE parquet split, so the CPU-bound array
+    transform would run on 1 of 32 cores; repartition to the default
+    parallelism first. At 100 TB the input is thousands of splits and the
+    repartition is unnecessary (and this round-robin exchange would be
+    dropped), but on one split it converts a serialized stage into a
+    parallel one."""
     from .functions.similarity import quantize_int8
 
     e = load_table(spark, sf_dir, "embeddings")
+    if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        e = e.repartition(spark.sparkContext.defaultParallelism)
     return quantize_int8(e, "embedding", "vec_id")
 
 
@@ -9340,4 +9350,295 @@ def q243_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("weighted_median"),
             F.max("tw").cast("double").alias("total_weight"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 17 — RFM segmentation, DAU/MAU stickiness, WoE/IV, recursive CTE
+# ---------------------------------------------------------------------------
+@register(
+    "q244_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)), mx) AS r,
+             COUNT(*) AS f,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS m
+      FROM orders, anchor GROUP BY o_custkey, mx
+    ),
+    cuts AS (
+      SELECT ROUND(quantile_cont(r, 0.2), 6) AS r1, ROUND(quantile_cont(r, 0.4), 6) AS r2,
+             ROUND(quantile_cont(r, 0.6), 6) AS r3, ROUND(quantile_cont(r, 0.8), 6) AS r4,
+             ROUND(quantile_cont(f, 0.2), 6) AS f1, ROUND(quantile_cont(f, 0.4), 6) AS f2,
+             ROUND(quantile_cont(f, 0.6), 6) AS f3, ROUND(quantile_cont(f, 0.8), 6) AS f4,
+             ROUND(quantile_cont(m, 0.2), 6) AS m1, ROUND(quantile_cont(m, 0.4), 6) AS m2,
+             ROUND(quantile_cont(m, 0.6), 6) AS m3, ROUND(quantile_cont(m, 0.8), 6) AS m4
+      FROM rfm
+    ),
+    scored AS (
+      SELECT
+        5 - ((r > r1)::INT + (r > r2)::INT + (r > r3)::INT + (r > r4)::INT)
+          AS r_score,
+        1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT + (f > f4)::INT
+          AS f_score,
+        1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT + (m > m4)::INT
+          AS m_score,
+        m
+      FROM rfm, cuts
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(m, 4) AS DECIMAL(28,4))) AS DOUBLE) AS monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q244_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order, HIGHER
+    score = more recent), frequency, monetary scored 1–5 by exact
+    quintile cutpoints, then segment sizes and revenue: the marketing-
+    analytics workhorse built from this engine's aggregation + quantile +
+    conditional primitives.
+
+    Scale shape: one per-customer groupBy; cutpoints are a 1-row frame
+    (broadcast — the scalable alternative to a global NTILE sort, per the
+    ntile note in operators/windows.py); scoring is pure per-row
+    comparisons. Cutpoints round6'd on BOTH engines before comparing so
+    interpolation ULP can't flip a boundary bucket; segment revenue sums
+    4-dp-quantized decimals."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    rfm = (
+        o.join(F.broadcast(anchor))
+        .groupBy("o_custkey", "mx")
+        .agg(
+            F.datediff(F.col("mx"), F.max(F.to_date("o_orderdate"))).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("m"),
+        )
+    )
+    cuts = rfm.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {p})"), 6).alias(f"{c}{i}")
+            for c in ("r", "f", "m")
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    def score(c: str) -> F.Column:
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(c) > F.col(f"{c}{i}")).cast("int")
+        return s
+
+    scored = rfm.join(F.broadcast(cuts)).select(
+        (F.lit(6) - score("r")).alias("r_score"),
+        score("f").alias("f_score"),
+        score("m").alias("m_score"),
+        "m",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("m"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+
+
+@register(
+    "q245_dau_mau",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    contrib AS (
+      SELECT DISTINCT user_id,
+             CAST(unnest(generate_series(day, day + INTERVAL 29 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud
+    ),
+    mau AS (
+      SELECT c.day, COUNT(*) AS mau
+      FROM contrib c, bounds WHERE c.day BETWEEN d0 AND d1
+      GROUP BY c.day
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, mau,
+           ROUND(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+    FROM dau JOIN mau ON dau.day = mau.day
+    """,
+)
+def q245_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per day — daily actives over trailing-30-day
+    actives, the engagement ratio every product-analytics stack reports.
+    Exact trailing count-distinct without a distinct-over-range window
+    (which Spark lacks and which would serialize anyway): each distinct
+    (user, day) CONTRIBUTES to the 30 following days' MAU, so a 30×
+    explode of the deduped user-day frame + one groupBy gives the exact
+    rolling distinct. Clipped to the observed day span.
+
+    Scale shape: the raw feed collapses to distinct user-days first (the
+    only data-sized shuffle); the 30× expansion is of that reduced frame,
+    map-side, then one count per day. All integers; one round6 ratio."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 29))).alias(
+            "day"
+        ),
+    ).distinct()
+    mau = (
+        contrib.join(F.broadcast(bounds))
+        .where(F.col("day").between(F.col("d0"), F.col("d1")))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
+    "q246_woe_iv",
+    oracle="""
+    WITH s AS (
+      SELECT MIN(o_totalprice) AS vmin, MAX(o_totalprice) AS vmax FROM orders
+    ),
+    b AS (
+      SELECT LEAST(9, CAST(FLOOR((o_totalprice - vmin) / (vmax - vmin) * 10)
+                           AS BIGINT)) AS bucket,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders, s
+    ),
+    agg_b AS (
+      SELECT bucket,
+             SUM(1 - bad) AS n_good, SUM(bad) AS n_bad
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS bd FROM agg_b)
+    SELECT bucket, n_good, n_bad,
+           ROUND(LN(((n_good + 0.5) / g) / ((n_bad + 0.5) / bd)), 6) AS woe,
+           ROUND(((n_good + 0.5) / g - (n_bad + 0.5) / bd)
+                 * LN(((n_good + 0.5) / g) / ((n_bad + 0.5) / bd)), 6)
+             AS iv_term
+    FROM agg_b, tot
+    """,
+)
+def q246_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value report — the credit-scoring
+    feature screen: orders bucketed into fixed-width totalprice deciles
+    (q232's binning), label = finished status, per-bucket
+    WoE = ln((good share)/(bad share)) with 0.5 smoothing and the IV
+    contribution. |IV| > 0.3 flags a strongly predictive feature before
+    any model is fit — the feature-selection sibling of q166's target
+    encoding.
+
+    Scale shape: one 1-row min/max broadcast, one bucket groupBy, then
+    |buckets|-row arithmetic. Counts are exact integers; WoE/IV are
+    single float expressions over them, identically associated in both
+    engines (round6)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.min("o_totalprice").alias("vmin"), F.max("o_totalprice").alias("vmax")
+    )
+    b = o.join(F.broadcast(s)).select(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("o_totalprice") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 10
+            ).cast("long"),
+        ).alias("bucket"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    agg_b = b.groupBy("bucket").agg(
+        F.sum(F.lit(1) - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    tot = agg_b.agg(F.sum("n_good").alias("g"), F.sum("n_bad").alias("bd"))
+    good_share = (F.col("n_good") + 0.5) / F.col("g")
+    bad_share = (F.col("n_bad") + 0.5) / F.col("bd")
+    woe = F.log(good_share / bad_share)
+    return agg_b.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round((good_share - bad_share) * woe, 6).alias("iv_term"),
+    )
+
+
+@register(
+    "q247_recursive_bfs",
+    oracle="""
+    WITH p AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey
+    ),
+    ed AS (SELECT a, b FROM p GROUP BY a, b HAVING COUNT(*) >= 2),
+    e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+    seed AS (SELECT MIN(src) AS s FROM e),
+    r0 AS (
+      WITH RECURSIVE r(node, depth) AS (
+        SELECT s, 0 FROM seed
+        UNION ALL
+        SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+        WHERE r.depth < 4
+      )
+      SELECT node, MIN(depth) AS min_depth FROM r GROUP BY node
+    )
+    SELECT min_depth, COUNT(*) AS n_nodes FROM r0 GROUP BY min_depth
+    """,
+)
+def q247_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-limited BFS via Spark 4's RECURSIVE CTE (SQL:1999 recursion
+    — new engine surface in 4.x) on the co-purchase graph: nodes within
+    4 hops of the smallest part, counted per minimum distance. The SQL
+    recursion complements the DataFrame-loop graph family (CC q78 /
+    pagerank q103 / k-core q229 / LPA q239): same fixpoint idea, now
+    expressible declaratively.
+
+    Scale caveat (stated, not hidden): UNION ALL recursion enumerates
+    WALKS, so it is only safe depth-limited on sparse graphs (this edge
+    set: avg degree ~3.6, 64 walks to depth 3); unbounded reachability at
+    100 TB belongs to the distinct-frontier iterative operators (q78's
+    pointer jumping), not recursion. The MIN(depth) aggregate collapses
+    the walk multiset exactly as BFS would."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q247_lineitem")
+    return spark.sql(
+        """
+        WITH p AS (
+          SELECT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM q247_lineitem l1 JOIN q247_lineitem l2 USING (l_orderkey)
+          WHERE l1.l_partkey < l2.l_partkey
+        ),
+        ed AS (SELECT a, b FROM p GROUP BY a, b HAVING COUNT(*) >= 2),
+        e AS (SELECT a AS src, b AS dst FROM ed
+              UNION ALL SELECT b, a FROM ed),
+        seed AS (SELECT MIN(src) AS s FROM e),
+        r0 AS (
+          WITH RECURSIVE r(node, depth) AS (
+            SELECT s, 0 FROM seed
+            UNION ALL
+            SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+            WHERE r.depth < 4
+          )
+          SELECT node, MIN(depth) AS min_depth FROM r GROUP BY node
+        )
+        SELECT min_depth, COUNT(*) AS n_nodes FROM r0 GROUP BY min_depth
+        """
     )
