@@ -110,7 +110,21 @@ ANNOTATED = {
     "is confined to each source stream, never a global ordering.",
     "q187_embedding_quantize": "per-vector int8 quantization: ZERO "
     "exchanges — a single Project over the scan with higher-order array "
-    "expressions; embarrassingly row-parallel at any corpus size.",
+    "expressions; embarrassingly row-parallel at any corpus size (one "
+    "round-robin exchange appears only on the single-split local bench "
+    "input, see the q202 pattern).",
+    "q233_ks_two_sample": "KS via two-phase parallel prefix scan: the only "
+    "data-sized exchanges are the groupBy on distinct values and ONE "
+    "rangepartitioning; the per-partition windows run in parallel and the "
+    "offset window is over |partitions| rows — no single-reducer global "
+    "window anywhere.",
+    "q240_bm25_topk": "BM25: the term IN-filter reaches the scan side "
+    "before the tf groupBy — the corpus never shuffles, only the 3 "
+    "posting lists; df and (N, avgdl) join as broadcasts; top-10 is "
+    "TakeOrderedAndProject.",
+    "q243_weighted_median": "grouped weighted median: distinct-value "
+    "weight collapse first, then per-group windows over the SAME "
+    "partitioning (one exchange reused by both window frames).",
 }
 
 
