@@ -9642,3 +9642,506 @@ def q247_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min_depth, COUNT(*) AS n_nodes FROM r0 GROUP BY min_depth
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 18 — Naive Bayes classifier, Kaplan–Meier, A/B readout, link
+# prediction, spend distribution windows
+# ---------------------------------------------------------------------------
+@register(
+    "q248_naive_bayes_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, (doc_id % 5 = 0) AS is_test,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                w -> w <> '')) AS word
+      FROM documents
+    ),
+    train_wl AS (
+      SELECT lang, word, COUNT(*) AS cnt FROM toks WHERE NOT is_test
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT word FROM train_wl),
+    vsize AS (SELECT COUNT(*) AS v FROM vocab),
+    lang_tot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tok FROM train_wl GROUP BY 1
+    ),
+    priors AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM toks WHERE NOT is_test
+      GROUP BY 1
+    ),
+    ptot AS (SELECT SUM(nd) AS n_train FROM priors),
+    test_tf AS (
+      SELECT doc_id, lang AS true_lang, word, COUNT(*) AS tf
+      FROM toks WHERE is_test GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT t.doc_id, t.true_lang, lt.lang,
+             t.tf * CAST(ROUND(LN(
+               (COALESCE(w.cnt, 0) + 1) / CAST(lt.tok + v AS DOUBLE)), 9)
+               AS DECIMAL(16,9)) AS term
+      FROM test_tf t
+      CROSS JOIN lang_tot lt CROSS JOIN vsize
+      LEFT JOIN train_wl w ON w.lang = lt.lang AND w.word = t.word
+    ),
+    scores AS (
+      SELECT doc_id, true_lang, terms.lang,
+             SUM(term)
+               + MAX(CAST(ROUND(LN(nd / CAST(n_train AS DOUBLE)), 9)
+                          AS DECIMAL(16,9))) AS score
+      FROM terms JOIN priors ON priors.lang = terms.lang, ptot
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q248_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NAIVE BAYES language classifier, trained and scored
+    entirely in aggregation algebra (no ML library): add-1-smoothed word
+    likelihoods from an 80% train split (doc_id % 5), log-score every
+    test doc under all 5 languages, argmax, confusion matrix. The LEARNED
+    counterpart of q36/q210's heuristic marker scorer — and evidence that
+    'training' a bag-of-words model is just groupBy + join + sum at any
+    corpus size.
+
+    Scale shape: train collapses to (lang, word) counts (word-count
+    shuffle); scoring joins the test token frequencies against that table
+    per language — a plain shuffle join on word, never a corpus
+    broadcast; priors/vocab-size are 1-row or |langs|-row broadcasts.
+    Float path: each ln is quantized to DECIMAL(16,9) pre-sum (q170
+    convention) so per-doc score sums are order-independent; argmax ties
+    break lexicographically."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        F.explode(F.filter(tokens("text"), lambda w: w != "")).alias("word"),
+    )
+    train = toks.where(~F.col("is_test"))
+    test = toks.where(F.col("is_test"))
+    train_wl = train.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    vsize = train_wl.select("word").distinct().agg(F.count(F.lit(1)).alias("v"))
+    lang_tot = train_wl.groupBy("lang").agg(F.sum("cnt").alias("tok"))
+    priors = train.groupBy("lang").agg(F.count_distinct("doc_id").alias("nd"))
+    ptot = priors.agg(F.sum("nd").alias("n_train"))
+    test_tf = test.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "word"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w = (
+        train_wl.withColumnRenamed("lang", "w_lang")
+        .withColumnRenamed("word", "w_word")
+        .withColumnRenamed("cnt", "w_cnt")
+    )
+    terms = (
+        test_tf.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vsize))
+        .join(
+            w,
+            (F.col("w_lang") == F.col("lang"))
+            & (F.col("w_word") == F.col("word")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("w_cnt"), F.lit(0)) + 1)
+                        / (F.col("tok") + F.col("v")).cast("double")
+                    ),
+                    9,
+                ).cast("decimal(16,9)")
+            ).alias("term"),
+        )
+    )
+    scores = (
+        terms.join(F.broadcast(priors), "lang")
+        .join(F.broadcast(ptot))
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            (
+                F.sum("term")
+                + F.max(
+                    F.round(
+                        F.log(F.col("nd") / F.col("n_train").cast("double")), 9
+                    ).cast("decimal(16,9)")
+                )
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    )
+    pred = scores.withColumn("rn", rn).where(F.col("rn") == 1)
+    return pred.groupBy(
+        "true_lang", F.col("lang").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q249_kaplan_meier",
+    oracle="""
+    WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+    users AS (
+      SELECT user_id,
+             DATE_DIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               AS duration,
+             (MAX(CAST(ts AS DATE)) < mx - INTERVAL 7 DAY)::INT AS ev
+      FROM events, horizon GROUP BY user_id, mx
+    ),
+    by_t AS (
+      SELECT duration AS t, SUM(ev) AS d, COUNT(*) AS obs
+      FROM users GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             SUM(obs) OVER (ORDER BY t DESC) AS n_at_risk
+      FROM by_t
+    ),
+    terms AS (
+      SELECT t, d, n_at_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(16,9))
+                  WHEN d < n_at_risk THEN
+                    CAST(ROUND(LN(1.0 - d / CAST(n_at_risk AS DOUBLE)), 9)
+                         AS DECIMAL(16,9))
+                  ELSE NULL END AS lnterm
+      FROM risk
+    ),
+    curve AS (
+      SELECT t, d, n_at_risk,
+             SUM(lnterm) OVER (ORDER BY t) AS cum_ln,
+             MAX(CASE WHEN lnterm IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS hit_zero
+      FROM terms
+    )
+    SELECT t AS duration_days, d AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(EXP(CAST(cum_ln AS DOUBLE)), 6) END AS survival
+    FROM curve
+    """,
+)
+def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN–MEIER survival curve over user lifetimes: duration =
+    first→last active day, event = churn (last activity more than 7 days
+    before the horizon), right-censored otherwise — the standard
+    retention-survival readout (the principled upgrade of q99's cohort
+    grid). S(t) = Π_{tᵢ≤t}(1 − dᵢ/nᵢ) computed as exp of a cumulative sum
+    of quantized logs, with the exact d=n → S=0 absorbing case.
+
+    Scale shape: the feed collapses to one row per user, then to one row
+    per DISTINCT DURATION — bounded by the observation span in days, so
+    the two ordered windows (reverse at-risk cumsum, forward log cumsum)
+    run over a calendar-bounded frame, not data (the q235/q241 bounded-
+    axis argument). Logs quantize to DECIMAL(16,9) pre-sum; one exp +
+    round6 per emitted point."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    users = (
+        e.join(F.broadcast(horizon))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+                "duration"
+            ),
+            (F.max(F.to_date("ts")) < F.date_sub(F.col("mx"), 7))
+            .cast("int")
+            .alias("ev"),
+        )
+    )
+    by_t = users.groupBy(F.col("duration").alias("t")).agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("obs")
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.select(
+        "t", "d", F.sum("obs").over(w_desc).alias("n_at_risk")
+    )
+    lnterm = (
+        F.when(F.col("d") == 0, F.lit(0).cast("decimal(16,9)"))
+        .when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(
+                F.log(1.0 - F.col("d") / F.col("n_at_risk").cast("double")), 9
+            ).cast("decimal(16,9)"),
+        )
+        .otherwise(F.lit(None).cast("decimal(16,9)"))
+    )
+    terms = risk.select("t", "d", "n_at_risk", lnterm.alias("lnterm"))
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = terms.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.sum("lnterm").over(w_asc).alias("cum_ln"),
+        F.max(F.when(F.col("lnterm").isNull(), 1).otherwise(0))
+        .over(w_asc)
+        .alias("hit_zero"),
+    )
+    return curve.select(
+        F.col("t").alias("duration_days"),
+        F.col("d").alias("n_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
+        .alias("survival"),
+    )
+
+
+@register(
+    "q250_ab_test_readout",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 180
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(conv) AS conversions FROM assign
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 0 THEN conversions END) AS c0,
+        MAX(CASE WHEN arm = 1 THEN conversions END) AS c1
+      FROM arms
+    )
+    SELECT n0, n1, c0, c1,
+           ROUND(c0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+           ROUND(c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             ROUND((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+                   / SQRT(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                          * (1.0 / n0 + 1.0 / n1)), 6)
+           END AS z_score
+    FROM wide
+    """,
+)
+def q250_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READOUT: deterministic 50/50 assignment (user_id
+    parity — hash-bucket assignment in production; parity keeps the twin
+    engines identical), conversion = any purchase, pooled two-proportion
+    z-test — the experimentation primitive on top of this engine's
+    aggregation layer, sibling of the inference family (chi² q31, ANOVA
+    q32, KS q233, MWU q234).
+
+    Scale shape: one per-user collapse, one |arms|-row aggregate, then
+    1-row arithmetic. Counts exact; rates and z single float expressions
+    over them (round6), identically associated both engines."""
+    assign = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 180),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("conversions")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("conversions"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("conversions"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
+    z = (p1 - p0) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.when(
+            (F.col("c0") + F.col("c1") > 0)
+            & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+            F.round(z, 6),
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "q251_link_prediction",
+    oracle="""
+    WITH p AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey
+    ),
+    ed AS (SELECT a, b FROM p GROUP BY a, b HAVING COUNT(*) >= 2),
+    adj AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY 1),
+    cn AS (
+      SELECT a1.dst AS a, a2.dst AS b, COUNT(*) AS common
+      FROM adj a1 JOIN adj a2 ON a1.src = a2.src AND a1.dst < a2.dst
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT cn.a, cn.b, common FROM cn
+      LEFT JOIN ed ON ed.a = cn.a AND ed.b = cn.b
+      WHERE ed.a IS NULL
+    )
+    SELECT cand.a, cand.b, common,
+           ROUND(common / CAST(da.deg + db.deg - common AS DOUBLE), 6)
+             AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg db ON db.node = cand.b
+    ORDER BY jaccard DESC, a, b LIMIT 20
+    """,
+)
+def q251_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003): for non-adjacent part pairs sharing neighbors in the
+    co-purchase graph, score |N(a)∩N(b)| / |N(a)∪N(b)| and rank the top
+    20 — the "customers who bought these also buy…" primitive, rounding
+    out the graph family (reachability q78, centrality q103, density
+    q160/q229, community q239, now prediction).
+
+    Scale shape: common neighbors enumerate length-2 paths — one
+    self-join of the adjacency list on the middle node (Σ deg² wedges;
+    on skewed graphs cap or orient by degree exactly as q160 does, noted
+    not hidden); existing edges leave by anti join; degrees broadcast.
+    Score is one division over exact counts (round6), ties break on the
+    pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    ed = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b")
+    )
+    adj = ed.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        ed.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a1 = adj.select(F.col("src").alias("x"), F.col("dst").alias("a"))
+    a2 = adj.select(F.col("src").alias("x"), F.col("dst").alias("b"))
+    cn = (
+        a1.join(a2, "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = cn.join(ed, ["a", "b"], "left_anti")
+    da = deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db")
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(20)
+    )
+
+
+@register(
+    "q252_spend_distribution",
+    oracle="""
+    WITH spend AS (
+      SELECT c_mktsegment AS segment, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS m
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, o_custkey, m,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY m DESC, o_custkey) AS rn,
+             ROUND(PERCENT_RANK() OVER (PARTITION BY segment
+                                        ORDER BY m DESC, o_custkey), 6)
+               AS pct_rank,
+             ROUND(CUME_DIST() OVER (PARTITION BY segment
+                                     ORDER BY m DESC, o_custkey), 6)
+               AS cume
+      FROM spend
+    )
+    SELECT segment, o_custkey, m AS spend, rn, pct_rank, cume
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q252_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 spenders per market segment with their PERCENT_RANK and
+    CUME_DIST — the remaining two members of the ranking-window family
+    (row_number/rank/dense_rank/ntile covered in operators/windows.py;
+    these two are the distribution positions a leaderboard or pricing
+    analysis quotes).
+
+    Scale shape: per-customer collapse first, then ONE per-segment
+    window partitioning serves all three window functions (row_number
+    prunes to 5 rows per segment after); the order includes the key so
+    ties are total. Spend is decimal-exact cast once; the two ratios
+    round6."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("m")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("m"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "segment",
+        "o_custkey",
+        F.col("m").alias("spend"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    return ranked.where(F.col("rn") <= 5)
