@@ -10145,3 +10145,339 @@ def q252_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
     return ranked.where(F.col("rn") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Wave 19 — Gini concentration, Benford digit test, mutual information,
+# split-conformal intervals
+# ---------------------------------------------------------------------------
+@register(
+    "q253_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c_mktsegment AS segment, o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DECIMAL(28,4))
+               AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+    ),
+    runs AS (
+      SELECT segment, x, COUNT(*) AS c FROM spend GROUP BY 1, 2
+    ),
+    pref AS (
+      SELECT segment, x, c,
+             CAST(SUM(c) OVER (PARTITION BY segment ORDER BY x) - c
+                  AS BIGINT) AS b
+      FROM runs
+    ),
+    agg AS (
+      SELECT segment,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(x * c) AS DOUBLE) AS s0,
+             CAST(SUM(x * (c * b + (c * (c + 1)) // 2)) AS DOUBLE) AS s1
+      FROM pref GROUP BY segment
+    )
+    SELECT segment, n,
+           ROUND(s0, 4) AS total_spend,
+           ROUND(2.0 * s1 / (n * s0) - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def q253_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer-spend concentration per market
+    segment — the inequality metric behind 'top-1% of customers' claims,
+    complementing q163's Pareto/ABC cut with the full-distribution
+    number. Rank-weighted form G = 2·Σ i·xᵢ/(n·Σx) − (n+1)/n on the
+    ascending sort, computed WITHOUT materializing ranks: collapse to
+    distinct (segment, value) runs, take prefix counts per segment, and
+    each run contributes x·(c·before + c(c+1)/2) — exact integer×decimal
+    algebra, one per-segment window over distinct values.
+
+    Scale shape: per-customer collapse, per-(segment,value) collapse,
+    ONE per-segment window (partition-parallel), one groupBy. Float
+    enters only in the final ratio (identical exact-decimal-sourced
+    doubles both engines, round6)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("decimal(28,4)")
+            .alias("x")
+        )
+    )
+    runs = spend.groupBy("segment", "x").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("segment").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pref = runs.select(
+        "segment",
+        "x",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("b"),
+    )
+    aggd = pref.groupBy("segment").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("c")).cast("double").alias("s0"),
+        F.sum(
+            F.col("x")
+            * (
+                F.col("c") * F.col("b")
+                + F.floor((F.col("c") * (F.col("c") + 1)) / 2).cast("long")
+            )
+        )
+        .cast("double")
+        .alias("s1"),
+    )
+    n = F.col("n")
+    return aggd.select(
+        "segment",
+        "n",
+        F.round(F.col("s0"), 4).alias("total_spend"),
+        F.round(
+            2.0 * F.col("s1") / (n * F.col("s0")) - (n + 1.0) / n, 6
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q254_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(printf('%.4f', o_totalprice), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_obs,
+           ROUND(n * LOG10(1.0 + 1.0 / digit), 6) AS expected,
+           ROUND((n_obs - n * LOG10(1.0 + 1.0 / digit))
+                 * (n_obs - n * LOG10(1.0 + 1.0 / digit))
+                 / (n * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM obs, tot
+    """,
+)
+def q254_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals: observed digit
+    counts vs n·log₁₀(1+1/d) with per-digit χ² contributions — the
+    classic forensic-accounting / synthetic-data smell test (this corpus
+    is uniform-ish, so the query's JOB is to show the deviation, not to
+    pass it). First digit comes from C-format printf('%.4f') on BOTH
+    engines — identical strings, no log10-at-power-of-ten boundary
+    hazard.
+
+    Scale shape: one map + one 9-group aggregate + a 1-row total
+    broadcast. Expected counts and χ² terms are single float expressions
+    over exact integers (round6)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.format_string("%.4f", F.col("o_totalprice")), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.col("n") * F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.join(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@register(
+    "q255_mutual_information",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow
+      FROM events
+    ),
+    joint AS (SELECT event_type, dow, COUNT(*) AS nxy FROM base GROUP BY 1, 2),
+    mx AS (SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1),
+    my AS (SELECT dow, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint)
+    SELECT joint.event_type, joint.dow, nxy,
+           ROUND(LN(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE))), 6)
+             AS pmi,
+           CAST(ROUND((nxy / CAST(n AS DOUBLE))
+                 * LN(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE))), 9)
+                AS DECIMAL(16,9)) AS mi_term
+    FROM joint
+    JOIN mx ON mx.event_type = joint.event_type
+    JOIN my ON my.dow = joint.dow, tot
+    """,
+)
+def q255_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event type and day-of-week: per-cell
+    PMI and the quantized MI contribution (their sum is the MI the
+    feature screen reports) — the information-theoretic sibling of the
+    WoE/IV screen (q246: binary label; MI: any two categoricals) and of
+    q200's DSIR log-likelihood ratios.
+
+    Scale shape: one joint-count groupBy; marginals reduce FROM the
+    joint table (never a second scan of the feed); |cells| ≈ 5×7 rows of
+    float arithmetic. ln terms quantize to DECIMAL(16,9) per the q170
+    convention so any downstream sum is order-independent."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", (F.weekday(F.to_date("ts")) + 1).cast("long").alias("dow")
+    )
+    joint = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    mx = joint.groupBy("event_type").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = joint.groupBy("dow").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = joint.agg(F.sum("nxy").cast("long").alias("n"))
+    ratio = (
+        F.col("nxy")
+        * F.col("n").cast("double")
+        / (F.col("nx") * F.col("ny").cast("double"))
+    )
+    return (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "dow")
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "nxy",
+            F.round(F.log(ratio), 6).alias("pmi"),
+            F.round(
+                (F.col("nxy") / F.col("n").cast("double")) * F.log(ratio), 9
+            )
+            .cast("decimal(16,9)")
+            .alias("mi_term"),
+        )
+    )
+
+
+@register(
+    "q256_conformal_interval",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    ),
+    fit AS (
+      SELECT (sxy - sx * sy / CAST(n AS DOUBLE))
+               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS slope,
+             sx, sy, n
+      FROM m
+    ),
+    fit2 AS (
+      SELECT slope, (sy - slope * sx) / CAST(n AS DOUBLE) AS icept FROM fit
+    ),
+    calib AS (
+      SELECT ABS(l_extendedprice - (slope * l_quantity + icept)) AS ar
+      FROM lineitem, fit2 WHERE l_orderkey % 3 = 1
+    ),
+    qhat AS (SELECT ROUND(quantile_cont(ar, 0.9), 6) AS q90,
+                    COUNT(*) AS n_calib FROM calib),
+    test AS (
+      SELECT (ABS(l_extendedprice - (slope * l_quantity + icept)) <= q90)::INT
+               AS hit
+      FROM lineitem, fit2, qhat WHERE l_orderkey % 3 = 2
+    )
+    SELECT ROUND(slope, 6) AS slope,
+           ROUND(icept, 6) AS intercept,
+           q90, n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+    FROM test, fit2, qhat
+    GROUP BY slope, icept, q90, n_calib
+    """,
+)
+def q256_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION interval (Vovk; the
+    distribution-free uncertainty wrapper): fit q33's closed-form OLS on
+    split A (orderkey mod 3), take the 0.9 quantile of absolute
+    residuals on calibration split B, report empirical coverage of
+    ŷ ± q̂ on held-out split C — the finite-sample-valid interval a
+    serving pipeline attaches to any point model, no normality assumed.
+
+    Scale shape: three disjoint pushed-filter scans; the fit is one
+    moment aggregate (q33's decimal-exact sums); calibration is one
+    exact-percentile aggregate; coverage one boolean mean. The
+    comparison threshold is the ROUND6'd quantile on both engines, so
+    interpolation ULP cannot flip a boundary point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    train = li.where(F.col("l_orderkey") % 3 == 0)
+    m = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.col("l_extendedprice").cast("decimal(18,2)")
+        ).cast("double").alias("sxy"),
+    )
+    nf = F.col("n").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / nf) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / nf
+    )
+    fit = m.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / nf).alias("icept"),
+    )
+    calib = (
+        li.where(F.col("l_orderkey") % 3 == 1)
+        .join(F.broadcast(fit))
+        .select(
+            F.abs(
+                F.col("l_extendedprice")
+                - (F.col("slope") * F.col("l_quantity") + F.col("icept"))
+            ).alias("ar")
+        )
+    )
+    qhat = calib.agg(
+        F.round(F.expr("percentile(ar, 0.9)"), 6).alias("q90"),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    test = (
+        li.where(F.col("l_orderkey") % 3 == 2)
+        .join(F.broadcast(fit))
+        .join(F.broadcast(qhat))
+        .select(
+            "slope",
+            "icept",
+            "q90",
+            "n_calib",
+            (
+                F.abs(
+                    F.col("l_extendedprice")
+                    - (F.col("slope") * F.col("l_quantity") + F.col("icept"))
+                )
+                <= F.col("q90")
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+    )
+    return test.groupBy("slope", "icept", "q90", "n_calib").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.sum("hit") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "coverage"
+        ),
+    ).select(
+        F.round(F.col("slope"), 6).alias("slope"),
+        F.round(F.col("icept"), 6).alias("intercept"),
+        "q90",
+        "n_calib",
+        "n_test",
+        "coverage",
+    )
