@@ -330,7 +330,8 @@ def kcenter_select(
         )
         state = cut_lineage(state)
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [(s, i, (round(r, 6) if r is not None else None)) for s, i, r in chosen],
-        f"step int, {id_col} long, radius double",
+        f"step int, {id_col} {id_type}, radius double",
     )

@@ -325,3 +325,26 @@ def label_propagation(
         labels = cut_lineage(labels)
     e.unpersist()
     return labels
+
+
+def copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """The registry's shared co-purchase EDGE SET: undirected (a < b) part
+    pairs appearing in at least ``min_orders`` lineitem-row pairs of the
+    same order (multiset semantics: a part listed twice in one order
+    weights its pairs twice — the join-based count). Single definition
+    consumed by triangles (q160), k-core (q229), LPA (q239), link
+    prediction (q251) and mirrored in q247's recursive SQL — change the
+    threshold or add degree capping HERE and every graph query moves
+    together.
+
+    Shape: one self-equi-join on the order key + one pair groupBy."""
+    l1 = lineitem.select("l_orderkey", F.col("l_partkey").alias("a"))
+    l2 = lineitem.select("l_orderkey", F.col("l_partkey").alias("b"))
+    return (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_orders)
+        .select("a", "b")
+    )

@@ -100,10 +100,20 @@ def global_prefix_sum(
 
     Result is partitioning-independent, so the downstream hash is stable
     even though range boundaries come from sampling.
+
+    The ``part`` frame is consumed by BOTH the per-partition window and
+    the totals aggregate; their ``__pid`` values must come from the SAME
+    range exchange (two independently-sampled exchanges could draw
+    different boundaries, silently mismatching offsets). Exchange reuse
+    normally guarantees that, but it is a fragile optimizer property
+    (``spark.sql.exchange.reuse=false``, a cache on one branch); the lazy
+    persist pins one materialization regardless — the q38 lazy-persist
+    convention, cleared by bench/cut_lineage hygiene.
     """
     part = df.repartitionByRange(F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
+    part = part.persist()
     w = (
         W.partitionBy("__pid")
         .orderBy(order_col)

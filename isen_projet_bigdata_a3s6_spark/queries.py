@@ -4923,16 +4923,9 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
-    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
-    edges = (
-        l1.join(l2, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("a", "b")
-    )
+    from .operators.graph import copurchase_edges
+
+    edges = copurchase_edges(li)
     return triangle_count(edges)
 
 
@@ -8443,16 +8436,9 @@ def q229_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import kcore
 
     li = load_table(spark, sf_dir, "lineitem")
-    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
-    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
-    edges = (
-        l1.join(l2, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("a", "b")
-    )
+    from .operators.graph import copurchase_edges
+
+    edges = copurchase_edges(li)
     return kcore(edges, k=3)
 
 
@@ -8953,7 +8939,10 @@ def q235_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(day, '%Y-%m-%d') AS day,
            ROUND(CAST(s AS DOUBLE) / SQRT(ssd), 6) AS cusum_norm
     FROM cum, ss
-    ORDER BY ABS(CAST(s AS DOUBLE) / SQRT(ssd)) DESC, day
+    -- order by the ROUNDED statistic (as the Spark side does): two days
+    -- differing only past the 6th decimal at the top-5 cutoff must
+    -- resolve by the same tie-break on both engines
+    ORDER BY ABS(ROUND(CAST(s AS DOUBLE) / SQRT(ssd), 6)) DESC, day
     LIMIT 5
     """,
 )
@@ -9077,16 +9066,9 @@ def q239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
 
     li = load_table(spark, sf_dir, "lineitem")
-    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
-    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
-    edges = (
-        l1.join(l2, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("a", "b")
-    )
+    from .operators.graph import copurchase_edges
+
+    edges = copurchase_edges(li)
     labels = label_propagation(edges)
     return (
         labels.groupBy("label")
@@ -9944,8 +9926,10 @@ def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q250_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B EXPERIMENT READOUT: deterministic 50/50 assignment (user_id
     parity — hash-bucket assignment in production; parity keeps the twin
-    engines identical), conversion = any purchase, pooled two-proportion
-    z-test — the experimentation primitive on top of this engine's
+    engines identical), conversion = any HIGH-VALUE purchase (value >
+    180 — the plain any-purchase rate saturates at 1.0 on this feed and
+    degenerates the z variance), pooled two-proportion z-test — the
+    experimentation primitive on top of this engine's
     aggregation layer, sibling of the inference family (chi² q31, ANOVA
     q32, KS q233, MWU q234).
 
@@ -10040,16 +10024,9 @@ def q251_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Score is one division over exact counts (round6), ties break on the
     pair."""
     li = load_table(spark, sf_dir, "lineitem")
-    l1 = li.select("l_orderkey", F.col("l_partkey").alias("a"))
-    l2 = li.select("l_orderkey", F.col("l_partkey").alias("b"))
-    ed = (
-        l1.join(l2, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("a", "b")
-    )
+    from .operators.graph import copurchase_edges
+
+    ed = copurchase_edges(li)
     adj = ed.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         ed.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

@@ -59,12 +59,18 @@ def ks_two_sample(df: DataFrame, value: str, group: Column) -> DataFrame:
     counts = _group_value_counts(df, value, group)
     cum = global_prefix_sum(counts, "v", ["d1", "d2"])
     totals = cum.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    # widen to DECIMAL(38,0) before the cross products: at the 100 TB
+    # regime this module targets, c1*n2 with per-group counts ~3e9 is
+    # ~9e20 > Long.MAX — bigint math would abort (ANSI) or wrap.
+    # DuckDB's SUM already yields INT128, so only the Spark side widens.
+    dec = "decimal(38,0)"
     scored = cum.join(F.broadcast(totals)).select(
         "v",
         "n1",
         "n2",
         F.abs(
-            F.col("d1_cum") * F.col("n2") - F.col("d2_cum") * F.col("n1")
+            F.col("d1_cum").cast(dec) * F.col("n2")
+            - F.col("d2_cum").cast(dec) * F.col("n1")
         ).alias("scaled_gap"),
     )
     best = scored.groupBy("n1", "n2").agg(F.max("scaled_gap").alias("max_gap"))
@@ -74,10 +80,9 @@ def ks_two_sample(df: DataFrame, value: str, group: Column) -> DataFrame:
         .groupBy("n1", "n2", "max_gap")
         .agg(F.min("v").alias("d_location"))
     )
-    d = F.col("max_gap") / (F.col("n1") * F.col("n2"))
-    thresh = F.lit(1.358) * F.sqrt(
-        (F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2")).cast("double")
-    )
+    n1n2 = (F.col("n1").cast(dec) * F.col("n2")).cast("double")
+    d = F.col("max_gap").cast("double") / n1n2
+    thresh = F.lit(1.358) * F.sqrt((F.col("n1") + F.col("n2")) / n1n2)
     return loc.select(
         "n1",
         "n2",
@@ -110,25 +115,33 @@ def mannwhitney_u(df: DataFrame, value: str, group: Column) -> DataFrame:
         "t",
         (F.col("t_cum") - F.col("t")).alias("before"),
     )
+    # DECIMAL(38,0) accumulators: d1*(2*before+t+1) has per-term magnitude
+    # ~3n and total ~3*n1*n (~5e20 at the 100 TB regime) — beyond bigint.
+    dec = "decimal(38,0)"
     aggd = terms.agg(
         F.sum("d1").alias("n1"),
         F.sum(F.col("t") - F.col("d1")).alias("n2"),
         F.sum(
-            F.col("d1") * (F.lit(2) * F.col("before") + F.col("t") + F.lit(1))
+            F.col("d1").cast(dec)
+            * (F.lit(2) * F.col("before") + F.col("t") + F.lit(1))
         ).alias("two_r1"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_sum"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_sum"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
     n = n1 + n2
-    two_u1 = F.col("two_r1") - n1 * (n1 + 1)  # 2·U1, exact integer
-    u1 = two_u1 / F.lit(2.0)
-    mean_u = (n1 * n2).cast("double") / 2.0
-    var_u = (n1 * n2).cast("double") / 12.0 * (
+    two_u1 = F.col("two_r1") - n1.cast(dec) * (n1 + 1)  # 2·U1, exact integer
+    u1 = two_u1.cast("double") / 2.0
+    n1n2 = (n1.cast(dec) * n2).cast("double")
+    mean_u = n1n2 / 2.0
+    var_u = n1n2 / 12.0 * (
         (n + 1).cast("double")
-        - F.col("tie_sum").cast("double") / (n * (n - 1)).cast("double")
+        - F.col("tie_sum").cast("double")
+          / (n.cast(dec) * (n - 1)).cast("double")
     )
     z = (u1 - mean_u) / F.sqrt(var_u)
-    rb = F.lit(1.0) - two_u1.cast("double") / (n1 * n2).cast("double")
+    rb = F.lit(1.0) - two_u1.cast("double") / n1n2
     return aggd.select(
         "n1",
         "n2",
