@@ -10458,3 +10458,433 @@ def q256_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test",
         "coverage",
     )
+
+
+# --- wave 20: ML evaluation curves, association rules, rank correlation,
+#     co-occurrence PMI ---
+
+
+@register(
+    "q257_roc_curve",
+    oracle="""
+    WITH lab AS (
+      SELECT l_quantity AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT score, CAST(SUM(y) AS BIGINT) AS tp_at,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS fp_at
+      FROM lab GROUP BY score
+    ),
+    c AS (
+      SELECT score, tp_at, fp_at,
+             CAST(SUM(tp_at) OVER (ORDER BY score DESC) AS BIGINT) AS tp_cum,
+             CAST(SUM(fp_at) OVER (ORDER BY score DESC) AS BIGINT) AS fp_cum
+      FROM g
+    ),
+    t AS (SELECT CAST(SUM(tp_at) AS BIGINT) AS p,
+                 CAST(SUM(fp_at) AS BIGINT) AS nn FROM g)
+    SELECT score, tp_at, fp_at,
+           ROUND(tp_cum / CAST(p AS DOUBLE), 6) AS tpr,
+           ROUND(fp_cum / CAST(nn AS DOUBLE), 6) AS fpr,
+           CAST(ROUND(fp_at * (2 * tp_cum - tp_at)
+                      / (2.0 * p * nn), 9) AS DECIMAL(16,9)) AS auc_term
+    FROM c, t
+    """,
+)
+def q257_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC CURVE + trapezoidal AUC of a ranking score against a binary
+    label (score = l_quantity ranking l_returnflag='R') — the standard
+    threshold-free classifier readout; SUM(auc_term) is the exact
+    tie-corrected AUC (= the Mann-Whitney U statistic q234 computes,
+    here in its geometric form with the full operating curve attached).
+
+    Scale shape: collapse to DISTINCT SCORES first (the curve has one
+    point per threshold, never one per row), then the cumulative TP/FP
+    counts run through ``global_prefix_sum`` — the two-phase parallel
+    prefix scan — so no single-reducer window exists even for
+    high-resolution scores. Trapezoid terms need NO lag: with per-score
+    increments tp_at/fp_at in hand, prev_tp = tp_cum - tp_at, so each
+    term is fp_at·(2·tp_cum - tp_at) — exact integers until the one
+    final division (DECIMAL(16,9), order-independent downstream sum)."""
+    from .operators.windows import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        F.col("l_quantity").alias("score"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    g = lab.groupBy("score").agg(
+        F.sum("y").cast("long").alias("tp_at"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("fp_at"),
+    )
+    # prefix scan runs ascending; order by the negated score for the
+    # conventional high-score-first sweep
+    cum = global_prefix_sum(
+        g.withColumn("negscore", -F.col("score")), "negscore", ["tp_at", "fp_at"]
+    ).select(
+        "score",
+        "tp_at",
+        "fp_at",
+        F.col("tp_at_cum").cast("long").alias("tp_cum"),
+        F.col("fp_at_cum").cast("long").alias("fp_cum"),
+    )
+    tot = g.agg(
+        F.sum("tp_at").cast("long").alias("p"),
+        F.sum("fp_at").cast("long").alias("nn"),
+    )
+    return cum.join(F.broadcast(tot)).select(
+        "score",
+        "tp_at",
+        "fp_at",
+        F.round(F.col("tp_cum") / F.col("p").cast("double"), 6).alias("tpr"),
+        F.round(F.col("fp_cum") / F.col("nn").cast("double"), 6).alias("fpr"),
+        F.round(
+            F.col("fp_at")
+            * (2 * F.col("tp_cum") - F.col("tp_at"))
+            / (2.0 * F.col("p") * F.col("nn")),
+            9,
+        )
+        .cast("decimal(16,9)")
+        .alias("auc_term"),
+    )
+
+
+@register(
+    "q258_calibration_bins",
+    oracle="""
+    WITH lab AS (
+      SELECT LEAST(CAST(FLOOR(l_quantity / 5.0) AS INT), 9) AS bin,
+             CAST(l_quantity AS DECIMAL(18,4)) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(q) AS DOUBLE) / (50.0 * COUNT(*)), 6) AS mean_p,
+           ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos,
+           ROUND(CAST(SUM((q - 50 * y) * (q - 50 * y)) AS DOUBLE)
+                 / (2500.0 * COUNT(*)), 6) AS brier
+    FROM lab GROUP BY bin
+    """,
+)
+def q258_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION / RELIABILITY DIAGRAM + per-bin Brier score for a
+    probability-like score (p = l_quantity/50 predicting
+    l_returnflag='R'): per decile-of-p bin, the mean predicted
+    probability vs the observed positive fraction, plus the bin's Brier
+    contribution — the standard probabilistic-forecast readout next to
+    q257's threshold-free ROC.
+
+    Exactness: NO libm anywhere. p is the rational q/50, so
+    mean_p = Σq/(50n) and the Brier sum expands to Σ(q-50y)²/(2500n) —
+    decimal-exact sums with ONE final correctly-rounded division each
+    (round6). Binning is floor(q/5) on integral quantities: no
+    float-boundary hazard for either engine.
+
+    Scale shape: a single 10-group map-side-combining aggregate — the
+    cheapest possible plan for this readout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        F.least(F.floor(F.col("l_quantity") / 5.0).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        F.col("l_quantity").cast("decimal(18,4)").alias("q"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum("q").cast("double") / (50.0 * F.count(F.lit(1))), 6
+        ).alias("mean_p"),
+        F.round(F.sum("y") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "frac_pos"
+        ),
+        F.round(
+            F.sum((F.col("q") - 50 * F.col("y")) * (F.col("q") - 50 * F.col("y")))
+            .cast("double")
+            / (2500.0 * F.count(F.lit(1))),
+            6,
+        ).alias("brier"),
+    )
+
+
+@register(
+    "q259_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey % 50 AS cat
+      FROM lineitem
+    ),
+    items AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS c_item
+              FROM baskets GROUP BY cat),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM baskets),
+    pairs AS (
+      SELECT a.cat AS cat_a, b.cat AS cat_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.okey = b.okey AND a.cat < b.cat
+      GROUP BY 1, 2
+    )
+    SELECT cat_a, cat_b, n_ab,
+           ROUND(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+           ROUND(n_ab / CAST(ia.c_item AS DOUBLE), 6) AS conf_a_b,
+           ROUND(n_ab / CAST(ib.c_item AS DOUBLE), 6) AS conf_b_a,
+           ROUND(n_ab * CAST(n_orders AS DOUBLE)
+                 / (ia.c_item * CAST(ib.c_item AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN items ia ON ia.cat = cat_a
+    JOIN items ib ON ib.cat = cat_b, n
+    WHERE n_ab >= 25
+    """,
+)
+def q259_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET ASSOCIATION RULES (support / confidence both
+    directions / lift) over order baskets, items rolled up to part
+    categories (l_partkey mod 50) so co-occurrence is dense enough to
+    rank — the Apriori-style readout for cross-sell and
+    co-curriculum-mixing decisions.
+
+    Scale shape: baskets collapse to DISTINCT (order, category) first
+    (one shuffle); pair generation is a self-equi-join ON THE ORDER KEY,
+    so its cost is Σ basket_size², bounded by |categories|² per order —
+    never a corpus cross product. Item marginals reduce to |categories|
+    rows and broadcast; the lift arithmetic is pure IEEE mul/div over
+    exact integer counts (identical across engines — no libm). A
+    min-support floor (n_ab ≥ 25) is applied BEFORE output, and the
+    result carries every surviving cell rather than a float-ordered
+    top-k, so no cross-engine ordering hazard exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("okey"),
+            (F.col("l_partkey") % 50).alias("cat"),
+        )
+        .distinct()
+    )
+    items = baskets.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("c_item")
+    )
+    n = baskets.agg(
+        F.countDistinct("okey").cast("long").alias("n_orders")
+    )
+    b2 = baskets.select(F.col("okey"), F.col("cat").alias("cat_b"))
+    pairs = (
+        baskets.join(b2, "okey")
+        .where(F.col("cat") < F.col("cat_b"))
+        .groupBy(F.col("cat").alias("cat_a"), "cat_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 25)
+    )
+    ia = items.select(F.col("cat").alias("cat_a"), F.col("c_item").alias("c_a"))
+    ib = items.select(F.col("cat").alias("cat_b"), F.col("c_item").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ia), "cat_a")
+        .join(F.broadcast(ib), "cat_b")
+        .join(F.broadcast(n))
+        .select(
+            "cat_a",
+            "cat_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_orders").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab") / F.col("c_a").cast("double"), 6).alias(
+                "conf_a_b"
+            ),
+            F.round(F.col("n_ab") / F.col("c_b").cast("double"), 6).alias(
+                "conf_b_a"
+            ),
+            F.round(
+                F.col("n_ab")
+                * F.col("n_orders").cast("double")
+                / (F.col("c_a") * F.col("c_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q260_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT l_quantity AS x, l_extendedprice AS yv FROM lineitem
+    ),
+    rx AS (
+      SELECT x, CAST(2 * RANK() OVER (ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS u
+      FROM r
+    ),
+    ry AS (
+      SELECT yv, CAST(2 * RANK() OVER (ORDER BY yv)
+                      + COUNT(*) OVER (PARTITION BY yv) - 1 AS BIGINT) AS w
+      FROM r
+    ),
+    ranked AS (
+      SELECT u, w FROM (
+        SELECT x, yv,
+               ROW_NUMBER() OVER (ORDER BY x, yv) AS rid
+        FROM r
+      ) base
+      JOIN (SELECT DISTINCT x, u FROM rx) dx USING (x)
+      JOIN (SELECT DISTINCT yv, w FROM ry) dy USING (yv)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(u AS DECIMAL(18,0))) AS DOUBLE) AS su,
+             CAST(SUM(CAST(w AS DECIMAL(18,0))) AS DOUBLE) AS sw,
+             CAST(SUM(CAST(u AS DECIMAL(18,0)) * CAST(w AS DECIMAL(18,0))) AS DOUBLE) AS suw,
+             CAST(SUM(CAST(u AS DECIMAL(18,0)) * CAST(u AS DECIMAL(18,0))) AS DOUBLE) AS suu,
+             CAST(SUM(CAST(w AS DECIMAL(18,0)) * CAST(w AS DECIMAL(18,0))) AS DOUBLE) AS sww
+      FROM ranked
+    )
+    SELECT n,
+           ROUND((n * suw - su * sw)
+                 / SQRT((n * suu - su * su) * (n * sww - sw * sw)), 6)
+             AS spearman
+    FROM m
+    """,
+)
+def q260_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION with tie midranks (quantity vs
+    extendedprice) — the monotonic-association sibling of q30's Pearson,
+    robust to any monotone transform and to outliers.
+
+    Scale shape: ranks are NOT computed with a global per-row window.
+    Each variable collapses to DISTINCT VALUES + counts first, the
+    cumulative count runs through ``global_prefix_sum`` (two-phase
+    parallel prefix scan over |distinct| rows), and the midrank joins
+    back to the fact rows by value (quantity's 50-value table
+    broadcasts; the price table shuffle-joins — AQE picks). Doubled
+    midranks 2r = 2·c_less + c_eq + 1 keep everything in exact integers;
+    the moment sums are DECIMAL(38,0)-exact, and the final rho is one
+    float expression (IEEE mul/div + correctly-rounded sqrt — identical
+    on both engines, round6)."""
+    from .operators.windows import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("yv")
+    )
+
+    def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        dv = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        pref = global_prefix_sum(dv, col, ["cnt"])
+        return pref.select(
+            col,
+            (2 * (F.col("cnt_cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("long")
+            .alias(out),
+        )
+
+    ranked = r.join(F.broadcast(midranks(r, "x", "u")), "x").join(
+        midranks(r, "yv", "w"), "yv"
+    )
+    ud = F.col("u").cast("decimal(18,0)")
+    wd = F.col("w").cast("decimal(18,0)")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(ud).cast("double").alias("su"),
+        F.sum(wd).cast("double").alias("sw"),
+        F.sum(ud * wd).cast("double").alias("suw"),
+        F.sum(ud * ud).cast("double").alias("suu"),
+        F.sum(wd * wd).cast("double").alias("sww"),
+    )
+    return m.select(
+        "n",
+        F.round(
+            (F.col("n") * F.col("suw") - F.col("su") * F.col("sw"))
+            / F.sqrt(
+                (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
+                * (F.col("n") * F.col("sww") - F.col("sw") * F.col("sw"))
+            ),
+            6,
+        ).alias("spearman"),
+    )
+
+
+@register(
+    "q261_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(tok) AS w, generate_subscripts(tok, 1) AS p
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.p - a.p IN (1, 2)
+    ),
+    cx AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY w),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pos),
+    cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM pairs GROUP BY 1, 2),
+    np AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS s FROM cxy)
+    SELECT w1, w2, n_xy,
+           ROUND(LN((n_xy / CAST(s AS DOUBLE))
+                    / ((ca.c / CAST(n AS DOUBLE))
+                       * (cb.c / CAST(n AS DOUBLE)))), 6) AS pmi
+    FROM cxy
+    JOIN cx ca ON ca.w = w1
+    JOIN cx cb ON cb.w = w2, nt, np
+    WHERE n_xy >= 50
+    """,
+)
+def q261_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED WORD CO-OCCURRENCE PMI (skip-gram window of 2 forward)
+    over the document corpus — the statistic under PPMI embedding
+    matrices (Levy & Goldberg) and collocation extraction; q255 is the
+    same quantity for two categorical COLUMNS, this is for token pairs
+    inside TEXT.
+
+    Scale shape: pair generation is JOIN-FREE — for each gap g∈{1,2} the
+    pair list is zip_with(slice(tok,1,n-g), slice(tok,g+1,n-g)), pure
+    array codegen inside the row, so the only shuffles are the two
+    groupBy counts. Unigram marginals reduce to |vocab| rows and
+    broadcast. The PMI ratio is composed in the SAME operation order on
+    both engines ((n_xy/S) / ((c_x/N)·(c_y/N)) — IEEE-identical), ln is
+    round6'd per the q255 convention, and the min-count floor (≥ 50)
+    ships every surviving cell with no float-ordered top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tok")
+    )
+
+    def gap_pairs(g: int) -> DataFrame:
+        n = F.size("tok")
+        return toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tok", 1, n - g),
+                    F.slice(F.col("tok"), F.lit(g + 1), n - g),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("pr")
+        ).select("pr.w1", "pr.w2")
+
+    pairs = gap_pairs(1).unionAll(gap_pairs(2))
+    cxy = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    unig = toks.select(F.explode("tok").alias("w"))
+    cx = unig.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nt = unig.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    np_ = cxy.agg(F.sum("n_xy").cast("long").alias("s"))
+    ca = cx.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = cx.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    r1 = F.col("n_xy") / F.col("s").cast("double")
+    r2 = (F.col("c_a") / F.col("n").cast("double")) * (
+        F.col("c_b") / F.col("n").cast("double")
+    )
+    return (
+        cxy.where(F.col("n_xy") >= 50)
+        .join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(np_))
+        .select("w1", "w2", "n_xy", F.round(F.log(r1 / r2), 6).alias("pmi"))
+    )
