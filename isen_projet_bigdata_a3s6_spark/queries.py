@@ -10888,3 +10888,348 @@ def q261_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(np_))
         .select("w1", "w2", "n_xy", F.round(F.log(r1 / r2), 6).alias("pmi"))
     )
+
+
+# --- wave 21: cohort LTV, grouped OLS, compression-ratio quality,
+#     YoY-aligned growth, session path analysis ---
+
+
+@register(
+    "q262_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS DATE)
+               AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+              FROM firsts GROUP BY cohort),
+    facts AS (
+      SELECT f.cohort,
+             CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                  - (year(cohort) * 12 + month(cohort)) AS INT) AS age,
+             CAST(o_totalprice AS DECIMAL(28,4)) AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    monthly AS (
+      SELECT cohort, age, SUM(rev) AS rev FROM facts GROUP BY cohort, age
+    ),
+    cum AS (
+      SELECT cohort, age,
+             CAST(CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS VARCHAR) AS DOUBLE) AS cum_rev
+      FROM monthly
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort, age, n_customers,
+           ROUND(cum_rev, 4) AS cum_rev,
+           ROUND(cum_rev / n_customers, 6) AS ltv
+    FROM cum c JOIN sizes s ON s.cohort = c.cohort
+    """,
+)
+def q262_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVE: cumulative revenue per customer by months since
+    the cohort's first order — the lifetime-value readout next to q99's
+    retention triangle (retention counts WHO returns; LTV accumulates
+    what they SPEND).
+
+    Scale shape: first-order month is one groupBy(custkey) min; facts
+    join back on custkey (shuffle both sides on the key, AQE free to
+    broadcast the cohort table when small); revenue collapses to
+    (cohort, age) BEFORE the cumulative window, which is partitioned BY
+    COHORT over a calendar-bounded axis — parallel across cohorts, never
+    a single reducer. Decimal-exact sums; the cumulative decimal routes
+    through VARCHAR→DOUBLE in the oracle (the window form of the
+    _harden_decimal_to_double rule) so both engines convert
+    correctly-rounded."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.to_date("o_orderdate")))
+        .cast("date")
+        .alias("cohort")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            - (F.year("cohort") * 12 + F.month("cohort"))
+        )
+        .cast("int")
+        .alias("age"),
+        F.col("o_totalprice").cast("decimal(28,4)").alias("rev"),
+    )
+    monthly = facts.groupBy("cohort", "age").agg(F.sum("rev").alias("rev"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = monthly.select(
+        "cohort", "age", F.sum("rev").over(w).cast("double").alias("cum_rev")
+    )
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort"),
+        "age",
+        "n_customers",
+        F.round("cum_rev", 4).alias("cum_rev"),
+        F.round(F.col("cum_rev") / F.col("n_customers"), 6).alias("ltv"),
+    )
+
+
+@register(
+    "q263_grouped_ols",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def q263_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED SIMPLE OLS: per-returnflag slope/intercept/R² of
+    extendedprice on quantity — q33's closed-form fit lifted to one fit
+    PER GROUP in a single aggregate pass (the "many small models" shape:
+    per-segment elasticities, per-tenant trends).
+
+    Scale shape: the entire query is ONE map-side-combining groupBy
+    producing the five decimal-exact moment sums; every fit is then a
+    handful of float expressions over |groups| rows. No per-group
+    iteration, no driver loop — adding a million groups changes nothing
+    but the shuffle width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q2 = F.col("l_quantity").cast("decimal(18,2)")
+    p2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(q2 * q2).cast("double").alias("sxx"),
+        F.sum(q2 * p2).cast("double").alias("sxy"),
+        F.sum(p2 * p2).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "flag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register("q264_compression_ratio")
+def q264_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSION-RATIO QUALITY PROXY (zlib level 6): compressed-bytes /
+    raw-bytes per document, plus a low-complexity flag — the cheap
+    redundancy detector LLM curation stacks run alongside q86's
+    repetition ratios and q201's character entropy (boilerplate and
+    generated spam compress far below prose).
+
+    Rows-only by nature: DuckDB has no zlib. The pinned pytest
+    recomputes ratios with Python's zlib directly and checks ordering
+    invariants (a constant string compresses below a diverse one).
+
+    Scale shape: one Arrow-batched pandas UDF (the sanctioned Python
+    path — zlib is C speed, the batch transfer dominates), zero
+    shuffles; the UDF is a LOCAL closure so a bare out-of-repo session's
+    executors never need to import this package (worker-side pickling
+    rule, NOTES.md)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _comp_len(texts):
+        import zlib
+
+        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    # real-object annotations: this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf can't
+    # resolve for a local closure
+    _comp_len.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    comp_len = pandas_udf(_comp_len, "long")
+
+    d = load_table(spark, sf_dir, "documents")
+    raw_len = F.octet_length("text")
+    return d.select(
+        "doc_id",
+        raw_len.cast("long").alias("raw_bytes"),
+        comp_len(F.col("text")).alias("comp_bytes"),
+    ).select(
+        "doc_id",
+        "raw_bytes",
+        "comp_bytes",
+        F.round(F.col("comp_bytes") / F.col("raw_bytes").cast("double"), 6).alias(
+            "ratio"
+        ),
+        (F.col("comp_bytes") / F.col("raw_bytes").cast("double") < 0.3).alias(
+            "low_complexity"
+        ),
+    )
+
+
+@register(
+    "q265_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT c.yr, c.mth, ROUND(c.rev, 4) AS rev, ROUND(p.rev, 4) AS rev_prev,
+           ROUND((c.rev - p.rev) / p.rev, 6) AS yoy_growth
+    FROM monthly c JOIN monthly p
+      ON p.yr = c.yr - 1 AND p.mth = c.mth
+    """,
+)
+def q265_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YEAR-OVER-YEAR GROWTH with calendar alignment: monthly revenue
+    joined to the SAME MONTH one year earlier — the seasonality-neutral
+    growth readout (q145's MoM lag answers "vs last period"; this
+    answers "vs the comparable period"). Month alignment sidesteps the
+    ISO-week/year boundary hazard entirely (week 53 has no stable
+    prior-year partner; months always do).
+
+    Scale shape: the feed collapses to |year×month| rows in one
+    map-side-combining aggregate; the alignment is a self-equi-join on
+    that tiny frame (broadcast). Decimal-exact sums; growth is IEEE
+    sub/div over hardened doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mth")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double").alias("rev"))
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mth"),
+        F.col("rev").alias("rev_prev"),
+    )
+    return monthly.join(F.broadcast(prev), ["yr", "mth"]).select(
+        "yr",
+        "mth",
+        F.round("rev", 4).alias("rev"),
+        F.round("rev_prev", 4).alias("rev_prev"),
+        F.round((F.col("rev") - F.col("rev_prev")) / F.col("rev_prev"), 6).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+@register(
+    "q266_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             CONCAT_WS('>',
+               MAX(CASE WHEN rn = 1 THEN event_type END),
+               MAX(CASE WHEN rn = 2 THEN event_type END),
+               MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path HAVING COUNT(*) >= 5
+    """,
+)
+def q266_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION PATH ANALYSIS: the first three event types of every
+    30-minute session concatenated into a path, counted across sessions
+    — the entry-flow / funnel-discovery readout product analytics teams
+    read before committing to a fixed funnel (q100 checks ONE ordered
+    funnel; this surfaces which paths exist).
+
+    Scale shape: sessionization and ranking are per-user windows
+    (partition-parallel — the same shape as q26/q60); the path string is
+    built by a 3-way conditional MAX inside the per-session groupBy (no
+    collect_list ordering hazard), and the final count reduces to
+    |distinct paths| ≤ |event_types|³ rows. (ts, event_id) is the total
+    order both engines share, so tie placement is deterministic.
+    CONCAT_WS skips NULLs identically on both engines for 1- and 2-event
+    sessions."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+            <= 1_800_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(ws)).where(
+        F.col("rn") <= 3
+    )
+    paths = ranked.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
