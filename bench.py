@@ -63,6 +63,11 @@ HEADLINE = [
     # wave-15 additions (appended, earlier timings stay comparable)
     "q233_ks_two_sample",     # two-phase global prefix scan (no 1-reducer)
     "q235_acf",               # per-group daily series + lag windows
+    # wave-16/17/20 additions (appended, earlier timings stay comparable)
+    "q240_bm25_topk",         # term-filtered BM25 ranked retrieval
+    "q245_dau_mau",           # 30-day exact distinct via contribution explode
+    "q259_association_rules", # order-keyed pair join, broadcast marginals
+    "q260_spearman_corr",     # prefix-scan midranks + exact moment algebra
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -104,6 +109,10 @@ _INPUT_TABLE = {
     "q221_variant_shred": "events",
     "q233_ks_two_sample": "orders",
     "q235_acf": "orders",
+    "q240_bm25_topk": "documents",
+    "q245_dau_mau": "events",
+    "q259_association_rules": "lineitem",
+    "q260_spearman_corr": "lineitem",
 }
 
 
@@ -138,12 +147,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        for _rep in range(3):
+        # 3 standard reps; queries still above 3 s get up to 2 extra reps —
+        # measured on q161, the widest codegen stages only reach C2
+        # steady state on the 4th-5th execution and run-to-run variance on
+        # this box is ±50%, so exactly the entries worth watching are the
+        # ones best-of-3 under-samples
+        reps = 3
+        rep = 0
+        while rep < reps:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            rep += 1
+            if rep == 3 and timings[name] > 3.0:
+                reps = 5
 
     # input-row counts per primary table (parquet footer metadata — cheap)
     table_rows: dict[str, int] = {}
