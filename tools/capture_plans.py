@@ -125,6 +125,31 @@ ANNOTATED = {
     "q243_weighted_median": "grouped weighted median: distinct-value "
     "weight collapse first, then per-group windows over the SAME "
     "partitioning (one exchange reused by both window frames).",
+    "q245_dau_mau": "DAU/MAU stickiness: the feed collapses to distinct "
+    "user-days FIRST; the 30× contribution explode runs over that reduced "
+    "frame — no distinct-over-range window, one groupBy per granularity.",
+    "q257_roc_curve": "ROC/AUC: distinct-threshold collapse, then the "
+    "cumulative TP/FP via the two-phase prefix scan (rangepartitioning + "
+    "per-partition windows) — no single-reducer window; totals arrive as "
+    "a one-row broadcast; trapezoid terms are lag-free arithmetic.",
+    "q259_association_rules": "association rules: pair generation is an "
+    "equi-join ON THE ORDER KEY over the deduped basket table (cost "
+    "Σ basket², never |items|² globally); both item-marginal joins and "
+    "the order-count join are broadcasts.",
+    "q260_spearman_corr": "Spearman: each variable's midranks come from a "
+    "distinct-value collapse + prefix scan (the 50-value quantity table "
+    "broadcasts back; the price table shuffle-joins); the moment "
+    "aggregate is one two-phase pass over exact integers.",
+    "q261_cooccurrence_pmi": "co-occurrence PMI: skip-gram pairs are "
+    "zip_with(slice,slice) array codegen INSIDE the row — no self-join, "
+    "no posexplode pair join; the only exchanges are the two count "
+    "groupBys, marginals broadcast back.",
+    "q262_cohort_ltv": "cohort LTV: revenue collapses to (cohort, age) "
+    "before the cumulative window, which is PARTITIONED BY COHORT — "
+    "parallel across cohorts; cohort sizes broadcast.",
+    "q266_session_paths": "session paths: sessionize + rank + first-3 "
+    "pivot all share the per-user exchange (window specs aligned); the "
+    "path count reduces to ≤ |event_types|³ rows.",
 }
 
 
