@@ -348,3 +348,68 @@ def copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
         .filter(F.col("c") >= min_orders)
         .select("a", "b")
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg 1999): hub and authority scores after
+    ``iterations`` mutual-reinforcement rounds on a DIRECTED edge list —
+    authority(v) accumulates hub mass of in-neighbors, hub(u)
+    accumulates authority mass of out-neighbors, each side
+    L2-normalized per round (the power method on EᵀE / EEᵀ). Returns
+    ``(node, hub, authority)`` for every node.
+
+    Scale shape (mirrors :func:`pagerank`): the edge list is
+    repartitioned on the join key once per direction and persisted, so
+    every round's two message-passing steps are join+groupBy on the
+    co-located frames; norms are one-row aggregates (2 driver rows per
+    round, the same bounded-collect contract as pagerank's dangling
+    mass); lineage cut per round keeps plans bounded."""
+    if iterations < 1:
+        raise ValueError("hits: iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    by_src = e.repartition("src").persist()
+    by_dst = e.repartition("dst").persist()
+    by_src.count()
+    by_dst.count()
+    nodes = (
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    ).persist()
+
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = None
+    for _ in range(iterations):
+        raw_a = (
+            by_dst.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        norm_a = raw_a.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nz")).first()["nz"]
+        auths = raw_a.select("node", (F.col("raw") / F.lit(norm_a)).alias("authority"))
+        raw_h = (
+            by_src.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("raw"))
+        )
+        norm_h = raw_h.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nz")).first()["nz"]
+        hubs = raw_h.select("node", (F.col("raw") / F.lit(norm_h)).alias("hub"))
+        hubs = cut_lineage(hubs, reliable=reliable)
+        auths = cut_lineage(auths, reliable=reliable)
+    out = (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("authority", F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+    by_src.unpersist()
+    by_dst.unpersist()
+    nodes.unpersist()
+    return out

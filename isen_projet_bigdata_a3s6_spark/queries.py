@@ -11233,3 +11233,265 @@ def q266_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
         .where(F.col("n_sessions") >= 5)
     )
+
+
+# --- wave 22: HITS, XML roundtrip, ridge regression, isotonic PAVA,
+#     file provenance ---
+
+
+@register("q267_hits")
+def q267_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS HUBS/AUTHORITIES on the directed customer→part purchase
+    graph: hub customers (broad, influential baskets) and authority
+    parts (bought by the strong hubs) — Kleinberg's mutual-reinforcement
+    centrality, completing the graph family's centrality pair (PageRank
+    q136 ranks by in-link mass; HITS separates the two roles, the
+    natural bipartite readout).
+
+    Rows-only by nature (iterative power method; no SQL twin) — the
+    pinned test replays the same edge set through an independent numpy
+    implementation. Returns the top 25 authorities with their scores;
+    ordering ties break on node id. Scale shape: see
+    ``operators.graph.hits`` — per-round co-located join+groupBy, 2
+    bounded driver rows per round, lineage cut per round."""
+    from .operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits(edges, iterations=8)
+    return (
+        scores.where(F.col("node").startswith("p"))
+        .orderBy(F.desc("authority"), "node")
+        .limit(25)
+    )
+
+
+@register(
+    "q268_xml_roundtrip",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) AS sum_chars
+    FROM documents WHERE n_chars >= 100
+    GROUP BY lang
+    """,
+)
+def q268_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SOURCE/SINK ROUND TRIP (Spark 4 native XML, no external
+    package): write the filtered documents table as XML, read it back
+    with an explicit schema, aggregate — proving the third
+    semi-structured format next to JSON (q90) and ORC (q91); the oracle
+    aggregates the ORIGINAL table, so any row lost or mangled in either
+    direction breaks the hash.
+
+    Scale shape: format round trips are embarrassingly parallel (one
+    file per task each way); the aggregate is the usual two-phase
+    groupBy. Text content survives XML entity escaping round-trip by
+    construction of the reader."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    out_dir = tempfile.mkdtemp(prefix="xml_sink_") + "/docs_xml"
+    (
+        d.select("doc_id", "lang", "n_chars", "text")
+        .write.format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(out_dir)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, n_chars long, text string")
+        .load(out_dir)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("n_chars").cast("decimal(28,0)")).cast("double").alias("sum_chars"),
+    )
+
+
+@register(
+    "q269_ridge_regression",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                      * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                      * CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s2y
+      FROM lineitem
+    ),
+    c AS (
+      SELECT n,
+             s11 - s1 * s1 / n AS c11,
+             s12 - s1 * s2 / n AS c12,
+             s22 - s2 * s2 / n AS c22,
+             s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y,
+             s1 / n AS m1, s2 / n AS m2, sy / n AS my
+      FROM m
+    ),
+    fit AS (
+      SELECT n, m1, m2, my,
+             ((c1y * (c22 + 10.0)) - (c2y * c12))
+               / (((c11 + 10.0) * (c22 + 10.0)) - (c12 * c12)) AS beta1,
+             ((c2y * (c11 + 10.0)) - (c1y * c12))
+               / (((c11 + 10.0) * (c22 + 10.0)) - (c12 * c12)) AS beta2
+      FROM c
+    )
+    SELECT n, ROUND(beta1, 6) AS beta_quantity,
+           ROUND(beta2, 6) AS beta_discount,
+           ROUND(my - beta1 * m1 - beta2 * m2, 6) AS intercept
+    FROM fit
+    """,
+)
+def q269_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE REGRESSION (L2-regularized OLS, λ=10) of extendedprice on
+    (quantity, discount), closed form via the 2×2 regularized normal
+    equations solved by Cramer's rule — the numerically-stable answer to
+    collinear features that plain OLS (q43/q263) lacks; λ applies to
+    the raw feature scale (documented, not standardized).
+
+    Scale shape: ONE moment aggregate (8 decimal-exact sums) and then
+    scalar algebra on a single row. The fit costs exactly one pass
+    whatever the row count; the same expressions both engines evaluate
+    are pure IEEE mul/div over hardened doubles (round6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q4 = F.col("l_quantity").cast("decimal(18,4)")
+    d4 = F.col("l_discount").cast("decimal(18,4)")
+    p4 = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,8)")).cast("double").alias("s1"),
+        F.sum(F.col("l_discount").cast("decimal(38,8)")).cast("double").alias("s2"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,8)")).cast("double").alias("sy"),
+        F.sum(q4 * q4).cast("double").alias("s11"),
+        F.sum(q4 * d4).cast("double").alias("s12"),
+        F.sum(d4 * d4).cast("double").alias("s22"),
+        F.sum(q4 * p4).cast("double").alias("s1y"),
+        F.sum(d4 * p4).cast("double").alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    lam = F.lit(10.0)
+    det = (c11 + lam) * (c22 + lam) - c12 * c12
+    beta1 = (c1y * (c22 + lam) - c2y * c12) / det
+    beta2 = (c2y * (c11 + lam) - c1y * c12) / det
+    m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
+    return m.select(
+        "n",
+        F.round(beta1, 6).alias("beta_quantity"),
+        F.round(beta2, 6).alias("beta_discount"),
+        F.round(my - beta1 * m1 - beta2 * m2, 6).alias("intercept"),
+    )
+
+
+@register("q270_isotonic_calibration")
+def q270_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION via pool-adjacent-violators (PAVA): the
+    monotone-nondecreasing fit of P(l_returnflag='R') against the
+    l_quantity score — the nonparametric calibrator used where q258's
+    binned reliability diagram shows miscalibration (Zadrozny & Elkan
+    2002). Returns per-score-bucket raw and isotonic rates.
+
+    Rows-only by nature: PAVA's sequential pooling isn't
+    SQL-expressible; the pinned test replays the buckets through an
+    independent O(n²) reference PAVA and asserts monotonicity +
+    weighted-mean preservation.
+
+    Scale shape: the feed collapses to DISTINCT SCORE BUCKETS first
+    (bounded by score resolution — the Theil-Sen/calendar-axis
+    argument), then ONE applyInPandas group runs the linear-time pooling
+    over |buckets| rows. The UDF is a local closure (worker pickling
+    rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = (
+        li.groupBy(F.col("l_quantity").alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("pos"),
+        )
+    )
+
+    def pava(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("score").reset_index(drop=True)
+        # pooled blocks: (weight, mean) with merge-left-while-violating
+        blocks = []  # [w, mean, count_of_buckets]
+        for _, row in pdf.iterrows():
+            w, mean = float(row["n"]), row["pos"] / row["n"]
+            blocks.append([w, mean, 1])
+            while len(blocks) > 1 and blocks[-2][1] > blocks[-1][1]:
+                w2, m2, k2 = blocks.pop()
+                w1, m1, k1 = blocks.pop()
+                blocks.append(
+                    [w1 + w2, (w1 * m1 + w2 * m2) / (w1 + w2), k1 + k2]
+                )
+        iso = []
+        for w, mean, k in blocks:
+            iso.extend([mean] * k)
+        out = pdf[["score", "n", "pos"]].copy()
+        out["raw_rate"] = (out["pos"] / out["n"]).round(6)
+        out["iso_rate"] = pd.Series(iso).round(6)
+        return out.drop(columns=["pos"])
+
+    return buckets.groupBy().applyInPandas(
+        pava, "score double, n long, raw_rate double, iso_rate double"
+    )
+
+
+@register("q271_file_provenance")
+def q271_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PROVENANCE AUDIT via the parquet ``_metadata`` hidden
+    column: per source file, row count and key extents — the lineage
+    primitive behind "which input file produced this bad row"
+    investigations and incremental-load bookkeeping (the reader-side
+    sibling of q119's partition-overwrite accounting).
+
+    Rows-only in the registry (the driver's DuckDB views don't carry
+    filenames); the pytest proves parity against
+    ``read_parquet(..., filename=true)`` on the same files.
+
+    Scale shape: ``_metadata.file_path`` is constant-folded per split —
+    no UDF, no extra scan; the audit is one groupBy over |files|
+    groups."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            "l_orderkey",
+            "l_partkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        )
+    )
