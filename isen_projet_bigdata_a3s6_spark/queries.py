@@ -11495,3 +11495,325 @@ def q271_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").cast("long").alias("n_parts"),
         )
     )
+
+
+# --- wave 23: negative sampling, CEP pattern match, Bradley-Terry,
+#     Mahalanobis outliers ---
+
+
+@register(
+    "q272_negative_sampling",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey % 100 AS item
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    custs AS (SELECT DISTINCT cust FROM pos),
+    trials AS (
+      SELECT cust, t,
+             ((cust % 100000) * 2654435761 + t * 40503 + 17) % 100 AS item
+      FROM custs, (SELECT unnest(generate_series(0, 7)) AS t)
+    ),
+    negs AS (
+      SELECT tr.cust, tr.t, tr.item
+      FROM trials tr ANTI JOIN pos p
+        ON p.cust = tr.cust AND p.item = tr.item
+    ),
+    ranked AS (
+      SELECT cust, item, t,
+             ROW_NUMBER() OVER (PARTITION BY cust ORDER BY t) AS rn
+      FROM negs
+    )
+    SELECT cust, item, CAST(t AS INT) AS trial
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q272_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for implicit-feedback training
+    (recsys / contrastive embedding prep): for every customer, derive 8
+    pseudo-random candidate items from a pure-integer LCG hash of
+    (customer, trial), anti-join away true positives, keep the first 3
+    survivors per customer — the negatives every two-tower / BPR
+    training job mines, reproducible across engines and retries (the
+    q89/q123 content-derived-hash sampling doctrine applied to pair
+    mining).
+
+    Exactness: the LCG stays in BIGINT range by reducing the key mod 1e5
+    BEFORE multiplying (Spark wraps silently on int64 overflow, DuckDB
+    raises — identical only while nothing overflows; documented bound).
+
+    Scale shape: positives collapse to distinct (cust, item) once; trial
+    expansion is an 8-element explode of the DISTINCT-CUSTOMER frame
+    (8·|customers| rows, not 8·|facts|); the anti join shuffles on
+    (cust, item); the keep-3 window partitions by customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    pos = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_partkey") % 100).alias("item"),
+        )
+        .distinct()
+    )
+    custs = pos.select("cust").distinct()
+    trials = custs.select(
+        "cust", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("t")
+    ).select(
+        "cust",
+        "t",
+        (((F.col("cust") % 100000) * 2654435761 + F.col("t") * 40503 + 17) % 100)
+        .alias("item"),
+    )
+    negs = trials.join(pos, ["cust", "item"], "left_anti")
+    ranked = negs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("cust").orderBy("t"))
+    )
+    return ranked.where(F.col("rn") <= 3).select(
+        "cust", "item", F.col("t").cast("int").alias("trial")
+    )
+
+
+@register(
+    "q273_sequence_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ),
+    pats AS (
+      SELECT unnest(['v.*s.*p', 'e.*e.*e', 'p.*p']) AS pattern
+    )
+    SELECT pattern,
+           CAST(SUM(CASE WHEN regexp_matches(seq, pattern) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users
+    FROM pats CROSS JOIN seqs
+    GROUP BY pattern
+    """,
+)
+def q273_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-STYLE SEQUENCE PATTERN MATCHING (the batch analog of Flink
+    CEP / SQL MATCH_RECOGNIZE): each user's event history compresses to
+    an ordered symbol string (first letter of event_type), and declared
+    patterns — view→…→signup→…→purchase, an error triple, repeat
+    purchase — count matching users via regex. The funnel family's free
+    -form sibling: q100 checks ONE fixed funnel, q266 enumerates paths,
+    this matches arbitrary ordered patterns with gaps.
+
+    Scale shape: one per-user aggregation (symbol strings bounded by
+    events-per-user; unbounded streams would sessionize first, q266);
+    the |patterns|×|users| cross join broadcasts the 3-row pattern side;
+    match flags aggregate map-side. Ordering inside the string uses the
+    shared (ts, event_id) total order; both engines' regex dialects
+    agree on these `.*` patterns."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("sym")
+                        )
+                    )
+                ),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    pats = (
+        load_table(spark, sf_dir, "events")
+        .sparkSession.createDataFrame(
+            [("v.*s.*p",), ("e.*e.*e",), ("p.*p",)], "pattern string"
+        )
+    )
+    return (
+        seqs.join(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.sum(F.regexp_like(F.col("seq"), F.col("pattern")).cast("int"))
+            .cast("long")
+            .alias("n_users")
+        )
+    )
+
+
+@register("q274_bradley_terry")
+def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY SKILL RATING (the Arena-leaderboard model): every
+    part supplied by ≥2 suppliers stages pairwise "matches" won by the
+    lower average unit price; the distributed stage builds the
+    |suppliers|² win matrix, then the minorization-maximization
+    iteration p_i ← W_i / Σ_j n_ij/(p_i+p_j) (Hunter 2004) solves the
+    ratings. Returns every supplier's games, wins, and normalized BT
+    score.
+
+    Rows-only by nature (iterative MM fit; no SQL twin) — the pinned
+    test replays the SAME win matrix through an independent Python MM
+    loop and checks score parity and ranking.
+
+    Scale shape: unit prices collapse per (part, supplier) in one
+    groupBy; matches come from a self-equi-join ON THE PART KEY (Σ
+    suppliers-per-part², never all-pairs globally); the win matrix
+    reduces to ≤|players|² rows, collected to the driver under the same
+    bounded-collect contract as similarity.py's query set (|players| is
+    the model roster, not the corpus). Exact price ties produce no
+    match (documented)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
+                / F.sum(F.col("l_quantity").cast("decimal(28,4)"))
+            )
+            .cast("double")
+            .alias("price")
+        )
+    )
+    u2 = unit.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("s2"),
+        F.col("price").alias("p2"),
+    )
+    games = (
+        unit.withColumnRenamed("l_partkey", "pk")
+        .withColumnRenamed("l_suppkey", "s1")
+        .withColumnRenamed("price", "p1")
+        .join(u2, "pk")
+        .where(F.col("s1") < F.col("s2"))
+        .where(F.col("p1") != F.col("p2"))
+        .select(
+            "s1",
+            "s2",
+            F.when(F.col("p1") < F.col("p2"), 1).otherwise(0).alias("w1"),
+        )
+    )
+    matrix = games.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w1").cast("long").alias("wins1"),
+    )
+    rows = matrix.collect()  # ≤ |players|² — bounded-collect contract
+    players = sorted({r["s1"] for r in rows} | {r["s2"] for r in rows})
+    idx = {p: i for i, p in enumerate(players)}
+    k = len(players)
+    n = [[0] * k for _ in range(k)]
+    w = [0.0] * k
+    g = [0] * k
+    for r in rows:
+        i, j = idx[r["s1"]], idx[r["s2"]]
+        n[i][j] += r["n"]
+        n[j][i] += r["n"]
+        w[i] += r["wins1"]
+        w[j] += r["n"] - r["wins1"]
+        g[i] += r["n"]
+        g[j] += r["n"]
+    p = [1.0] * k
+    for _ in range(100):
+        newp = []
+        for i in range(k):
+            denom = sum(
+                n[i][j] / (p[i] + p[j]) for j in range(k) if n[i][j] and j != i
+            )
+            newp.append(w[i] / denom if denom > 0 else p[i])
+        s = sum(newp)
+        p = [x * k / s for x in newp]
+    spark_rows = [
+        (int(pl), int(g[idx[pl]]), int(w[idx[pl]]), round(p[idx[pl]], 6))
+        for pl in players
+    ]
+    return load_table(spark, sf_dir, "lineitem").sparkSession.createDataFrame(
+        spark_rows, "supplier long, games long, wins long, bt_score double"
+    )
+
+
+@register(
+    "q275_mahalanobis_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s22
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    cov AS (
+      SELECT flag, n, s1 / n AS m1, s2 / n AS m2,
+             (s11 - s1 * s1 / n) / (n - 1) AS v11,
+             (s12 - s1 * s2 / n) / (n - 1) AS v12,
+             (s22 - s2 * s2 / n) / (n - 1) AS v22
+      FROM m
+    ),
+    scored AS (
+      SELECT c.flag, n,
+             ((l_quantity - m1) * (v22 * (l_quantity - m1) - v12 * (l_discount - m2))
+              + (l_discount - m2) * (v11 * (l_discount - m2) - v12 * (l_quantity - m1)))
+             / (v11 * v22 - v12 * v12) AS d2
+      FROM lineitem JOIN cov c ON c.flag = l_returnflag
+    )
+    SELECT flag, n,
+           CAST(SUM(CASE WHEN d2 > 13.815510557964274 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MAX(d2), 6) AS max_d2
+    FROM scored GROUP BY flag, n
+    """,
+)
+def q275_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAHALANOBIS MULTIVARIATE OUTLIERS per group: squared Mahalanobis
+    distance of (quantity, discount) against each returnflag group's
+    mean/covariance, counting exceedances of the χ²₂ 99.9 % quantile —
+    the correlated-feature outlier detector that per-column z-scores
+    (q108) and MAD (q140) cannot express (a point can be 2σ on each
+    axis yet wildly improbable jointly).
+
+    Scale shape: group moments are ONE map-side-combining aggregate; the
+    2×2 covariance inverse is closed-form inside the d² expression; the
+    scoring pass is a broadcast join of |groups| rows onto the feed and
+    a second two-phase aggregate. All comparisons are on identical IEEE
+    doubles derived from hardened decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q4 = F.col("l_quantity").cast("decimal(18,4)")
+    d4 = F.col("l_discount").cast("decimal(18,4)")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,8)")).cast("double").alias("s1"),
+        F.sum(F.col("l_discount").cast("decimal(38,8)")).cast("double").alias("s2"),
+        F.sum(q4 * q4).cast("double").alias("s11"),
+        F.sum(q4 * d4).cast("double").alias("s12"),
+        F.sum(d4 * d4).cast("double").alias("s22"),
+    )
+    n = F.col("n")
+    cov = m.select(
+        "flag",
+        "n",
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        ((F.col("s11") - F.col("s1") * F.col("s1") / n) / (n - 1)).alias("v11"),
+        ((F.col("s12") - F.col("s1") * F.col("s2") / n) / (n - 1)).alias("v12"),
+        ((F.col("s22") - F.col("s2") * F.col("s2") / n) / (n - 1)).alias("v22"),
+    )
+    dx = F.col("l_quantity") - F.col("m1")
+    dy = F.col("l_discount") - F.col("m2")
+    d2 = (
+        dx * (F.col("v22") * dx - F.col("v12") * dy)
+        + dy * (F.col("v11") * dy - F.col("v12") * dx)
+    ) / (F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12"))
+    scored = li.join(
+        F.broadcast(cov), li.l_returnflag == cov.flag
+    ).select("flag", "n", d2.alias("d2"))
+    return scored.groupBy("flag", "n").agg(
+        F.sum((F.col("d2") > 13.815510557964274).cast("int"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+    )
