@@ -11817,3 +11817,295 @@ def q275_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.round(F.max("d2"), 6).alias("max_d2"),
     )
+
+
+# --- wave 24: Simpson audit, time-to-convert, quantile normalization,
+#     shard manifest ---
+
+
+@register(
+    "q276_simpson_audit",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey % 10 AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    ),
+    slopes AS (
+      SELECT grp, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             sx, sy, sxx, sxy
+      FROM m
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxx) AS sxx, SUM(sxy) AS sxy
+      FROM slopes
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           ROUND(MAX(t.gslope), 6) AS global_slope,
+           ROUND(MIN(slope), 6) AS min_group_slope,
+           ROUND(MAX(slope), 6) AS max_group_slope,
+           MAX(CASE WHEN t.gslope > 0 THEN 1 ELSE 0 END)
+             * (CASE WHEN MAX(slope) < 0 THEN 1 ELSE 0 END)
+           + MAX(CASE WHEN t.gslope < 0 THEN 1 ELSE 0 END)
+             * (CASE WHEN MIN(slope) > 0 THEN 1 ELSE 0 END) AS simpson_flag
+    FROM slopes,
+         (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS gslope
+          FROM tot) t
+    """,
+)
+def q276_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX AUDIT: the pooled regression slope of
+    extendedprice on quantity vs the per-group (part-category) slopes,
+    flagging when every within-group trend contradicts the pooled trend
+    — the aggregation-bias tripwire analysts run before trusting any
+    pooled correlation (this corpus is uniform, so the flag's JOB here
+    is to come back 0 — same doctrine as q254's Benford audit).
+
+    Scale shape: per-group moments in ONE groupBy; the pooled moments
+    are the SUM of the group moments (moment additivity — the feed is
+    scanned exactly once); everything downstream is |groups|-row
+    algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q2 = F.col("l_quantity").cast("decimal(18,2)")
+    p2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy((F.col("l_partkey") % 10).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("sy"),
+        F.sum(q2 * q2).cast("double").alias("sxx"),
+        F.sum(q2 * p2).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    slopes = m.select(
+        "grp",
+        "n",
+        ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (n * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("slope"),
+        "sx", "sy", "sxx", "sxy",
+    )
+    tot = slopes.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    ).select(
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("gslope")
+    )
+    return slopes.join(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(F.max("gslope"), 6).alias("global_slope"),
+        F.round(F.min("slope"), 6).alias("min_group_slope"),
+        F.round(F.max("slope"), 6).alias("max_group_slope"),
+        (
+            F.max((F.col("gslope") > 0).cast("long"))
+            * (F.max("slope") < 0).cast("long")
+            + F.max((F.col("gslope") < 0).cast("long"))
+            * (F.min("slope") > 0).cast("long")
+        ).alias("simpson_flag"),
+    )
+
+
+@register(
+    "q277_time_to_convert",
+    oracle="""
+    WITH firstview AS (
+      SELECT user_id, MIN(ts) AS v0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             CAST(epoch_us(MIN(e.ts)) - epoch_us(v0) AS BIGINT) AS delta_us
+      FROM firstview f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+           AND e.ts > f.v0
+      GROUP BY f.user_id, v0
+    ),
+    views AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM firstview)
+    SELECT n_viewers, CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(COUNT(*) / CAST(n_viewers AS DOUBLE), 6) AS conversion_rate,
+           ROUND(quantile_cont(delta_us / 1000000.0, 0.5), 6) AS median_sec,
+           ROUND(quantile_cont(delta_us / 1000000.0, 0.9), 6) AS p90_sec
+    FROM conv, views GROUP BY n_viewers
+    """,
+)
+def q277_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT DISTRIBUTION: per user, the delay from first
+    'view' to the first 'purchase' after it; report conversion rate and
+    the median/p90 delay — the latency half of funnel analytics (q100
+    counts WHO converts; this measures HOW LONG conversion takes).
+
+    Scale shape: first-view collapses per user; the purchase join is an
+    equi-join on user with the time predicate as join filter, collapsed
+    by min BEFORE any percentile; percentiles run over ≤|users| rows.
+    Deltas are exact integer micros (the events-ns convention); one
+    division to seconds, round6 both engines."""
+    e = load_table(spark, sf_dir, "events")
+    firstview = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        firstview.join(purch, "user_id")
+        .where(F.col("pts") > F.col("v0"))
+        .groupBy("user_id", "v0")
+        .agg(
+            (F.unix_micros(F.min("pts")) - F.unix_micros(F.col("v0")))
+            .cast("long")
+            .alias("delta_us")
+        )
+    )
+    views = firstview.agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
+    return (
+        conv.join(F.broadcast(views))
+        .groupBy("n_viewers")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.round(
+                F.count(F.lit(1)) / F.col("n_viewers").cast("double"), 6
+            ).alias("conversion_rate"),
+            F.round(F.expr("percentile(delta_us / 1000000.0, 0.5)"), 6).alias(
+                "median_sec"
+            ),
+            F.round(F.expr("percentile(delta_us / 1000000.0, 0.9)"), 6).alias(
+                "p90_sec"
+            ),
+        )
+        .select(
+            "n_viewers", "n_converted", "conversion_rate", "median_sec", "p90_sec"
+        )
+    )
+
+
+@register(
+    "q278_quantile_normalization",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(2 * RANK() OVER (PARTITION BY source ORDER BY n_chars)
+                  + COUNT(*) OVER (PARTITION BY source, n_chars) - 1
+                  AS BIGINT) AS r2,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM documents
+    ),
+    pooled AS (
+      SELECT n_chars AS v,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cum,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY n_chars) - COUNT(*)
+                  AS BIGINT) AS cum_prev
+      FROM documents GROUP BY n_chars
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    target AS (
+      SELECT doc_id, source, n_chars,
+             CAST((r2 * nn + 2 * n_src - 1) // (2 * n_src) AS BIGINT) AS idx
+      FROM ranked, tot
+    )
+    SELECT doc_id, source, n_chars, p.v AS qnorm_chars
+    FROM target t JOIN pooled p
+      ON t.idx > p.cum_prev AND t.idx <= p.cum
+    """,
+)
+def q278_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources (the batch-effect
+    correction of microarray fame, here equalizing per-source document-
+    length distributions): each doc's length maps to the POOLED
+    distribution's value at its within-source midrank quantile (type-1,
+    no interpolation — index math stays in exact integers:
+    idx = ceil(midrank2·N / 2n) computed as an integer ceiling
+    division).
+
+    Scale shape: within-source midranks via per-source windows
+    (partition-parallel); the pooled CDF collapses to DISTINCT VALUES
+    (value-resolution bounded — document lengths, not documents) and
+    joins back by a range predicate on the cumulative interval — the
+    distinct-value table broadcasts under that resolution bound. No
+    float appears anywhere: input, ranks, and output are all integers."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("source").orderBy("n_chars")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            2 * F.rank().over(ws)
+            + F.count(F.lit(1)).over(Window.partitionBy("source", "n_chars"))
+            - 1
+        )
+        .cast("long")
+        .alias("r2"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n_src"),
+    )
+    pooled_counts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from .operators.windows import global_prefix_sum
+
+    pooled = global_prefix_sum(pooled_counts, "v", ["cnt"]).select(
+        "v",
+        F.col("cnt_cum").cast("long").alias("cum"),
+        (F.col("cnt_cum") - F.col("cnt")).cast("long").alias("cum_prev"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    # exact integer ceiling division (never a double divide: r2·nn can
+    # exceed 2^53 at corpus scale)
+    target = ranked.join(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("(r2 * nn + 2 * n_src - 1) div (2 * n_src)").alias("idx"),
+    )
+    return target.join(
+        F.broadcast(pooled),
+        (F.col("idx") > F.col("cum_prev")) & (F.col("idx") <= F.col("cum")),
+    ).select("doc_id", "source", "n_chars", F.col("v").alias("qnorm_chars"))
+
+
+@register(
+    "q279_shard_manifest",
+    oracle="""
+    SELECT doc_id % 16 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM((doc_id * 1000003 + n_chars) % 1000000007) AS BIGINT)
+             AS checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def q279_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET SHARD MANIFEST: deterministic 16-way shard assignment
+    with per-shard row counts, payload size, and an order-independent
+    content checksum — the reproducible-delivery bookkeeping a training
+    job checks before consuming a dataset (complements q195's split and
+    q188's token budget; a re-export with one changed row flips exactly
+    one shard's checksum).
+
+    Scale shape: one map-side-combining groupBy over 16 groups; the
+    checksum terms stay below 1e9 each, so BIGINT sums never overflow on
+    either engine and the sum is order-independent by integer
+    exactness."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy((F.col("doc_id") % 16).alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.col("doc_id") * 1000003 + F.col("n_chars")) % 1000000007)
+        .cast("long")
+        .alias("checksum"),
+    )
