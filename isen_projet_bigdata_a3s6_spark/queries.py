@@ -12109,3 +12109,304 @@ def q279_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("checksum"),
     )
+
+
+# --- wave 25: density clustering, retrieval metrics, fairness audit ---
+
+
+@register("q280_grid_dbscan")
+def q280_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-DBSCAN DENSITY CLUSTERING on the first two embedding
+    dimensions: points land in h=0.08 cells, cells with ≥4 points are
+    dense, 8-adjacent dense cells merge via connected components, and
+    points outside dense cells are noise (cluster −1) — the density
+    family's entry next to centroid (q69 KMeans), coverage (q238
+    k-center) and graph (q239 LPA) clustering; cluster count is
+    data-driven and noise is a first-class outcome, which neither
+    KMeans nor k-center can express.
+
+    Rows-only by nature (iterative CC; no SQL twin) — the pinned test
+    replays the identical grid algorithm in Python.
+
+    Scale shape: the cell histogram is one groupBy (|occupied cells| ≤
+    points, usually ≪); adjacency is an 8-way explode of the DENSE-cell
+    frame joined to itself on cell id (no point-level pairwise
+    anything); CC runs on |dense cells| nodes — the same pointer-jumping
+    operator q78 trusts; the final labeling is one broadcast join of the
+    cell→cluster map onto points."""
+    from .functions.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    h, min_pts = 0.08, 4
+    pts = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1) / h).cast("long").alias("cx"),
+        F.floor(F.element_at("embedding", 2) / h).cast("long").alias("cy"),
+    )
+    cell_id = ((F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000)).alias(
+        "cell"
+    )
+    cells = pts.select("vec_id", cell_id)
+    dense = (
+        cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_pts)
+        .select("cell")
+    )
+    # 8-neighbor adjacency between dense cells (a < b kills duplicates)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    neigh = dense.select(
+        "cell",
+        F.explode(
+            F.array(*[F.lit(dx * 100000 + dy) for dx, dy in offs])
+        ).alias("off"),
+    ).select("cell", (F.col("cell") + F.col("off")).alias("ncell"))
+    pairs = (
+        neigh.join(dense.withColumnRenamed("cell", "ncell"), "ncell")
+        .where(F.col("cell") < F.col("ncell"))
+        .select(F.col("cell").alias("id_a"), F.col("ncell").alias("id_b"))
+    )
+    comp = connected_components(pairs)
+    # dense cells with no dense neighbor are their own singleton cluster
+    labeled = dense.join(
+        comp.withColumnRenamed("id", "cell"), "cell", "left"
+    ).select(
+        "cell", F.coalesce("component", F.col("cell")).alias("cluster")
+    )
+    return cells.join(F.broadcast(labeled), "cell", "left").select(
+        "vec_id",
+        F.coalesce("cluster", F.lit(-1)).cast("long").alias("cluster"),
+        F.col("cluster").isNull().alias("is_noise"),
+    )
+
+
+@register(
+    "q281_retrieval_metrics",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6)
+               AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, vec_id, label, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    rel_total AS (
+      SELECT q.query_id,
+             CAST(COUNT(*) FILTER (WHERE e.label = q.qlabel
+                                   AND e.vec_id <> q.query_id) AS BIGINT)
+               AS n_relevant
+      FROM q, embeddings e GROUP BY q.query_id
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= 10),
+    disc AS (
+      SELECT unnest(generate_series(1, 10)) AS rnk,
+             unnest([1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+                     0.38685280723454163, 0.3562071871080222,
+                     0.3333333333333333, 0.31546487678572877,
+                     0.3010299956639812, 0.2890648263178879]) AS d
+    ),
+    cum AS (
+      SELECT unnest(generate_series(0, 10)) AS j,
+             unnest([0.0, 1.0, 1.6309297535714575, 2.1309297535714578,
+                     2.5616063116448506, 2.9484591188793923,
+                     3.3046663059874146, 3.637999639320748,
+                     3.953464516106477, 4.254494511770458,
+                     4.543559338088346]) AS idcg
+    ),
+    per_q AS (
+      SELECT t.query_id,
+             SUM(CASE WHEN t.label = t.qlabel THEN disc.d ELSE 0 END) AS dcg,
+             MAX(CASE WHEN t.label = t.qlabel THEN 1.0 / t.rnk ELSE 0 END)
+               AS mrr10
+      FROM topk t JOIN disc ON disc.rnk = t.rnk
+      GROUP BY t.query_id
+    )
+    SELECT p.query_id, r.n_relevant,
+           ROUND(p.dcg / c.idcg, 6) AS ndcg10,
+           ROUND(p.mrr10, 6) AS mrr10
+    FROM per_q p
+    JOIN rel_total r ON r.query_id = p.query_id
+    JOIN cum c ON c.j = LEAST(r.n_relevant, 10)
+    """,
+)
+def q281_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY METRICS (nDCG@10, MRR@10) for cosine ranking
+    with label-match relevance — the ranking-eval family member next to
+    q172's recall@k (recall asks "did the truth show up"; nDCG/MRR ask
+    "how high"). The log2 discount curve is PINNED AS SHARED LITERALS
+    on both engines (no libm at query time — the q254 printf doctrine
+    applied to DCG), and ranking ties break on (round6 score, vec_id)
+    exactly as q41 does.
+
+    Scale shape: the query set broadcasts (bounded-query contract,
+    q41/similarity.py); per-query work is a partitioned window over the
+    candidate scores; ideal DCG is a constant-array lookup on
+    min(|relevant|, 10)."""
+    _DISC = [1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+             0.38685280723454163, 0.3562071871080222, 0.3333333333333333,
+             0.31546487678572877, 0.3010299956639812, 0.2890648263178879]
+    _CUM = [0.0, 1.0, 1.6309297535714575, 2.1309297535714578,
+            2.5616063116448506, 2.9484591188793923, 3.3046663059874146,
+            3.637999639320748, 3.953464516106477, 4.254494511770458,
+            4.543559338088346]
+    from pyspark.sql import Window
+
+    from .functions.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        e.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+        ),
+    ).where(F.col("rnk") <= 10)
+    rel_total = (
+        e.join(F.broadcast(q.select("query_id", "qlabel")))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("label") == F.col("qlabel")).cast("long"))
+            .cast("long")
+            .alias("n_relevant")
+        )
+    )
+    disc_arr = F.array(*[F.lit(d) for d in _DISC])
+    per_q = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("label") == F.col("qlabel"),
+                F.element_at(disc_arr, F.col("rnk").cast("int")),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.max(
+            F.when(
+                F.col("label") == F.col("qlabel"), 1.0 / F.col("rnk")
+            ).otherwise(0.0)
+        ).alias("mrr10"),
+    )
+    cum_arr = F.array(*[F.lit(c) for c in _CUM])
+    return per_q.join(rel_total, "query_id").select(
+        "query_id",
+        "n_relevant",
+        F.round(
+            F.col("dcg")
+            / F.element_at(
+                cum_arr, (F.least(F.col("n_relevant"), F.lit(10)) + 1).cast("int")
+            ),
+            6,
+        ).alias("ndcg10"),
+        F.round("mrr10", 6).alias("mrr10"),
+    )
+
+
+@register(
+    "q282_fairness_audit",
+    oracle="""
+    WITH scored AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_seg AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pred * y) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM scored GROUP BY segment
+    ),
+    rates AS (
+      SELECT segment, n,
+             ROUND(tp / CAST(pos AS DOUBLE), 6) AS tpr,
+             ROUND(fp / CAST(neg AS DOUBLE), 6) AS fpr,
+             ROUND((tp + fp) / CAST(n AS DOUBLE), 6) AS pred_rate
+      FROM per_seg
+    ),
+    gaps AS (
+      SELECT ROUND(MAX(tpr) - MIN(tpr), 6) AS tpr_gap,
+             ROUND(MAX(fpr) - MIN(fpr), 6) AS fpr_gap,
+             ROUND(MAX(pred_rate) - MIN(pred_rate), 6) AS demo_parity_gap
+      FROM rates
+    )
+    SELECT segment, n, tpr, fpr, pred_rate,
+           tpr_gap, fpr_gap, demo_parity_gap
+    FROM rates, gaps
+    """,
+)
+def q282_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBGROUP FAIRNESS AUDIT (equalized-odds + demographic-parity
+    readout): per market segment, the classifier's TPR / FPR / positive
+    -prediction rate, with the max-gap across segments attached to
+    every row — the disaggregated-evaluation pass (Barocas-Hardt style)
+    a model pipeline runs before shipping any classifier trained on its
+    data; the confusion matrix (q44) reports the AGGREGATE, this
+    reports who the errors land on.
+
+    Scale shape: one fact-dim broadcast join, one |segments|-group
+    aggregate of four integer counts, and a 1-row gap broadcast joined
+    back. All rates are single divisions over exact integers
+    (round6)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    scored = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice") > 250000).cast("int").alias("pred"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    per_seg = scored.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("pred") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("long").alias("fp"),
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    rates = per_seg.select(
+        "segment",
+        "n",
+        F.round(F.col("tp") / F.col("pos").cast("double"), 6).alias("tpr"),
+        F.round(F.col("fp") / F.col("neg").cast("double"), 6).alias("fpr"),
+        F.round(
+            (F.col("tp") + F.col("fp")) / F.col("n").cast("double"), 6
+        ).alias("pred_rate"),
+    )
+    gaps = rates.agg(
+        F.round(F.max("tpr") - F.min("tpr"), 6).alias("tpr_gap"),
+        F.round(F.max("fpr") - F.min("fpr"), 6).alias("fpr_gap"),
+        F.round(F.max("pred_rate") - F.min("pred_rate"), 6).alias(
+            "demo_parity_gap"
+        ),
+    )
+    return rates.join(F.broadcast(gaps)).select(
+        "segment", "n", "tpr", "fpr", "pred_rate",
+        "tpr_gap", "fpr_gap", "demo_parity_gap",
+    )
