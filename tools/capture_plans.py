@@ -150,6 +150,25 @@ ANNOTATED = {
     "q266_session_paths": "session paths: sessionize + rank + first-3 "
     "pivot all share the per-user exchange (window specs aligned); the "
     "path count reduces to ≤ |event_types|³ rows.",
+    "q272_negative_sampling": "negative sampling: the 8-trial explode "
+    "runs over the DISTINCT-customer frame (8·|customers| rows, not "
+    "8·|facts|); the anti join shuffles on (cust, item); keep-3 is a "
+    "per-customer window above the same exchange.",
+    "q275_mahalanobis_outliers": "Mahalanobis outliers: group moments in "
+    "one two-phase aggregate; the |groups|-row covariance table "
+    "broadcasts onto the scoring pass — the feed is scanned twice, "
+    "shuffled never (both aggregates are map-side-combining).",
+    "q278_quantile_normalization": "quantile normalization: per-source "
+    "midrank windows (partition-parallel), pooled CDF collapsed to "
+    "distinct values + prefix scan, and the interval join broadcasts "
+    "the value-resolution-bounded CDF table.",
+    "q281_retrieval_metrics": "retrieval metrics: the 10-row query set "
+    "broadcasts; scoring stays in codegen; per-query ranking is a "
+    "partitioned window; the DCG discount curve is a literal array — "
+    "no libm at query time.",
+    "q282_fairness_audit": "fairness audit: one broadcast fact-dim join, "
+    "a |segments|-group aggregate of integer counts, and a 1-row gap "
+    "frame broadcast back onto the rates.",
 }
 
 
