@@ -12410,3 +12410,212 @@ def q282_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment", "n", "tpr", "fpr", "pred_rate",
         "tpr_gap", "fpr_gap", "demo_parity_gap",
     )
+
+
+# --- wave 26: price-volume-mix, transition dwell, column statistics ---
+
+
+@register(
+    "q283_price_volume_mix",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag AS flag,
+             CASE WHEN year(l_shipdate) = 1995 THEN 0 ELSE 1 END AS period,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS rev
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT flag,
+             MAX(CASE WHEN period = 0 THEN qty END) AS q0,
+             MAX(CASE WHEN period = 0 THEN rev END) AS r0,
+             MAX(CASE WHEN period = 1 THEN qty END) AS q1,
+             MAX(CASE WHEN period = 1 THEN rev END) AS r1
+      FROM per GROUP BY flag
+    )
+    SELECT flag, ROUND(r0, 4) AS rev_1995, ROUND(r1, 4) AS rev_1996,
+           ROUND(r1 - r0, 4) AS delta,
+           ROUND((q1 - q0) * (r0 / q0), 6) AS volume_effect,
+           ROUND(q1 * (r1 / q1 - r0 / q0), 6) AS price_effect
+    FROM wide
+    """,
+)
+def q283_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME-MIX DECOMPOSITION (the BI bridge chart): the
+    1995→1996 revenue delta per returnflag split into a volume effect
+    ((Δqty)·p₀) and a price effect (qty₁·Δp) — the additive attribution
+    finance runs before believing any growth number (volume_effect +
+    price_effect reconstructs delta by construction).
+
+    Scale shape: ONE filtered scan (year predicate pushed) into a
+    (flag, period) aggregate; the pivot-to-wide and the decomposition
+    are |flags|-row conditional-MAX algebra. Decimal-exact sums;
+    effects are IEEE mul/div over hardened doubles (round6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    per = (
+        li.where(yr.isin(1995, 1996))
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.when(yr == 1995, 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double").alias("rev"),
+        )
+    )
+    wide = per.groupBy("flag").agg(
+        F.max(F.when(F.col("period") == 0, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("period") == 0, F.col("rev"))).alias("r0"),
+        F.max(F.when(F.col("period") == 1, F.col("qty"))).alias("q1"),
+        F.max(F.when(F.col("period") == 1, F.col("rev"))).alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    return wide.select(
+        "flag",
+        F.round("r0", 4).alias("rev_1995"),
+        F.round("r1", 4).alias("rev_1996"),
+        F.round(F.col("r1") - F.col("r0"), 4).alias("delta"),
+        F.round((F.col("q1") - F.col("q0")) * p0, 6).alias("volume_effect"),
+        F.round(F.col("q1") * (p1 - p0), 6).alias("price_effect"),
+    )
+
+
+@register(
+    "q284_transition_dwell",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0
+                 / COUNT(*), 6) AS mean_dwell_sec
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q284_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROCESS-MINING DWELL TIMES: mean seconds spent on each
+    event-type transition (from→to), per the user-ordered event stream
+    — the duration half of q165's Markov matrix (q165 answers "where do
+    users go next", this answers "how long does each hop take"), the
+    bottleneck readout of process mining.
+
+    Scale shape: one per-user lag window (partition-parallel, the
+    q26/q266 exchange shape) and one |event_types|²-group aggregate.
+    Dwells are exact integer micros summed as BIGINT (bounded: 30-day
+    corpus span × row count stays far under 2⁶³), ONE division at the
+    end (round6)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).where(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.unix_micros("ts") - F.unix_micros("prev_ts"))
+            / 1000000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dwell_sec"),
+    )
+
+
+@register(
+    "q285_column_stats",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv,
+             CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS nulls,
+             printf('%.4f', MIN(l_quantity)) AS min_val,
+             printf('%.4f', MAX(l_quantity)) AS max_val,
+             ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+             ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+      FROM lineitem
+    ),
+    p AS (
+      SELECT CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS ndv,
+             CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT) AS nulls,
+             printf('%.4f', MIN(l_extendedprice)) AS min_val,
+             printf('%.4f', MAX(l_extendedprice)) AS max_val,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+      FROM lineitem
+    ),
+    f AS (
+      SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv,
+             CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS nulls,
+             MIN(l_returnflag) AS min_val,
+             MAX(l_returnflag) AS max_val,
+             CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+             CAST(NULL AS DOUBLE) AS p75
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col, * FROM q
+    UNION ALL SELECT 'l_extendedprice', * FROM p
+    UNION ALL SELECT 'l_returnflag', * FROM f
+    """,
+)
+def q285_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE COLUMN STATISTICS: exact NDV, null count, min/max,
+    and quartiles per column — the CBO statistics build every engine
+    runs before cost-based planning (Spark's own ANALYZE TABLE … FOR
+    COLUMNS computes approximate NDV; this is the exact, oracle-checked
+    form; q107's data-quality report is the profiling sibling, this is
+    the optimizer-facing one). Numeric min/max print through
+    printf('%.4f') on BOTH engines — the q254 doctrine — so double
+    formatting can't diverge.
+
+    Scale shape: ONE aggregate pass per column over the same scan
+    (Catalyst shares it), each map-side-combining; the long-format
+    union is |columns| rows. Exact NDV is the honest O(distinct) form —
+    the sketch alternative is q51's approx_count_distinct, noted not
+    hidden."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def num_stats(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.countDistinct(col).cast("long").alias("ndv"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("nulls"),
+            F.format_string("%.4f", F.min(col)).alias("min_val"),
+            F.format_string("%.4f", F.max(col)).alias("max_val"),
+            F.round(F.expr(f"percentile({col}, 0.25)"), 6).alias("p25"),
+            F.round(F.expr(f"percentile({col}, 0.5)"), 6).alias("p50"),
+            F.round(F.expr(f"percentile({col}, 0.75)"), 6).alias("p75"),
+        )
+
+    str_stats = li.agg(
+        F.lit("l_returnflag").alias("col"),
+        F.countDistinct("l_returnflag").cast("long").alias("ndv"),
+        (F.count(F.lit(1)) - F.count("l_returnflag")).cast("long").alias("nulls"),
+        F.min("l_returnflag").alias("min_val"),
+        F.max("l_returnflag").alias("max_val"),
+        F.lit(None).cast("double").alias("p25"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p75"),
+    )
+    return (
+        num_stats("l_quantity")
+        .unionByName(num_stats("l_extendedprice"))
+        .unionByName(str_stats)
+    )
