@@ -384,22 +384,37 @@ def hits(
     hubs = nodes.withColumn("hub", F.lit(1.0))
     auths = None
     for _ in range(iterations):
+        # each half-round: persist the raw-score frame BEFORE the norm
+        # action so the join+aggregate runs exactly once per direction
+        # (norm .first() materializes the cache; the normalized frame and
+        # its eager lineage cut then read it back), and feed the join from
+        # the edge frame partitioned on the JOIN key (by_src for the
+        # src-keyed join, by_dst for the dst-keyed one) so the persisted
+        # layout is the one the join consumes
         raw_a = (
-            by_dst.join(hubs.withColumnRenamed("node", "src"), "src")
+            by_src.join(hubs.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("raw"))
+            .persist()
         )
         norm_a = raw_a.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nz")).first()["nz"]
-        auths = raw_a.select("node", (F.col("raw") / F.lit(norm_a)).alias("authority"))
+        auths = cut_lineage(
+            raw_a.select("node", (F.col("raw") / F.lit(norm_a)).alias("authority")),
+            reliable=reliable,
+        )
+        raw_a.unpersist()
         raw_h = (
-            by_src.join(auths.withColumnRenamed("node", "dst"), "dst")
+            by_dst.join(auths.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("raw"))
+            .persist()
         )
         norm_h = raw_h.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nz")).first()["nz"]
-        hubs = raw_h.select("node", (F.col("raw") / F.lit(norm_h)).alias("hub"))
-        hubs = cut_lineage(hubs, reliable=reliable)
-        auths = cut_lineage(auths, reliable=reliable)
+        hubs = cut_lineage(
+            raw_h.select("node", (F.col("raw") / F.lit(norm_h)).alias("hub")),
+            reliable=reliable,
+        )
+        raw_h.unpersist()
     out = (
         nodes.join(hubs, "node", "left")
         .join(auths, "node", "left")

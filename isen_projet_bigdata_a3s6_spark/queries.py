@@ -11626,11 +11626,8 @@ def q273_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("seq")
     )
-    pats = (
-        load_table(spark, sf_dir, "events")
-        .sparkSession.createDataFrame(
-            [("v.*s.*p",), ("e.*e.*e",), ("p.*p",)], "pattern string"
-        )
+    pats = spark.createDataFrame(
+        [("v.*s.*p",), ("e.*e.*e",), ("p.*p",)], "pattern string"
     )
     return (
         seqs.join(F.broadcast(pats))
@@ -11727,7 +11724,7 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(pl), int(g[idx[pl]]), int(w[idx[pl]]), round(p[idx[pl]], 6))
         for pl in players
     ]
-    return load_table(spark, sf_dir, "lineitem").sparkSession.createDataFrame(
+    return spark.createDataFrame(
         spark_rows, "supplier long, games long, wins long, bt_score double"
     )
 
