@@ -703,3 +703,104 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.85,
+    ngram: int | None = 8,
+) -> DataFrame:
+    """All ORDERED document pairs with token-set CONTAINMENT
+    |A∩B| / |A| ≥ ``threshold`` — the asymmetric sibling of
+    :func:`jaccard_prefix_pairs`: containment catches a short document
+    embedded inside a long one (quote, excerpt, template expansion),
+    which Jaccard's symmetric denominator (and its length filter)
+    structurally miss. Returns ``(id_a, id_b, containment)`` where id_a
+    is the CONTAINED side, both directions emitted when both qualify.
+
+    Prefix filtering is one-sided: C ≥ t forces overlap ≥ ⌈t·|a|⌉, so A
+    must share one of its |a| − ⌈t·|a|⌉ + 1 rarest tokens (else overlap
+    ≤ |a| − prefix_len < ⌈t·|a|⌉) — only the CONTAINED side's prefix
+    becomes join keys; the container side is indexed on its full token
+    list (any of B's tokens can be the witness — there is no length
+    upper bound to exploit, only the lower bound |B| ≥ t·|a|, applied
+    at join time). Candidates dedupe to (id_a, id_b) before the exact
+    array_intersect verify — complete by the prefix argument, exact by
+    the verify.
+
+    Plan shape mirrors jaccard_prefix_pairs: hashed shingles, lazy
+    persists on the shared token stream, explicit numPartitions
+    repartitions on the CPU-bound stages, no broadcast hints on the
+    verify joins."""
+    if not 0 < threshold <= 1:
+        raise ValueError("containment_prefix_pairs: threshold must be in (0, 1]")
+    if ngram is None:
+        toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    else:
+        toks = F.array_distinct(char_ngrams(text_col, n=ngram))
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < nparts:
+        src = src.repartition(nparts)
+    tok = src.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.filter(toks, lambda s: s != ""), lambda s: F.xxhash64(s)
+            )
+        ).alias("token"),
+    ).persist()
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    by_id = W.partitionBy("id")
+    ranked = (
+        tok.join(dfreq, "token")
+        .repartition(nparts, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(by_id.orderBy(F.asc("df"), F.asc("token"))),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(by_id))
+    ).persist()
+    prefix_a = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    cand = (
+        prefix_a.alias("pa")
+        .join(
+            ranked.alias("pb"),
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.id") != F.col("pb.id"))
+            # container lower bound: overlap ≥ ⌈t·|a|⌉ needs |b| ≥ that
+            & (
+                F.col("pb.sz")
+                >= F.lit(threshold) * F.col("pa.sz") - F.lit(1e-9)
+            ),
+        )
+        .select(
+            F.col("pa.id").alias("id_a"),
+            F.col("pb.id").alias("id_b"),
+            F.col("pa.sz").alias("sa"),
+        )
+        .distinct()
+    )
+    sets = tok.groupBy("id").agg(F.sort_array(F.collect_list("token")).alias("ts"))
+    return (
+        cand.repartition(nparts, "id_a", "id_b")
+        .join(
+            sets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+            / F.col("sa"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

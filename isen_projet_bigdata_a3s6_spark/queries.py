@@ -12616,3 +12616,207 @@ def q285_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(num_stats("l_extendedprice"))
         .unionByName(str_stats)
     )
+
+
+# --- wave 27: Holt forecast, containment join, ABC-XYZ classification ---
+
+
+@register("q286_holt_forecast")
+def q286_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR-TREND SMOOTHING (double exponential smoothing,
+    α=0.3 β=0.1) over daily order revenue, with the one-step-ahead
+    forecast per day — the trend-aware forecaster the EWMA family (q129/
+    q152) can't express (EWMA flattens trends; Holt tracks them),
+    completing the time-series set next to q168's seasonal decomposition.
+
+    Rows-only by nature: the level/trend recursion isn't SQL-expressible
+    (the q152 EWMA precedent); the pinned test replays the identical
+    recursion in Python.
+
+    Scale shape: the feed collapses to the |days| calendar axis in one
+    groupBy (decimal-exact sums); the sequential recursion runs in ONE
+    applyInPandas group over that bounded axis (the Theil-Sen/PAVA
+    calendar-axis argument — the sequential part is O(|days|), never
+    O(rows)). The UDF is a local closure (worker pickling rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+    def holt(pdf):
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        alpha, beta = 0.3, 0.1
+        level, trend = None, 0.0
+        levels, trends, fcasts = [], [], []
+        for rev in pdf["rev"]:
+            if level is None:
+                level = rev
+                trend = 0.0
+            else:
+                prev_level = level
+                level = alpha * rev + (1 - alpha) * (level + trend)
+                trend = beta * (level - prev_level) + (1 - beta) * trend
+            levels.append(round(level, 6))
+            trends.append(round(trend, 6))
+            fcasts.append(round(level + trend, 6))
+        out = pdf[["day", "rev"]].copy()
+        out["rev"] = out["rev"].round(4)
+        out["level"] = levels
+        out["trend"] = trends
+        out["forecast_next"] = fcasts
+        return out
+
+    return daily.groupBy().applyInPandas(
+        holt, "day string, rev double, level double, trend double, forecast_next double"
+    )
+
+
+@register(
+    "q287_containment_join",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS token
+      FROM norm, UNNEST(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ), sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY 1),
+    inter AS (
+      SELECT t1.doc_id AS id_a, t2.doc_id AS id_b, COUNT(*) AS i
+      FROM tok t1
+      JOIN tok t2 ON t1.token = t2.token AND t1.doc_id <> t2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / s1.s AS containment
+    FROM inter
+    JOIN sz s1 ON s1.doc_id = id_a
+    WHERE CAST(i AS DOUBLE) / s1.s >= 0.85
+    """,
+)
+def q287_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-CONTAINMENT JOIN (|A∩B|/|A| ≥ 0.85 over character
+    8-shingles): finds documents CONTAINED in another — quotes,
+    excerpts, template expansions — the asymmetric case q161's Jaccard
+    join structurally misses (a 100-token doc inside a 1000-token doc
+    has J ≈ 0.1 but containment 1.0; Jaccard's length filter prunes the
+    pair before it is ever scored). Ordered pairs, both directions
+    emitted when both qualify.
+
+    Scale shape: :func:`functions.dedup.containment_prefix_pairs` —
+    one-sided prefix filtering (only the contained side's rarest
+    shingles become join keys; the container side is indexed fully,
+    with the |B| ≥ t·|A| lower bound at join time), exact
+    array_intersect verify on candidates. The containment value is one
+    exact IEEE division (identical across engines, no rounding
+    needed)."""
+    from .functions.dedup import containment_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_prefix_pairs(d, "doc_id", "text", threshold=0.85, ngram=8)
+
+
+@register(
+    "q288_abc_xyz",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey AS part,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    monthly AS (
+      SELECT l_partkey AS part,
+             year(l_shipdate) * 12 + month(l_shipdate) AS m,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT part, COUNT(*) AS nm,
+             SUM(qty) / COUNT(*) AS mean_q,
+             CASE WHEN COUNT(*) > 1 THEN
+               sqrt((SUM(qty * qty) - SUM(qty) * SUM(qty) / COUNT(*))
+                    / (COUNT(*) - 1)) / (SUM(qty) / COUNT(*))
+             ELSE 0.0 END AS cv
+      FROM monthly GROUP BY part
+    ),
+    ranked AS (
+      SELECT part, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, part) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM per_part
+    ),
+    classed AS (
+      SELECT r.part,
+             CASE WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(tot AS VARCHAR) AS DOUBLE) <= 0.5
+                  THEN 'A'
+                  WHEN CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(tot AS VARCHAR) AS DOUBLE) <= 0.8
+                  THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN cv.cv < 0.5 THEN 'X'
+                  WHEN cv.cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+      FROM ranked r JOIN cv ON cv.part = r.part
+    )
+    SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY abc, xyz
+    """,
+)
+def q288_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ INVENTORY CLASSIFICATION: parts classed by cumulative
+    revenue contribution (A ≤ 50 %, B ≤ 80 %, C rest — q163's Pareto
+    cut made categorical) crossed with demand-variability classes from
+    the coefficient of variation of monthly quantity (X < 0.5, Y < 1.0,
+    Z rest) — the 9-cell planning matrix supply-chain teams read to
+    pick forecasting/stocking policy per cell.
+
+    Scale shape: both classifications collapse to the |parts| axis
+    first (one groupBy each, sharing the scan); the cumulative-share
+    window runs over |parts| rows AFTER aggregation (the q163 pattern),
+    with (rev DESC, part) as the shared deterministic total order;
+    decimal-exact revenue sums route VARCHAR→DOUBLE in the oracle (the
+    window-decimal harden rule). The 9-cell output is a |cells|-group
+    count."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).alias("rev")
+    )
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double").alias("qty")
+    )
+    nm = F.count(F.lit(1))
+    mean_q = F.sum("qty") / nm
+    var = (F.sum(F.col("qty") * F.col("qty")) - F.sum("qty") * F.sum("qty") / nm) / (
+        nm - 1
+    )
+    cv = monthly.groupBy("part").agg(
+        F.when(nm > 1, F.sqrt(var) / mean_q).otherwise(F.lit(0.0)).alias("cv")
+    )
+    w = Window.orderBy(F.desc("rev"), "part").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_part.select(
+        "part",
+        F.sum("rev").over(w).cast("double").alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).cast("double").alias("tot"),
+    )
+    share = F.col("cum") / F.col("tot")
+    classed = ranked.join(cv, "part").select(
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc"),
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
