@@ -12820,3 +12820,236 @@ def q288_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("abc", "xyz").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
+
+
+# --- wave 28: kNN classifier eval, interval union, forecast backtest ---
+
+
+@register(
+    "q289_knn_classifier",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id >= 480
+    ),
+    scored AS (
+      SELECT q.query_id, q.true_label, e.vec_id, e.label,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6)
+               AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.vec_id < 480
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, vec_id, label, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rnk
+        FROM scored) t
+      WHERE rnk <= 10
+    ),
+    votes AS (
+      SELECT query_id, true_label, label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, true_label,
+             CAST(arg_max(label, n_votes * 1000 - label) AS INT) AS pred_label,
+             CAST(MAX(n_votes) AS BIGINT) AS top_votes
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT query_id, true_label, pred_label, top_votes,
+           CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM pred
+    """,
+)
+def q289_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFIER (k=10, cosine, majority vote with deterministic
+    smallest-label tie-break) over a train/test embedding split —
+    classification-by-retrieval, the lazy-learning baseline next to the
+    parametric family (logistic q44, Naive Bayes q248); the per-query
+    `correct` column aggregates to the accuracy readout.
+
+    Scale shape: the test-query set broadcasts (bounded-query contract);
+    scoring and ranking are the q41/q281 shapes; the vote is a
+    ≤ k·|labels|-row groupBy and the argmax uses max_by on the
+    (votes, −label) pair — the tie-break is exact integer comparison on
+    both engines."""
+    from pyspark.sql import Window
+
+    from .functions.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") >= 480).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    train = e.where(F.col("vec_id") < 480)
+    scored = (
+        train.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+    )
+    topk = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+        ),
+    ).where(F.col("rnk") <= 10)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    # vote order encoded as one integer key: more votes win, ties go to
+    # the SMALLER label (votes·1000 − label) — DuckDB's arg_max can't
+    # order by a struct, and the integer key is exact on both engines
+    pred = votes.groupBy("query_id", "true_label").agg(
+        F.max_by("label", F.col("n_votes") * 1000 - F.col("label"))
+        .cast("int")
+        .alias("pred_label"),
+        F.max("n_votes").cast("long").alias("top_votes"),
+    )
+    return pred.select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "top_votes",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
+@register(
+    "q290_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 15 MINUTE AS e FROM events
+    ),
+    marks AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL SELECT user_id, e, -1 FROM iv
+    ),
+    swept AS (
+      SELECT user_id, t, d,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS depth,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, d DESC) AS nxt
+      FROM marks
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN depth > 0
+                         THEN epoch_us(nxt) - epoch_us(t) ELSE 0 END)
+                // 1000000 AS BIGINT) AS covered_sec
+    FROM swept WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q290_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-UNION COVERAGE (sweep line): total seconds each user was
+    "active" under overlapping 15-minute activity intervals — the
+    measure-theoretic union length that naive SUM(duration)
+    double-counts on overlaps; the coverage sibling of q139's
+    max-concurrency sweep (same ±1 mark trick, different aggregate:
+    q139 takes MAX depth, this integrates time-at-depth>0).
+
+    Scale shape: 2 marks per event, one per-user window (partition-
+    parallel, (t, d DESC) total order so a closing and opening mark at
+    the same instant keeps the segment closed consistently on both
+    engines), one aggregate. Durations are exact integer micros; the
+    integer-division to seconds is exact on both engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select("user_id", F.col("ts").alias("s"),
+                  (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("ev"))
+    marks = iv.select("user_id", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select("user_id", F.col("ev").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t"), F.desc("d"))
+    swept = marks.select(
+        "user_id",
+        "t",
+        "d",
+        F.sum("d")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("depth"),
+        F.lead("t").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    return swept.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN depth > 0 THEN unix_micros(nxt) - unix_micros(t)"
+            " ELSE 0 END) div 1000000 AS BIGINT)"
+        ).alias("covered_sec")
+    )
+
+
+@register("q291_forecast_backtest")
+def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN FORECAST BACKTEST: one-step-ahead MAE of Holt
+    (q286's α=0.3 β=0.1), single EWMA (α=0.3) and the naive
+    last-value forecaster over the daily revenue series — the honest
+    model-selection loop (never evaluate a forecaster in-sample; each
+    day is predicted using only prior days). Returns one row per
+    method with MAE/RMSE and n_evaluated.
+
+    Rows-only by nature (the recursions aren't SQL-expressible); the
+    pinned test replays all three recursions in Python.
+
+    Scale shape: the feed collapses to the |days| calendar axis in one
+    decimal-exact groupBy; the three O(|days|) recursions share ONE
+    applyInPandas group over the bounded axis (q286's calendar-axis
+    argument). The UDF is a local closure (worker pickling rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+    def backtest(pdf):
+        import pandas as pd
+
+        xs = pdf.sort_values("day")["rev"].tolist()
+        alpha, beta = 0.3, 0.1
+        holt_err, ewma_err, naive_err = [], [], []
+        level, trend, ew = None, 0.0, None
+        for i, x in enumerate(xs):
+            if level is not None:
+                holt_err.append(x - (level + trend))
+                ewma_err.append(x - ew)
+                naive_err.append(x - xs[i - 1])
+            if level is None:
+                level, trend, ew = x, 0.0, x
+            else:
+                prev = level
+                level = alpha * x + (1 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1 - beta) * trend
+                ew = alpha * x + (1 - alpha) * ew
+        rows = []
+        for name, errs in (
+            ("holt", holt_err),
+            ("ewma", ewma_err),
+            ("naive", naive_err),
+        ):
+            n = len(errs)
+            mae = sum(abs(e) for e in errs) / n
+            rmse = (sum(e * e for e in errs) / n) ** 0.5
+            rows.append((name, n, round(mae, 6), round(rmse, 6)))
+        return pd.DataFrame(
+            rows, columns=["method", "n_evaluated", "mae", "rmse"]
+        )
+
+    return daily.groupBy().applyInPandas(
+        backtest, "method string, n_evaluated long, mae double, rmse double"
+    )
