@@ -13053,3 +13053,220 @@ def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy().applyInPandas(
         backtest, "method string, n_evaluated long, mae double, rmse double"
     )
+
+
+# --- wave 29: log-rank test, subsample bootstrap CI ---
+
+
+@register(
+    "q292_logrank_test",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                       COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                         THEN CAST(ts AS DATE) END),
+                                MAX(CAST(ts AS DATE)))) AS duration,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev,
+             CAST(user_id % 2 AS INT) AS g
+      FROM events GROUP BY user_id
+    ),
+    by_t AS (
+      SELECT duration AS t,
+             CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(g * ev) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS obs,
+             CAST(SUM(g) AS BIGINT) AS obs1
+      FROM users GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, d1,
+             CAST(SUM(obs) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+             CAST(SUM(obs1) OVER (ORDER BY t DESC) AS BIGINT) AS n1
+      FROM by_t
+    ),
+    terms AS (
+      SELECT d1,
+             CAST(ROUND(d * n1 / CAST(n AS DOUBLE), 9) AS DECIMAL(16,9)) AS e1,
+             CAST(ROUND(CASE WHEN n > 1 THEN
+                    d * (n1 / CAST(n AS DOUBLE))
+                      * (1.0 - n1 / CAST(n AS DOUBLE))
+                      * (n - d) / (n - 1.0)
+                  ELSE 0.0 END, 9) AS DECIMAL(16,9)) AS v1
+      FROM risk WHERE d > 0
+    ),
+    tot AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(CAST(SUM(e1) AS VARCHAR) AS DOUBLE) AS e1,
+             CAST(CAST(SUM(v1) AS VARCHAR) AS DOUBLE) AS v1
+      FROM terms
+    )
+    SELECT o1 AS observed_1, ROUND(e1, 6) AS expected_1,
+           ROUND(v1, 6) AS variance_1,
+           ROUND((o1 - e1) / sqrt(v1), 6) AS z,
+           ROUND((o1 - e1) * (o1 - e1) / v1, 6) AS chi2
+    FROM tot
+    """,
+)
+def q292_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST (Mantel-Cox) on TIME TO FIRST PURCHASE, arms split
+    by user-id parity (an A/A placebo split — the statistic's JOB on
+    this corpus is to come back near zero, the q254/q276 audit
+    doctrine) — the hypothesis test that completes q249's
+    Kaplan-Meier curve (KM describes each arm; log-rank says whether
+    the arms differ). Duration runs from a user's first event to their
+    first purchase; users who never purchase are right-censored at
+    their last observed day. The statistic is the standard
+    hypergeometric O−E/V accumulation over distinct event times.
+
+    Exactness: per-time E and V terms are single float expressions over
+    exact integer at-risk counts, quantized to DECIMAL(16,9) (the q170
+    convention) so their sums are order-independent; the z and χ²
+    statistics are one division each (round6). At-risk counts come from
+    a DESCENDING cumulative window over the |distinct durations| axis —
+    calendar-bounded, the q249 posture.
+
+    Scale shape: one per-user collapse, one |durations|-group count,
+    one axis window, then 1-row algebra."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+    )
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.coalesce(first_purchase, F.max(F.to_date("ts"))),
+                F.min(F.to_date("ts")),
+            ).alias("duration"),
+            first_purchase.isNotNull().cast("int").alias("ev"),
+        )
+        .select(
+            "duration", "ev", (F.col("user_id") % 2).cast("int").alias("g")
+        )
+    )
+    by_t = users.groupBy(F.col("duration").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.col("g") * F.col("ev")).cast("long").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("obs"),
+        F.sum("g").cast("long").alias("obs1"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("obs").over(w).cast("long").alias("n"),
+        F.sum("obs1").over(w).cast("long").alias("n1"),
+    ).where(F.col("d") > 0)
+    nf = F.col("n").cast("double")
+    p1 = F.col("n1") / nf
+    terms = risk.select(
+        "d1",
+        F.round(F.col("d") * F.col("n1") / nf, 9).cast("decimal(16,9)").alias("e1"),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                F.col("d") * p1 * (1.0 - p1) * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1.0),
+            ).otherwise(0.0),
+            9,
+        )
+        .cast("decimal(16,9)")
+        .alias("v1"),
+    )
+    tot = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum("e1").cast("double").alias("e1"),
+        F.sum("v1").cast("double").alias("v1"),
+    )
+    return tot.select(
+        F.col("o1").alias("observed_1"),
+        F.round("e1", 6).alias("expected_1"),
+        F.round("v1", 6).alias("variance_1"),
+        F.round((F.col("o1") - F.col("e1")) / F.sqrt("v1"), 6).alias("z"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v1"),
+            6,
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "q293_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(generate_series(0, 49)) AS b),
+    sampled AS (
+      SELECT b, o_totalprice
+      FROM orders, reps
+      WHERE ((o_orderkey % 1000000) * 2654435761 + b * 40503 + 11) % 1000
+            < 500
+    ),
+    means AS (
+      SELECT b,
+             ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                             AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS m
+      FROM sampled GROUP BY b
+    ),
+    point AS (
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS mean_full
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(MAX(mean_full), 6) AS mean_full,
+           ROUND(quantile_cont(m, 0.05), 6) AS ci_lo,
+           ROUND(quantile_cont(m, 0.95), 6) AS ci_hi
+    FROM means, point
+    """,
+)
+def q293_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSAMPLE BOOTSTRAP CI (50 deterministic half-sample replicates):
+    a 90 % confidence interval for mean order value from the replicate-
+    mean distribution — distribution-free uncertainty for ANY plug-in
+    statistic, the resampling sibling of q256's conformal interval
+    (conformal wraps predictions; this wraps estimates). Replicate
+    membership is the q272 LCG doctrine — hash(row key, replicate) —
+    so every engine, retry, and partitioning draws the SAME subsamples.
+
+    Scale shape: the 50× replicate expansion feeds a 50-group
+    map-side-combining aggregate (decimal-exact sums — each row is
+    touched 50× but never shuffled raw; at 100 TB drop to Poisson
+    weights in ONE pass by summing w·x per replicate, noted not
+    hidden); the CI is an exact percentile over 50 replicate means,
+    each round9'd so interpolation sees identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("b"),
+    ).where(
+        ((F.col("o_orderkey") % 1000000) * 2654435761 + F.col("b") * 40503 + 11)
+        % 1000
+        < 500
+    )
+    means = reps.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("m")
+    )
+    point = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_full")
+    )
+    return means.join(F.broadcast(point)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(F.max("mean_full"), 6).alias("mean_full"),
+        F.round(F.expr("percentile(m, 0.05)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.95)"), 6).alias("ci_hi"),
+    )
