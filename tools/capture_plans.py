@@ -169,6 +169,19 @@ ANNOTATED = {
     "q282_fairness_audit": "fairness audit: one broadcast fact-dim join, "
     "a |segments|-group aggregate of integer counts, and a 1-row gap "
     "frame broadcast back onto the rates.",
+    "q287_containment_join": "containment join: one-sided prefix filter — "
+    "only the contained side's rarest shingles are join keys against the "
+    "container's full token index; candidates dedupe before the "
+    "array_intersect verify; no broadcast hints (optimizer decides).",
+    "q288_abc_xyz": "ABC-XYZ: both classification axes collapse to the "
+    "|parts| frame first; the cumulative-share window runs over |parts| "
+    "rows AFTER aggregation (q163 pattern) — never over the fact feed.",
+    "q290_interval_coverage": "interval coverage: ±1 marks double the "
+    "rows map-side; ONE per-user exchange serves the depth window, the "
+    "lead, and implicitly the final aggregate's partial phase.",
+    "q293_bootstrap_ci": "bootstrap CI: the 50x replicate explode feeds "
+    "a 50-group map-side-combining aggregate — rows are expanded in "
+    "codegen, never shuffled raw; the CI is a percentile over 50 rows.",
 }
 
 
