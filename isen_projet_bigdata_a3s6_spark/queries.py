@@ -13270,3 +13270,133 @@ def q293_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.05)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.95)"), 6).alias("ci_hi"),
     )
+
+
+# --- wave 30: corrupt-record ingestion, wide-table build ---
+
+
+@register(
+    "q294_corrupt_csv_ingest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS sum_price,
+           CAST(3 AS BIGINT) AS n_corrupt_total
+    FROM orders WHERE o_totalprice > 150000
+    GROUP BY o_orderstatus
+    """,
+)
+def q294_corrupt_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-TOLERANT CSV INGESTION (PERMISSIVE mode +
+    ``columnNameOfCorruptRecord``): a CSV export polluted with three
+    malformed lines is read back with an explicit schema; corrupt rows
+    land in the quarantine column instead of failing the job or
+    silently coercing, good rows aggregate normally, and the corrupt
+    count is reported alongside — the ingestion posture every
+    production pipeline needs (a 100 TB load WILL contain garbage
+    lines; FAILFAST aborts hour-10, silent DROPMALFORMED lies). The
+    oracle aggregates the ORIGINAL table plus the known corrupt count,
+    so a row lost either way breaks the hash.
+
+    Scale shape: CSV write/read are per-file parallel; the corrupt
+    filter and aggregate are ordinary pushdown + two-phase groupBy.
+    The three bad lines are written as a separate single file in the
+    same directory (deterministic content, no RNG)."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    out_dir = tempfile.mkdtemp(prefix="csv_corrupt_") + "/orders_csv"
+    (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.option("header", "false")
+        .mode("overwrite")
+        .csv(out_dir)
+    )
+    # inject three deterministic malformed lines as one extra part file:
+    # wrong arity, non-numeric price, and a bare fragment
+    with open(os.path.join(out_dir, "part-corrupt.csv"), "w") as f:
+        f.write("9999999,X\nBAD,F,not_a_number\ngarbage-line\n")
+    back = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out_dir)
+    )
+    back = back.cache()
+    corrupt = back.where(F.col("_bad").isNotNull()).count()
+    good = back.where(F.col("_bad").isNull())
+    return good.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.lit(corrupt).cast("long").alias("n_corrupt_total"),
+    )
+
+
+@register(
+    "q295_wide_table_build",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS net
+      FROM lineitem GROUP BY 1
+    )
+    SELECT r_name AS region, n_name AS nation, c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(net) AS VARCHAR) AS DOUBLE) AS net_revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN li ON li.l_orderkey = o_orderkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q295_wide_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-BIG-TABLE BUILD (semantic-layer denormalization): the full
+    dimension chain region→nation→customer decorated onto orders with
+    per-order lineitem rollups pre-joined, summarized per
+    (region, nation, segment) — the wide-table materialization every
+    BI/feature layer runs so downstream queries stop paying the join
+    chain (the ELT counterpart of the TPC-H join shapes q12/q153).
+
+    Scale shape: the lineitem rollup collapses to |orders| rows BEFORE
+    joining (never a fact×fact row explosion); all three dimension
+    joins broadcast; the single shuffle-sized join is orders⋈rollup on
+    the order key, then one map-side-combining aggregate. Net revenue
+    stays decimal-exact until the hardened final cast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(28,4)")
+            * (1 - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("net"),
+    )
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(rollup, F.col("o_orderkey") == rollup.l_orderkey)
+    )
+    return wide.groupBy(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("net").cast("double").alias("net_revenue"),
+    )
