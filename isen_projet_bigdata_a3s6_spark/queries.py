@@ -13400,3 +13400,204 @@ def q295_wide_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lines").cast("long").alias("n_lines"),
         F.sum("net").cast("double").alias("net_revenue"),
     )
+
+
+# --- wave 31: Fellegi-Sunter linkage scoring, haversine 1-NN ---
+
+
+@register(
+    "q296_fellegi_sunter",
+    oracle="""
+    WITH recs AS (
+      SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_b,
+             substr(c_name, length(c_name), 1) AS last_d
+      FROM customer
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM recs),
+    u_seg AS (
+      SELECT SUM(c * c) / (MAX(nn) * CAST(MAX(nn) AS DOUBLE)) AS u
+      FROM (SELECT COUNT(*) AS c FROM recs GROUP BY seg), n
+    ),
+    u_bal AS (
+      SELECT SUM(c * c) / (MAX(nn) * CAST(MAX(nn) AS DOUBLE)) AS u
+      FROM (SELECT COUNT(*) AS c FROM recs GROUP BY bal_b), n
+    ),
+    u_dig AS (
+      SELECT SUM(c * c) / (MAX(nn) * CAST(MAX(nn) AS DOUBLE)) AS u
+      FROM (SELECT COUNT(*) AS c FROM recs GROUP BY last_d), n
+    ),
+    pairs AS (
+      SELECT (a.seg = b.seg)::INT AS a_seg,
+             (a.bal_b = b.bal_b)::INT AS a_bal,
+             (a.last_d = b.last_d)::INT AS a_dig
+      FROM recs a JOIN recs b ON a.blk = b.blk AND a.id < b.id
+    )
+    SELECT a_seg, a_bal, a_dig, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(
+             (CASE WHEN a_seg = 1 THEN LN(0.9 / u_seg.u)
+                   ELSE LN(0.1 / (1.0 - u_seg.u)) END)
+           + (CASE WHEN a_bal = 1 THEN LN(0.9 / u_bal.u)
+                   ELSE LN(0.1 / (1.0 - u_bal.u)) END)
+           + (CASE WHEN a_dig = 1 THEN LN(0.9 / u_dig.u)
+                   ELSE LN(0.1 / (1.0 - u_dig.u)) END), 6) AS score
+    FROM pairs, u_seg, u_bal, u_dig
+    GROUP BY a_seg, a_bal, a_dig, u_seg.u, u_bal.u, u_dig.u
+    """,
+)
+def q296_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER RECORD-LINKAGE SCORING (the probabilistic-matching
+    decision model, 1969): candidate pairs from nation blocking are
+    scored by per-field agreement log-likelihood weights — agreement on
+    field f adds ln(m/u_f), disagreement ln((1−m)/(1−u_f)) — with m
+    pinned at the classic 0.9 and each u_f (chance-agreement rate)
+    ESTIMATED FROM THE DATA as Σ count(v)²/n². Completes the ER family:
+    q215 blocks and verifies by edit distance; this is the principled
+    scorer a merge step thresholds. Output is one row per agreement
+    pattern (score is constant within a pattern) — 8 rows, not 44k.
+
+    Scale shape: u-rates reduce to |distinct values| per field and
+    broadcast as 1-row frames; pair generation is the blocked self-join
+    (bounded per block, the q215 skew control); the pattern aggregate
+    is 8 groups. ln at query time follows the q255 round6 convention —
+    one rounding on the SUMMED score."""
+    c = load_table(spark, sf_dir, "customer")
+    recs = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_b"),
+        F.substring(F.col("c_name"), -1, 1).alias("last_d"),
+    )
+    n = recs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+
+    def u_rate(col: str, alias: str) -> DataFrame:
+        counts = recs.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return counts.join(F.broadcast(n)).agg(
+            (
+                F.sum(F.col("c") * F.col("c"))
+                / (F.max("nn") * F.max("nn").cast("double"))
+            ).alias(alias)
+        )
+
+    b = recs.select(
+        F.col("blk"),
+        F.col("id").alias("id_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("bal_b").alias("bal_bb"),
+        F.col("last_d").alias("last_db"),
+    )
+    pairs = (
+        recs.join(b, "blk")
+        .where(F.col("id") < F.col("id_b"))
+        .select(
+            (F.col("seg") == F.col("seg_b")).cast("int").alias("a_seg"),
+            (F.col("bal_b") == F.col("bal_bb")).cast("int").alias("a_bal"),
+            (F.col("last_d") == F.col("last_db")).cast("int").alias("a_dig"),
+        )
+    )
+    m = F.lit(0.9)
+
+    def w(agree: str, u: str):
+        return F.when(
+            F.col(agree) == 1, F.log(m / F.col(u))
+        ).otherwise(F.log((1 - m) / (1 - F.col(u))))
+
+    return (
+        pairs.groupBy("a_seg", "a_bal", "a_dig")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .join(F.broadcast(u_rate("seg", "u_seg")))
+        .join(F.broadcast(u_rate("bal_b", "u_bal")))
+        .join(F.broadcast(u_rate("last_d", "u_dig")))
+        .select(
+            "a_seg",
+            "a_bal",
+            "a_dig",
+            "n_pairs",
+            F.round(
+                w("a_seg", "u_seg") + w("a_bal", "u_bal") + w("a_dig", "u_dig"),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+@register(
+    "q297_haversine_knn",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+             -5.0 + (c_custkey % 1000) * 0.01 AS lon,
+             41.0 + ((c_custkey * 7) % 1000) * 0.009 AS lat
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+             -5.0 + (s_suppkey * 13 % 1000) * 0.01 AS lon,
+             41.0 + (s_suppkey * 31 % 1000) * 0.009 AS lat
+      FROM supplier
+    ),
+    scored AS (
+      SELECT c_custkey, s_suppkey,
+             ROUND(2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(s.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * pow(sin(radians(s.lon - c.lon) / 2), 2))), 6) AS d_km
+      FROM cust c CROSS JOIN supp s
+    ),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, d_km,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY d_km, s_suppkey) AS rn
+      FROM scored
+    )
+    SELECT c_custkey, s_suppkey AS nearest_supp, d_km
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q297_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVERSINE 1-NN on the SPHERE: each customer's nearest supplier
+    by great-circle distance over synthetic WGS84 coordinates — the
+    spherical closer to the geo family (q45 projects Lambert-93→WGS84;
+    q16 solves planar 1-NN; this is the geodesic metric those
+    coordinates actually live in). Distances round6 BEFORE the argmin
+    and ties break on supplier id — the q41 doctrine that keeps libm
+    trig ULP differences from flipping the winner between engines.
+
+    Scale shape: the supplier side broadcasts (dimension-sized); the
+    per-customer argmin is a partitioned window over |suppliers| scored
+    rows. At planet scale both sides big → the q16 grid dispatch
+    applies (bucket by geohash cell, join neighbor cells); noted not
+    hidden."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (-5.0 + (F.col("c_custkey") % 1000) * 0.01).alias("clon"),
+        (41.0 + ((F.col("c_custkey") * 7) % 1000) * 0.009).alias("clat"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (-5.0 + (F.col("s_suppkey") * 13 % 1000) * 0.01).alias("slon"),
+        (41.0 + (F.col("s_suppkey") * 31 % 1000) * 0.009).alias("slat"),
+    )
+    dphi = F.radians(F.col("slat") - F.col("clat")) / 2
+    dlam = F.radians(F.col("slon") - F.col("clon")) / 2
+    h = (
+        F.pow(F.sin(dphi), 2)
+        + F.cos(F.radians("clat")) * F.cos(F.radians("slat")) * F.pow(F.sin(dlam), 2)
+    )
+    scored = c.join(F.broadcast(s)).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 6).alias("d_km"),
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("c_custkey").orderBy("d_km", "s_suppkey")
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "c_custkey", F.col("s_suppkey").alias("nearest_supp"), "d_km"
+    )
