@@ -13601,3 +13601,177 @@ def q297_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rn") == 1).select(
         "c_custkey", F.col("s_suppkey").alias("nearest_supp"), "d_km"
     )
+
+
+# --- wave 32: energy distance, greedy set-cover selection ---
+
+
+@register(
+    "q298_energy_distance",
+    oracle="""
+    WITH x AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ),
+    y AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+    ),
+    nx AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM x),
+    ny AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM y),
+    exy AS (
+      SELECT CAST(SUM(x.c * y.c * CAST(ABS(x.v - y.v) AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS s
+      FROM x CROSS JOIN y
+    ),
+    exx AS (
+      SELECT CAST(SUM(a.c * b.c * CAST(ABS(a.v - b.v) AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS s
+      FROM x a CROSS JOIN x b
+    ),
+    eyy AS (
+      SELECT CAST(SUM(a.c * b.c * CAST(ABS(a.v - b.v) AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS s
+      FROM y a CROSS JOIN y b
+    )
+    SELECT nx.n AS n_x, ny.n AS n_y,
+           ROUND(2.0 * CAST(CAST(exy.s AS VARCHAR) AS DOUBLE) / (nx.n * CAST(ny.n AS DOUBLE))
+                 - CAST(CAST(exx.s AS VARCHAR) AS DOUBLE) / (nx.n * CAST(nx.n AS DOUBLE))
+                 - CAST(CAST(eyy.s AS VARCHAR) AS DOUBLE) / (ny.n * CAST(ny.n AS DOUBLE)),
+                 6) AS energy_distance
+    FROM nx, ny, exy, exx, eyy
+    """,
+)
+def q298_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENERGY DISTANCE two-sample statistic (Székely-Rizzo):
+    2E|X−Y| − E|X−X'| − E|Y−Y'| between returned and non-returned
+    quantity distributions — sensitive to ANY distributional difference
+    (location, scale, shape), where KS (q233) keys on the max CDF gap
+    and Mann-Whitney (q234) on stochastic ordering; zero iff the
+    distributions coincide.
+
+    Exactness: both samples collapse to DISTINCT VALUES + counts first,
+    so each pairwise expectation is a |distinct|² cross join of count
+    products times exact |u−v| decimals — DECIMAL(38,2)-exact sums,
+    three hardened divisions, one round6. No float enters before the
+    final expression.
+
+    Scale shape: the cross joins are value-resolution bounded
+    (|distinct quantity|² = 2500 cells), never row-level — the same
+    collapse-first doctrine as q233/q260; counts themselves come from
+    two pushed-filter aggregates over one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dist(flag: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .groupBy(F.col("l_quantity").alias("v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    x, y = dist("R"), dist("N")
+
+    def pair_sum(a: DataFrame, b: DataFrame) -> DataFrame:
+        bb = b.select(F.col("v").alias("v2"), F.col("c").alias("c2"))
+        return a.join(F.broadcast(bb)).agg(
+            F.sum(
+                F.col("c")
+                * F.col("c2")
+                * F.abs(F.col("v") - F.col("v2")).cast("decimal(18,2)")
+            )
+            .cast("decimal(38,2)")
+            .alias("s")
+        )
+
+    nx = x.agg(F.sum("c").cast("long").alias("n_x"))
+    ny = y.agg(F.sum("c").cast("long").alias("n_y"))
+    exy = pair_sum(x, y).select(F.col("s").alias("sxy"))
+    exx = pair_sum(x, x).select(F.col("s").alias("sxx"))
+    eyy = pair_sum(y, y).select(F.col("s").alias("syy"))
+    return (
+        nx.join(F.broadcast(ny))
+        .join(F.broadcast(exy))
+        .join(F.broadcast(exx))
+        .join(F.broadcast(eyy))
+        .select(
+            "n_x",
+            "n_y",
+            F.round(
+                2.0 * F.col("sxy").cast("double")
+                / (F.col("n_x") * F.col("n_y").cast("double"))
+                - F.col("sxx").cast("double")
+                / (F.col("n_x") * F.col("n_x").cast("double"))
+                - F.col("syy").cast("double")
+                / (F.col("n_y") * F.col("n_y").cast("double")),
+                6,
+            ).alias("energy_distance"),
+        )
+    )
+
+
+@register("q299_setcover_selection")
+def q299_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY SET-COVER CORPUS SELECTION: pick 10 documents that
+    maximize cumulative vocabulary coverage (the 1−1/e-approximate
+    greedy for submodular coverage) — the curation primitive for
+    "smallest probe set that exercises the most vocabulary" (eval-set
+    construction, annotation budgeting), next to q238's k-center
+    (geometry coverage) and q191's per-domain quality pick.
+
+    Rows-only by nature (iterative greedy; no SQL twin) — the pinned
+    test replays the identical greedy in Python, including the
+    smallest-doc-id tie-break.
+
+    Scale shape: one tokenize pass builds the (doc, token) stream; each
+    of the 10 rounds is an anti join against the covered-token set
+    (broadcast — covered vocabulary is |vocab|-bounded) + a per-doc
+    count + a 1-row max_by collect. Driver traffic is 1 row per round
+    (the pagerank/k-center bounded-collect contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    # coverage unit = word BIGRAMS: this corpus's ~31-word unigram vocab
+    # saturates on one document; the ~|V|² bigram space differentiates
+    # documents (same reason q161 shingles instead of tokenizing words)
+    words = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, F.lit(2), F.size(words) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(bigrams)).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .persist()
+    )
+    spark_session = d.sparkSession
+    covered: list[str] = []
+    picks = []
+    for rnd in range(10):
+        remaining = tok
+        if covered:
+            cov_df = spark_session.createDataFrame(
+                [(w,) for w in covered], "w string"
+            )
+            remaining = tok.join(F.broadcast(cov_df), "w", "left_anti")
+        gain = remaining.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("new_tokens")
+        )
+        top = gain.orderBy(F.desc("new_tokens"), "doc_id").limit(1).collect()
+        if not top or top[0]["new_tokens"] == 0:
+            break
+        doc = top[0]["doc_id"]
+        new_words = [
+            r["w"]
+            for r in remaining.where(F.col("doc_id") == doc)
+            .select("w")
+            .distinct()
+            .collect()
+        ]
+        covered.extend(new_words)
+        picks.append((rnd + 1, int(doc), int(top[0]["new_tokens"]), len(covered)))
+    tok.unpersist()
+    return spark_session.createDataFrame(
+        picks, "pick_order int, doc_id long, new_tokens long, covered_vocab long"
+    )
