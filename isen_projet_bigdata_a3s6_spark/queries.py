@@ -13775,3 +13775,87 @@ def q299_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_session.createDataFrame(
         picks, "pick_order int, doc_id long, new_tokens long, covered_vocab long"
     )
+
+
+@register(
+    "q300_curation_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM quality
+      WHERE n_chars >= 80 AND n_words >= 15
+        AND n_chars / CAST(n_words AS DOUBLE) >= 3.0
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, text,
+             MIN(lang) AS lang, MIN(n_chars) AS n_chars
+      FROM filtered GROUP BY text
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM deduped
+    ),
+    selected AS (SELECT * FROM ranked WHERE rn <= 40)
+    SELECT lang, doc_id % 4 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM((doc_id * 1000003 + n_chars) % 1000000007) AS BIGINT)
+             AS checksum
+    FROM selected GROUP BY 1, 2
+    """,
+)
+def q300_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CURATION PIPELINE (the capstone composite): quality
+    gate (length + word count + chars-per-word, the SQL-expressible
+    core of q179's Gopher rules) → exact dedup with canonical
+    smallest-id pick (q37/q120) → top-40-per-language selection by
+    length (q191's shape) → deterministic 4-way sharding with
+    order-independent checksums (q279) — one lazy plan from raw corpus
+    to delivery manifest, oracle-checked END TO END so a row lost or
+    duplicated at ANY stage breaks the hash. The full-strength chain
+    (MinHash near-dup, token budgets, decontamination) lives in q175;
+    this is its fully-SQL-verifiable spine.
+
+    Scale shape: the quality gate is pushdown-friendly row predicates;
+    dedup shuffles once on the text (at 100 TB: on the 8-byte
+    fingerprint, q37's shape, noted); selection is a per-language
+    window (partition-parallel); the manifest is a small-group
+    aggregate. Every stage feeds the next lazily — Catalyst sees ONE
+    plan."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    filtered = d.select(
+        "doc_id", "text", "lang", "n_chars", n_words.alias("n_words")
+    ).where(
+        (F.col("n_chars") >= 80)
+        & (F.col("n_words") >= 15)
+        & (F.col("n_chars") / F.col("n_words").cast("double") >= 3.0)
+    )
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    selected = deduped.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 40
+    )
+    return selected.groupBy(
+        "lang", (F.col("doc_id") % 4).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.col("doc_id") * 1000003 + F.col("n_chars")) % 1000000007)
+        .cast("long")
+        .alias("checksum"),
+    )
