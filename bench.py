@@ -68,6 +68,7 @@ HEADLINE = [
     "q245_dau_mau",           # 30-day exact distinct via contribution explode
     "q259_association_rules", # order-keyed pair join, broadcast marginals
     "q260_spearman_corr",     # prefix-scan midranks + exact moment algebra
+    "q300_curation_pipeline", # end-to-end curation: gate->dedup->select->manifest
 ]
 
 # primary input table per headline query — row counts go into the bench JSON
@@ -113,6 +114,7 @@ _INPUT_TABLE = {
     "q245_dau_mau": "events",
     "q259_association_rules": "lineitem",
     "q260_spearman_corr": "lineitem",
+    "q300_curation_pipeline": "documents",
 }
 
 
