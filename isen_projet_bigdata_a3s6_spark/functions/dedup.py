@@ -485,6 +485,56 @@ def editdist1_pairs(
     )
 
 
+def _hashed_ranked_tokens(df: DataFrame, id_col: str, toks):
+    """Shared front half of the prefix-filter family
+    (:func:`jaccard_prefix_pairs` / :func:`containment_prefix_pairs`):
+    hash the distinct tokens to int64, build the persisted (id, token)
+    stream, and rank each document's tokens by ascending global document
+    frequency. One implementation so tokenization semantics can never
+    drift between the symmetric and asymmetric joins.
+
+    Returns ``(tok, ranked, nparts)`` — ``tok`` carries a LAZY persist
+    (it feeds multiple branches in every caller; released by
+    ``spark.catalog.clearCache()``); ``ranked`` is NOT persisted (each
+    caller decides, since their reuse patterns differ)."""
+    # CPU-bound stages get EXPLICIT numPartitions repartitions: shuffle
+    # BYTES are tiny (hashed longs) so AQE's size-based coalescing would
+    # serialize the work onto one core, while COMPUTE follows |tokens| —
+    # partition count must follow cores, not bytes.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < nparts:
+        # local small-file guard: a single-file corpus arrives as one
+        # partition and would tokenize single-threaded. No-op at scale.
+        src = src.repartition(nparts)
+    # tokens hashed to int64 (xxhash64) before everything else: the window
+    # sort, candidate equi-join, and array_intersect verify all run on
+    # longs instead of strings (~4x on this corpus); collision risk
+    # |vocab|^2 / 2^65 is negligible and the oracle would surface it.
+    tok = src.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.filter(toks, lambda s: s != ""), lambda s: F.xxhash64(s)
+            )
+        ).alias("token"),
+    ).persist()
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # doc size via a window count over the SAME per-id partitioning the
+    # rank needs — one exchange serves both
+    by_id = W.partitionBy("id")
+    ranked = (
+        tok.join(dfreq, "token")
+        .repartition(nparts, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(by_id.orderBy(F.asc("df"), F.asc("token"))),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(by_id))
+    )
+    return tok, ranked, nparts
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -550,57 +600,7 @@ def jaccard_prefix_pairs(
         toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
     else:
         toks = F.array_distinct(char_ngrams(text_col, n=ngram))
-    # shingles are hashed to int64 (xxhash64) before everything else: the
-    # window sort, candidate equi-join, and array_intersect verify all run
-    # on longs instead of strings (measured ~4x on this corpus). Set sizes
-    # and intersections are preserved unless two of the corpus's distinct
-    # shingles collide in 64 bits (P ≈ |vocab|²/2⁶⁵ — negligible, and the
-    # oracle comparison would surface it)
-    # CPU-bound stages (shingling/hashing, the rank window, the prefix
-    # self-join) get EXPLICIT numPartitions repartitions keyed by the
-    # operation's own key: shuffle BYTES here are tiny (hashed longs
-    # compress to a few MB) so AQE's size-based coalescing would serialize
-    # the work onto one core, while the COMPUTE is proportional to
-    # |candidates|·|doc| — partition count must follow cores, not bytes.
-    # At scale these exchanges exist anyway (the window and the join each
-    # require them), so pinning the count adds no shuffle.
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    src = df
-    if src.rdd.getNumPartitions() < nparts:
-        # local small-file guard: a single-file corpus arrives as one
-        # partition and would tokenize single-threaded. No-op at scale
-        # where the scan already has ≥ cores partitions.
-        src = src.repartition(nparts)
-    # LAZY persist (not an eager checkpoint): the hashed token stream feeds
-    # four branches (sizes, document frequency, the rank window, the verify
-    # set table) and shingling+hashing is the CPU floor of the whole query —
-    # caching it lazily keeps the full plan visible to the optimizer (the
-    # InMemoryRelation carries its child tree) and nothing executes until
-    # the caller's first action. Footprint is 16 B/token (two longs); at
-    # 100 TB use DISK_ONLY or accept recompute. Released by
-    # ``spark.catalog.clearCache()`` (bench does this between runs).
-    tok = src.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                F.filter(toks, lambda s: s != ""), lambda s: F.xxhash64(s)
-            )
-        ).alias("token"),
-    ).persist()
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # doc size via a window count over the SAME per-id partitioning the
-    # rank needs — one exchange serves both, no separate size aggregate
-    # or join
-    by_id = W.partitionBy("id")
-    ranked = (
-        tok.join(dfreq, "token")
-        .repartition(nparts, "id")
-        .withColumn(
-            "rn",
-            F.row_number().over(by_id.orderBy(F.asc("df"), F.asc("token"))),
-        )
-        .withColumn("sz", F.count(F.lit(1)).over(by_id))
-    )
+    tok, ranked, nparts = _hashed_ranked_tokens(df, id_col, toks)
     # second lazy persist: both sides of the self-join read this frame, and
     # expression-id canonicalization does not reliably fire ReuseExchange
     # across self-join aliases — without the cache the whole rank pipeline
@@ -740,29 +740,9 @@ def containment_prefix_pairs(
         toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
     else:
         toks = F.array_distinct(char_ngrams(text_col, n=ngram))
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    src = df
-    if src.rdd.getNumPartitions() < nparts:
-        src = src.repartition(nparts)
-    tok = src.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                F.filter(toks, lambda s: s != ""), lambda s: F.xxhash64(s)
-            )
-        ).alias("token"),
-    ).persist()
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    by_id = W.partitionBy("id")
-    ranked = (
-        tok.join(dfreq, "token")
-        .repartition(nparts, "id")
-        .withColumn(
-            "rn",
-            F.row_number().over(by_id.orderBy(F.asc("df"), F.asc("token"))),
-        )
-        .withColumn("sz", F.count(F.lit(1)).over(by_id))
-    ).persist()
+    tok, ranked, nparts = _hashed_ranked_tokens(df, id_col, toks)
+    # both the prefix filter and the full-index join side read this frame
+    ranked = ranked.persist()
     prefix_a = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     )

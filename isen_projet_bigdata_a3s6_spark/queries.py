@@ -12621,6 +12621,26 @@ def q285_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- wave 27: Holt forecast, containment join, ABC-XYZ classification ---
 
 
+# Holt smoothing constants shared by the forecaster (q286) and its
+# backtest (q291): captured BY VALUE into the worker closures (floats
+# pickle inline — no module reference reaches the executors), so tuning
+# the forecaster automatically retunes what the backtest evaluates.
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.1
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared |days|-axis collapse for the forecasting family (q286/q291):
+    daily order revenue with decimal-exact sums."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+
+
 @register("q286_holt_forecast")
 def q286_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOLT'S LINEAR-TREND SMOOTHING (double exponential smoothing,
@@ -12638,19 +12658,12 @@ def q286_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas group over that bounded axis (the Theil-Sen/PAVA
     calendar-axis argument — the sequential part is O(|days|), never
     O(rows)). The UDF is a local closure (worker pickling rule)."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
-            .cast("double")
-            .alias("rev")
-        )
-    )
+    daily = _daily_revenue(spark, sf_dir)
+
+    alpha, beta = _HOLT_ALPHA, _HOLT_BETA  # captured by value (pickle-safe)
 
     def holt(pdf):
         pdf = pdf.sort_values("day").reset_index(drop=True)
-        alpha, beta = 0.3, 0.1
         level, trend = None, 0.0
         levels, trends, fcasts = [], [], []
         for rev in pdf["rev"]:
@@ -13007,21 +13020,14 @@ def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact groupBy; the three O(|days|) recursions share ONE
     applyInPandas group over the bounded axis (q286's calendar-axis
     argument). The UDF is a local closure (worker pickling rule)."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
-            .cast("double")
-            .alias("rev")
-        )
-    )
+    daily = _daily_revenue(spark, sf_dir)
+
+    alpha, beta = _HOLT_ALPHA, _HOLT_BETA  # captured by value (pickle-safe)
 
     def backtest(pdf):
         import pandas as pd
 
         xs = pdf.sort_values("day")["rev"].tolist()
-        alpha, beta = 0.3, 0.1
         holt_err, ewma_err, naive_err = [], [], []
         level, trend, ew = None, 0.0, None
         for i, x in enumerate(xs):
@@ -13043,6 +13049,11 @@ def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("naive", naive_err),
         ):
             n = len(errs)
+            if n == 0:
+                # a sub-2-day series yields no one-step-ahead errors:
+                # report n_evaluated=0 instead of dividing by zero
+                rows.append((name, 0, None, None))
+                continue
             mae = sum(abs(e) for e in errs) / n
             rmse = (sum(e * e for e in errs) / n) ** 0.5
             rows.append((name, n, round(mae, 6), round(rmse, 6)))
@@ -13462,13 +13473,15 @@ def q296_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 8 groups. ln at query time follows the q255 round6 convention —
     one rounding on the SUMMED score."""
     c = load_table(spark, sf_dir, "customer")
+    # lazy persist: recs feeds five branches (three u-rate aggregates,
+    # the count, both self-join sides) — the prefix-pairs doctrine
     recs = c.select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").alias("blk"),
         F.col("c_mktsegment").alias("seg"),
         F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_b"),
         F.substring(F.col("c_name"), -1, 1).alias("last_d"),
-    )
+    ).persist()
     n = recs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
 
     def u_rate(col: str, alias: str) -> DataFrame:
@@ -13737,12 +13750,19 @@ def q299_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(words, F.lit(2), F.size(words) - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+    # a bigram with an empty side (double/leading/trailing space in the
+    # raw text) renders as ' x' / 'x ' / ' ' — excluded, matching the
+    # pinned test's `if a and b`; single words can't contain spaces, so
+    # the edge test is exact
     tok = (
         d.select(
             "doc_id",
             F.explode(F.array_distinct(bigrams)).alias("w"),
         )
-        .where(F.col("w") != "")
+        .where(
+            (~F.col("w").startswith(" ")) & (~F.col("w").endswith(" "))
+            & (F.col("w") != "")
+        )
         .persist()
     )
     spark_session = d.sparkSession
@@ -13792,7 +13812,8 @@ def q299_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     deduped AS (
       SELECT MIN(doc_id) AS doc_id, text,
-             MIN(lang) AS lang, MIN(n_chars) AS n_chars
+             arg_min(lang, doc_id) AS lang,
+             arg_min(n_chars, doc_id) AS n_chars
       FROM filtered GROUP BY text
     ),
     ranked AS (
@@ -13841,10 +13862,13 @@ def q300_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_words") >= 15)
         & (F.col("n_chars") / F.col("n_words").cast("double") >= 3.0)
     )
+    # the canonical copy's attributes travel TOGETHER with the smallest
+    # id (min_by/arg_min) — independent per-column MINs could stitch an
+    # incoherent row from different duplicate copies
     deduped = filtered.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),
-        F.min("lang").alias("lang"),
-        F.min("n_chars").alias("n_chars"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
     )
     w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
     selected = deduped.withColumn("rn", F.row_number().over(w)).where(
