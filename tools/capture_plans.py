@@ -182,6 +182,15 @@ ANNOTATED = {
     "q293_bootstrap_ci": "bootstrap CI: the 50x replicate explode feeds "
     "a 50-group map-side-combining aggregate — rows are expanded in "
     "codegen, never shuffled raw; the CI is a percentile over 50 rows.",
+    "q298_energy_distance": "energy distance: both samples collapse to "
+    "distinct values behind pushed filters; the three pairwise "
+    "expectations are broadcast cross joins over |distinct|-row frames "
+    "— value-resolution bounded, never row-level.",
+    "q300_curation_pipeline": "curation capstone: ONE lazy plan end to "
+    "end — pushdown quality predicates, a single dedup exchange on the "
+    "text, per-language window for selection, small-group manifest "
+    "aggregate; no ExistingRDD, no eager stage anywhere (asserted in "
+    "tests/test_wave33.py).",
 }
 
 
