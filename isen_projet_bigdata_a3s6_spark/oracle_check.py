@@ -70,12 +70,37 @@ def _values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+# pandas dtype kind → coarse class for the parity check below. The driver's
+# value hash stringifies cells, so a BIGINT 32 vs a HUGEINT-derived 32.0
+# hash-differ even though they compare numerically equal here (the r02/r03
+# q86/q139 failure mode). Same for DATE vs TIMESTAMP.
+_KIND_CLASS = {
+    "i": "int",
+    "u": "int",
+    "f": "float",
+    "b": "bool",
+    "M": "datetime",
+    "m": "timedelta",
+}
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     res = CompareResult(name, True, len(spark_pdf), len(oracle_pdf))
     s, o = _normalize(spark_pdf), _normalize(oracle_pdf)
     if list(s.columns) != list(o.columns):
         res.ok = False
         res.mismatches.append(f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}")
+        return res
+    for c in s.columns:
+        sk = _KIND_CLASS.get(s[c].dtype.kind, "obj")
+        ok_ = _KIND_CLASS.get(o[c].dtype.kind, "obj")
+        if sk != ok_ and {sk, ok_} & {"int", "float", "datetime"}:
+            res.ok = False
+            res.mismatches.append(
+                f"col {c}: dtype class differs (spark={s[c].dtype}/{sk} "
+                f"oracle={o[c].dtype}/{ok_}) — driver value hash would mismatch"
+            )
+    if not res.ok:
         return res
     if len(s) != len(o):
         res.ok = False

@@ -25,6 +25,29 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
 
+def _scratch_dir(spark: SparkSession, tag: str) -> str:
+    """Fixed per-session scratch path for sink/roundtrip queries.
+
+    Derived from the Spark application id, so repeated invocations of the
+    same query — bench best-of-N reps, oracle sweeps — reuse (and wipe) ONE
+    directory instead of leaking a fresh ``tempfile.mkdtemp`` copy of the
+    written table per call. The directory is removed and recreated on every
+    call, which keeps the old fresh-empty-dir semantics.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"a3s6_scratch_{spark.sparkContext.applicationId}",
+        tag,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
@@ -35,13 +58,14 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Queries that already carry a driver-signed green row in CORRECTNESS_r01/r02
-# (r01 = q01–q50, r02 = q51–q100). The registry is emitted unsigned-first so a
-# capped driver sweep signs the remaining entries each round. q86 is excluded
-# from the signed set: its r02 row was a hash FAIL (unrounded-double ratios,
-# fixed this round) and must be re-checked by the driver. New queries register
-# with numbers ≥ q101 and land in the priority block automatically.
-_R01_SIGNED = set(range(1, 101)) - {86}
+# Queries that already carry a driver-signed green row in CORRECTNESS_r01/r02/
+# r03 (r01 = q01–q50, r02 = q51–q100, r03 = q101–q149). The registry is
+# emitted unsigned-first so a capped driver sweep signs the remaining entries
+# each round. q86/q139 (oracle integer-type hash mismatches) and q133 (driver
+# canonicalizer choked on the array column) were red in r03; their fixes land
+# this round, so they stay unsigned for a driver re-check. New queries register
+# with numbers ≥ q150 and land in the priority block automatically.
+_R01_SIGNED = set(range(1, 150)) - {86, 133, 139}
 
 
 def _qnum(name: str) -> int:
@@ -1263,13 +1287,12 @@ def q51_approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q52_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .functions.scalar import dec_sum
     from .sources.writers import write_csv
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    out_dir = tempfile.mkdtemp(prefix="csv_sink_") + "/orders_csv"
+    out_dir = _scratch_dir(spark, "csv_sink") + "/orders_csv"
     write_csv(o.select("o_orderstatus", "o_totalprice"), out_dir)
     back = (
         spark.read.option("header", "true")
@@ -1787,14 +1810,13 @@ def q70_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q71_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from .sources.readers import read_parquet_ns_safe
 
     path = os.path.join(sf_dir, "events.parquet")
     batch = read_parquet_ns_safe(spark, path)
     raw_schema = spark.read.parquet(path).schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_slide_")
+    stage_dir = _scratch_dir(spark, "stream_slide")
     os.symlink(path, os.path.join(stage_dir, "events.parquet"))
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     for f in batch.schema.fields:
@@ -2222,7 +2244,7 @@ def q85_rolling_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2
     )
     SELECT doc_id,
-           SUM(n) AS n_words,
+           CAST(SUM(n) AS BIGINT) AS n_words,
            COUNT(*) AS n_distinct,
            ROUND(1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS dup_word_frac,
            ROUND(MAX(n) / CAST(SUM(n) AS DOUBLE), 6) AS top_word_frac
@@ -2351,13 +2373,12 @@ def q89_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q90_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .functions.scalar import dec_sum
     from .sources.writers import write_json
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
-    out_dir = tempfile.mkdtemp(prefix="json_sink_") + "/orders_json"
+    out_dir = _scratch_dir(spark, "json_sink") + "/orders_json"
     write_json(o.select("o_orderstatus", "o_totalprice"), out_dir)
     back = spark.read.schema("o_orderstatus string, o_totalprice double").json(out_dir)
     return back.groupBy("o_orderstatus").agg(
@@ -2375,13 +2396,12 @@ def q90_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q91_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from .functions.scalar import dec_sum
     from .sources.writers import write_orc
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
-    out_dir = tempfile.mkdtemp(prefix="orc_sink_") + "/lineitem_orc"
+    out_dir = _scratch_dir(spark, "orc_sink") + "/lineitem_orc"
     write_orc(li.select("l_linestatus", "l_extendedprice"), out_dir)
     back = spark.read.orc(out_dir)
     return back.groupBy("l_linestatus").agg(
@@ -2404,14 +2424,13 @@ def q92_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_date, files range-clustered+sorted on ts), then read back with a
     date filter — the filter prunes to 7 of ~30 partition directories
     before any file is opened (PartitionFilters in the captured plan)."""
-    import tempfile
 
     from .sources.writers import write_clustered
 
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
     )
-    out_dir = tempfile.mkdtemp(prefix="layout_") + "/events_by_day"
+    out_dir = _scratch_dir(spark, "layout") + "/events_by_day"
     write_clustered(
         e.select("event_id", "ts", "user_id", "value", "event_date"),
         out_dir,
@@ -3415,7 +3434,6 @@ def q119_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day aggregate matches the oracle's CASE-corrected full recompute —
     and a unit test asserts untouched partitions' files are byte-identical
     (see tests/test_incremental.py)."""
-    import tempfile
 
     from .functions.scalar import dec
     from .operators.merge import merge_partition_overwrite
@@ -3423,7 +3441,7 @@ def q119_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
     ).select("event_id", "ts", "user_id", "value", "event_date")
-    base = tempfile.mkdtemp(prefix="po_") + "/events_by_day"
+    base = _scratch_dir(spark, "po") + "/events_by_day"
     e.write.partitionBy("event_date").parquet(base)
 
     lo, hi = F.lit("2024-01-10").cast("date"), F.lit("2024-01-11").cast("date")
@@ -3719,13 +3737,12 @@ def q128_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     then read back through a 2-D range predicate. The oracle aggregates the
     original table: matching certifies the rewrite is lossless; the layout
     win (row-group skipping on either dimension) is the point at 100 TB."""
-    import tempfile
 
     from .functions.scalar import dec
     from .sources.writers import write_zordered
 
     li = load_table(spark, sf_dir, "lineitem")
-    path = tempfile.mkdtemp(prefix="zorder_") + "/lineitem_z"
+    path = _scratch_dir(spark, "zorder") + "/lineitem_z"
     write_zordered(li, path, "l_partkey", "l_suppkey", bits=21)
     back = spark.read.parquet(path).filter(
         F.col("l_partkey").between(100, 199) & F.col("l_suppkey").between(10, 29)
@@ -3849,10 +3866,9 @@ def q132_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     column) read together with mergeSchema — old files surface NULL for
     the new column, no rewrite of historical data. The oracle is the
     explicit NULL-padded union."""
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="schemaevo_")
+    root = _scratch_dir(spark, "schemaevo")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", F.lit("v1").alias("src")
     ).write.parquet(root + "/gen=1")
@@ -3875,16 +3891,18 @@ def q133_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver, components broadcast back for an Arrow-batched projection.
     Eigenvector sign pinned ⇒ reproducible. Not SQL-expressible ⇒
     rows-only; tests/test_ml_evaluation.py pins fit+projection against
-    numpy on the same data."""
+    numpy on the same data. Output is posexploded to scalar
+    (vec_id, pos, value) rows — the driver's rows-only canonicalizer
+    sorts the frame and cannot sort array cells (r03 `err`); q58/q64 use
+    the same flattening for embeddings."""
     from .ml.pca import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
     mean, comps = pca_fit(emb, "embedding", k=8)
     out = pca_project(emb, "embedding", mean, comps)
     return out.select(
-        "vec_id",
-        F.transform("pc", lambda x: F.round(x, 6)).alias("pc"),
-    )
+        "vec_id", F.posexplode(F.transform("pc", lambda x: F.round(x, 6)))
+    ).withColumnsRenamed({"pos": "pc_pos", "col": "pc_value"})
 
 
 @register(
@@ -4081,7 +4099,8 @@ def q138_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS UNBOUNDED PRECEDING) AS cur
       FROM sweep
     )
-    SELECT day AS day_ts, MAX(cur) AS max_concurrent
+    SELECT CAST(day AS TIMESTAMP) AS day_ts,
+           CAST(MAX(cur) AS BIGINT) AS max_concurrent
     FROM running GROUP BY 1
     """,
 )
@@ -4540,7 +4559,6 @@ def q152_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py) pins every row against the q129 batch twin."""
     import os
     import shutil
-    import tempfile
 
     from .streaming.stateful import streaming_ewma
 
@@ -4549,7 +4567,7 @@ def q152_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) / 3
-    stage = tempfile.mkdtemp(prefix="ewma_stream_src_")
+    stage = _scratch_dir(spark, "ewma_stream_src")
     splits = [
         e.filter(F.col("ts") <= F.lit(lo + span)),
         e.filter((F.col("ts") > F.lit(lo + span)) & (F.col("ts") <= F.lit(lo + 2 * span))),
@@ -6549,10 +6567,10 @@ def q197_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q198_tpch_q12_priority_counts",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -6607,7 +6625,7 @@ def q198_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN (
       SELECT doc_id, COUNT(*) AS kept_chunks,
-             SUM(len(string_split(chunk, ' '))) AS kept_tokens
+             CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS kept_tokens
       FROM kept GROUP BY doc_id
     ) k USING (doc_id)
     """,
@@ -7397,7 +7415,7 @@ def q208_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, w, COUNT(*) AS cnt FROM dt GROUP BY source, w
     )
     SELECT source,
-           SUM(cnt) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_types,
            ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS ttr,
            ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -7497,8 +7515,8 @@ def q210_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q211_compaction_roundtrip",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(event_id) AS sum_event_id,
-           SUM(user_id) AS sum_user_id,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     """,
@@ -7516,10 +7534,9 @@ def q211_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: compaction is one shuffle-free coalesce when reducing
     file count (repartition only when rebalancing skewed files); the
     checksum aggregates are exact integers."""
-    import tempfile
 
     e = load_table(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="compact_")
+    root = _scratch_dir(spark, "compact")
     frag = f"{root}/fragmented"
     compact = f"{root}/compacted"
     # simulate the small-file problem deterministically: 64 tiny files
@@ -7805,7 +7822,6 @@ def q217_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the batch twin — append-mode emission is deterministic here
     because the file source drains fully."""
     import os
-    import tempfile
 
     from .functions.scalar import dec_sum
     from .sources.readers import read_parquet_ns_safe
@@ -7813,7 +7829,7 @@ def q217_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     batch = read_parquet_ns_safe(spark, path)
     raw_schema = spark.read.parquet(path).schema
-    stage_dir = tempfile.mkdtemp(prefix="stream_static_")
+    stage_dir = _scratch_dir(spark, "stream_static")
     os.symlink(path, os.path.join(stage_dir, "events.parquet"))
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     for f in batch.schema.fields:
@@ -8025,8 +8041,8 @@ def q219_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT source,
-             SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
-                                      w -> w <> '')) AS BIGINT)) AS n_tokens
+             CAST(SUM(len(list_filter(string_split(lower(trim(text)), ' '),
+                                      w -> w <> ''))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1
     ), tot AS (SELECT SUM(n_tokens) AS tt FROM t),
     p AS (
@@ -8081,7 +8097,7 @@ def q220_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) // 10)
              AS k_decades
     FROM events WHERE props IS NOT NULL
@@ -8127,7 +8143,7 @@ def q221_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
              (i * 48271) % 1000003 AS metric
       FROM range(80000) t(i)
     )
-    SELECT bucket, COUNT(*) AS n, SUM(metric) AS sum_metric,
+    SELECT bucket, COUNT(*) AS n, CAST(SUM(metric) AS BIGINT) AS sum_metric,
            MIN(metric) AS min_metric, MAX(metric) AS max_metric
     FROM g GROUP BY 1
     """,
@@ -8191,11 +8207,11 @@ def q222_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
-                                    w -> w <> '')) AS BIGINT)) AS ws_tokens,
-           SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-                    AS BIGINT)) AS bpe_tokens,
-           SUM(CAST(len(text) AS BIGINT)) AS n_chars,
+           CAST(SUM(len(list_filter(string_split(lower(trim(text)), ' '),
+                                    w -> w <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+                AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars,
            ROUND(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
                           AS BIGINT))
                  / CAST(SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
@@ -8314,7 +8330,7 @@ def q225_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_micros,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_micros,
            COUNT(DISTINCT event_type) AS n_types
     FROM events GROUP BY 1
     """,
@@ -8403,7 +8419,7 @@ def q227_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_micros,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_micros,
            COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1
     """,
@@ -9232,7 +9248,7 @@ def q241_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS sum_micros,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS sum_micros,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
@@ -9255,10 +9271,9 @@ def q242_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition spill; the read's pruning is metadata-only — at 100 TB the
     7-day query plans 7/2922 partitions and never lists the rest."""
     import os
-    import tempfile
 
     e = load_table(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="part_layout_") + "/events_by_day"
+    out_dir = _scratch_dir(spark, "part_layout") + "/events_by_day"
     e.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
         "event_date"
     ).parquet(out_dir)
@@ -9505,7 +9520,8 @@ def q245_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg_b AS (
       SELECT bucket,
-             SUM(1 - bad) AS n_good, SUM(bad) AS n_bad
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+             CAST(SUM(bad) AS BIGINT) AS n_bad
       FROM b GROUP BY bucket
     ),
     tot AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS bd FROM agg_b)
@@ -9787,7 +9803,7 @@ def q248_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events, horizon GROUP BY user_id, mx
     ),
     by_t AS (
-      SELECT duration AS t, SUM(ev) AS d, COUNT(*) AS obs
+      SELECT duration AS t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS obs
       FROM users GROUP BY 1
     ),
     risk AS (
@@ -9900,7 +9916,7 @@ def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ),
     arms AS (
-      SELECT arm, COUNT(*) AS n, SUM(conv) AS conversions FROM assign
+      SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS conversions FROM assign
       GROUP BY 1
     ),
     wide AS (
@@ -10283,9 +10299,9 @@ def q254_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT joint.event_type, joint.dow, nxy,
            ROUND(LN(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE))), 6)
              AS pmi,
-           CAST(ROUND((nxy / CAST(n AS DOUBLE))
+           ROUND((nxy / CAST(n AS DOUBLE))
                  * LN(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE))), 9)
-                AS DECIMAL(16,9)) AS mi_term
+             AS mi_term
     FROM joint
     JOIN mx ON mx.event_type = joint.event_type
     JOIN my ON my.dow = joint.dow, tot
@@ -10300,8 +10316,10 @@ def q255_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one joint-count groupBy; marginals reduce FROM the
     joint table (never a second scan of the feed); |cells| ≈ 5×7 rows of
-    float arithmetic. ln terms quantize to DECIMAL(16,9) per the q170
-    convention so any downstream sum is order-independent."""
+    float arithmetic. MI terms are round9 DOUBLEs on BOTH engines — a
+    DECIMAL output column would arrive as Decimal objects from Spark but
+    float64 from DuckDB and hash-differ in the driver (the r04 dtype-
+    parity rule)."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(
         "event_type", (F.weekday(F.to_date("ts")) + 1).cast("long").alias("dow")
@@ -10328,9 +10346,7 @@ def q255_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(ratio), 6).alias("pmi"),
             F.round(
                 (F.col("nxy") / F.col("n").cast("double")) * F.log(ratio), 9
-            )
-            .cast("decimal(16,9)")
-            .alias("mi_term"),
+            ).alias("mi_term"),
         )
     )
 
@@ -10488,8 +10504,8 @@ def q256_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT score, tp_at, fp_at,
            ROUND(tp_cum / CAST(p AS DOUBLE), 6) AS tpr,
            ROUND(fp_cum / CAST(nn AS DOUBLE), 6) AS fpr,
-           CAST(ROUND(fp_at * (2 * tp_cum - tp_at)
-                      / (2.0 * p * nn), 9) AS DECIMAL(16,9)) AS auc_term
+           ROUND(fp_at * (2 * tp_cum - tp_at)
+                 / (2.0 * p * nn), 9) AS auc_term
     FROM c, t
     """,
 )
@@ -10507,7 +10523,8 @@ def q257_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-resolution scores. Trapezoid terms need NO lag: with per-score
     increments tp_at/fp_at in hand, prev_tp = tp_cum - tp_at, so each
     term is fp_at·(2·tp_cum - tp_at) — exact integers until the one
-    final division (DECIMAL(16,9), order-independent downstream sum)."""
+    final division (round9 DOUBLE on both engines; a DECIMAL output
+    would dtype-mismatch the oracle's float64 in the driver hash)."""
     from .operators.windows import global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -10545,9 +10562,7 @@ def q257_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (2 * F.col("tp_cum") - F.col("tp_at"))
             / (2.0 * F.col("p") * F.col("nn")),
             9,
-        )
-        .cast("decimal(16,9)")
-        .alias("auc_term"),
+        ).alias("auc_term"),
     )
 
 
@@ -10855,12 +10870,15 @@ def q261_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gap_pairs(g: int) -> DataFrame:
-        n = F.size("tok")
+        # Clamp the slice length at 0: a 1-token document has n - 2 = -1,
+        # which Spark's slice() rejects at runtime (q299's bigram builder
+        # applies the same floor).
+        n = F.greatest(F.size("tok") - g, F.lit(0))
         return toks.select(
             F.explode(
                 F.zip_with(
-                    F.slice("tok", 1, n - g),
-                    F.slice(F.col("tok"), F.lit(g + 1), n - g),
+                    F.slice("tok", 1, n),
+                    F.slice(F.col("tok"), F.lit(g + 1), n),
                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 )
             ).alias("pr")
@@ -11295,10 +11313,9 @@ def q268_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     file per task each way); the aggregate is the usual two-phase
     groupBy. Text content survives XML entity escaping round-trip by
     construction of the reader."""
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
-    out_dir = tempfile.mkdtemp(prefix="xml_sink_") + "/docs_xml"
+    out_dir = _scratch_dir(spark, "xml_sink") + "/docs_xml"
     (
         d.select("doc_id", "lang", "n_chars", "text")
         .write.format("xml")
@@ -13315,10 +13332,9 @@ def q294_corrupt_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three bad lines are written as a separate single file in the
     same directory (deterministic content, no RNG)."""
     import os
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
-    out_dir = tempfile.mkdtemp(prefix="csv_corrupt_") + "/orders_csv"
+    out_dir = _scratch_dir(spark, "csv_corrupt") + "/orders_csv"
     (
         o.select("o_orderkey", "o_orderstatus", "o_totalprice")
         .write.option("header", "false")

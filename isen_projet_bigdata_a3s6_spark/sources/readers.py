@@ -69,6 +69,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_ns_safe(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Footer-probe cache for read_parquet_ns_safe: path -> (mtime, ns_cols).
+# A bench session calls load_table hundreds of times on the same handful of
+# parquet files; the nanos-column answer only changes if the file does, so
+# key on mtime and skip the pyarrow footer read on repeat loads.
+_NS_COLS_CACHE: dict[str, tuple[float, list[str]]] = {}
+
+
+def _probe_ns_cols(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    hit = _NS_COLS_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    try:
+        footer = pq.read_schema(path)
+        ns_cols = [f.name for f in footer if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        ns_cols = []
+    _NS_COLS_CACHE[path] = (mtime, ns_cols)
+    return ns_cols
+
+
 def read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan tolerant of TIMESTAMP(NANOS) columns (e.g. the driver's
     ``events.ts``), which Spark rejects by default. Nanos columns are read
@@ -89,18 +115,9 @@ def read_parquet_ns_safe(spark: SparkSession, path: str) -> DataFrame:
     A caller that needs TIMESTAMP_NTZ reads elsewhere must use a separate
     session.
     """
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    try:
-        footer = pq.read_schema(path)
-        ns_cols = [
-            f.name
-            for f in footer
-            if str(f.type).startswith("timestamp[ns")
-        ]
-    except Exception:
-        ns_cols = []
+    ns_cols = _probe_ns_cols(path)
     # micros/millis timestamps with isAdjustedToUTC=false must read as UTC
     # instants, not TIMESTAMP_NTZ (watermarks and window() reject NTZ);
     # with the UTC session tz the calendar fields match DuckDB's naive read.
