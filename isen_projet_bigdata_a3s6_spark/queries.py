@@ -65,7 +65,66 @@ def register(name: str, oracle: str | None = None):
 # canonicalizer choked on the array column) were red in r03; their fixes land
 # this round, so they stay unsigned for a driver re-check. New queries register
 # with numbers ≥ q150 and land in the priority block automatically.
+#
+# This static floor is UNIONED with whatever CORRECTNESS_r*.json files exist
+# next to the repo root (see _signed_queries): keeping the set current was a
+# recurring manual step that cost a full driver round when missed (the r03
+# verdict's top item), so signing is now derived from the driver's own
+# records — a green or clean rows-only row signs the query, a red row
+# un-signs it so the next capped sweep re-checks it first.
 _R01_SIGNED = set(range(1, 150)) - {86, 133, 139}
+
+_SIGNED_CACHE: set[int] | None = None
+
+
+def _signed_queries() -> set[int]:
+    """Query numbers with a driver-verified record, derived from the
+    CORRECTNESS_r{N}.json files the driver writes at the repo root.
+
+    Later rounds override earlier ones (lexicographic order matches round
+    order for the driver's zero-padded names). A row counts as signed when
+    the value hash matched, or when it is a clean rows-only record
+    (``err == "no_oracle"`` — those never gain a hash, so re-checking them
+    every round would waste the capped window). Any red row (hash fail or a
+    real error) un-signs the query so the unsigned-first emission puts it
+    at the front of the next sweep. Falls back to the static floor when no
+    records are readable (e.g. the entry file runs outside the repo)."""
+    global _SIGNED_CACHE
+    if _SIGNED_CACHE is not None:
+        return _SIGNED_CACHE
+    import glob
+    import json
+    import os
+
+    signed = set(_R01_SIGNED)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            num = _qnum(name)
+            if not num or not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            )
+            rows_only_clean = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only_clean:
+                signed.add(num)
+            else:
+                signed.discard(num)
+    _SIGNED_CACHE = signed
+    return signed
 
 
 def _qnum(name: str) -> int:
@@ -78,8 +137,9 @@ def _qnum(name: str) -> int:
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    unsigned = [n for n in names if _qnum(n) not in _R01_SIGNED]
-    signed = [n for n in names if _qnum(n) in _R01_SIGNED]
+    signed_set = _signed_queries()
+    unsigned = [n for n in names if _qnum(n) not in signed_set]
+    signed = [n for n in names if _qnum(n) in signed_set]
     return unsigned + signed
 
 

@@ -133,3 +133,23 @@ def test_anchor_logistic_precision_via_fit(spark):
     tp, fp = cm.get((1, 1), 0), cm.get((0, 1), 0)
     assert tp + fp == 100
     assert tp / (tp + fp) == pytest.approx(0.92, abs=0)
+
+
+# ---------------------------------------------------------------------------
+# 6. signed set derives from the driver's own CORRECTNESS records
+# ---------------------------------------------------------------------------
+def test_signed_set_tracks_correctness_files():
+    """The unsigned-first emission order is derived from CORRECTNESS_r*.json
+    (manual upkeep of the static set cost a full driver round when missed).
+    With the r01-r03 records present: the three r03 reds lead the order,
+    the r03 greens (q101+) are signed, and q150+ follows the reds."""
+    from isen_projet_bigdata_a3s6_spark.queries import _signed_queries, queries
+
+    signed = _signed_queries()
+    assert 86 not in signed and 133 not in signed and 139 not in signed
+    assert 101 in signed and 149 in signed  # r03 green rows count
+    assert 125 in signed  # clean rows-only (no_oracle) rows count too
+    assert 150 not in signed
+
+    names = list(queries())
+    assert [n.split("_")[0] for n in names[:4]] == ["q86", "q133", "q139", "q150"]
