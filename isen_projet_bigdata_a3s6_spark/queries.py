@@ -7658,12 +7658,20 @@ def q212_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from .functions.text import tokens
 
-    t = F.filter(tokens("text"), lambda w: w != "")
+    # Filter token-empty docs BEFORE chunking (matching the oracle's
+    # `WHERE len(t) > 0`): an empty token array would make the chunk-index
+    # sequence descend (sequence(0, -1) → [0, -1]) and emit two ""-chunks,
+    # keeping a doc the oracle excludes — the q261 slice-edge bug class.
+    toks = d.select(
+        "doc_id", F.filter(tokens("text"), lambda w: w != "").alias("t")
+    ).filter(F.size("t") > 0)
     ch = F.transform(
-        F.sequence(F.lit(0), (F.ceil(F.size(t) / F.lit(2.0))).cast("long") - 1),
-        lambda i: F.array_join(F.slice(t, i * 2 + 1, 2), " "),
+        F.sequence(
+            F.lit(0), (F.ceil(F.size("t") / F.lit(2.0))).cast("long") - 1
+        ),
+        lambda i: F.array_join(F.slice("t", i * 2 + 1, 2), " "),
     )
-    out = d.select("doc_id", ch.alias("ch")).filter(F.size("ch") > 0)
+    out = toks.select("doc_id", ch.alias("ch"))
     return out.select(
         "doc_id",
         F.size("ch").alias("total_chunks"),

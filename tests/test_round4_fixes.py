@@ -153,3 +153,23 @@ def test_signed_set_tracks_correctness_files():
 
     names = list(queries())
     assert [n.split("_")[0] for n in names[:4]] == ["q86", "q133", "q139", "q150"]
+
+
+# ---------------------------------------------------------------------------
+# 7. q212 excludes token-empty docs (same slice-edge class as q261)
+# ---------------------------------------------------------------------------
+def test_q212_excludes_token_empty_docs(spark, tmp_path):
+    """A doc whose text tokenizes to nothing must produce NO output row
+    (oracle: `WHERE len(t) > 0`); before the fix the descending chunk-index
+    sequence emitted two ""-chunks and kept the doc with garbage counts."""
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b a b c d")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = queries()["q212_intra_doc_dedup"](spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in rows) == [3]
+    r3 = next(r for r in rows if r["doc_id"] == 3)
+    # chunks: ["a b", "a b", "c d"] -> 3 total, 2 distinct (keep-first)
+    assert r3["total_chunks"] == 3 and r3["kept_chunks"] == 2
