@@ -74,6 +74,13 @@ def _values_equal(a, b) -> bool:
 # value hash stringifies cells, so a BIGINT 32 vs a HUGEINT-derived 32.0
 # hash-differ even though they compare numerically equal here (the r02/r03
 # q86/q139 failure mode). Same for DATE vs TIMESTAMP.
+#
+# Deliberate strictness: a bare Spark DATE column arrives as object
+# (datetime.date) while DuckDB DATE arrives as datetime64, so the gate
+# flags it even though the calendar values match. That is by design — the
+# driver distinguished date/timestamp typing in the q139 red row, so the
+# repo convention is to CAST date outputs to TIMESTAMP on BOTH engines
+# rather than rely on the driver's canonicalizer agreeing.
 _KIND_CLASS = {
     "i": "int",
     "u": "int",

@@ -44,7 +44,13 @@ def _scratch_dir(spark: SparkSession, tag: str) -> str:
         tag,
     )
     shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    if os.path.exists(root):
+        # the wipe failed (EBUSY on a still-open handle, NFS silly-rename,
+        # foreign-owned file): a re-used directory with leftovers would
+        # fold stale part files into the read-back — fall back to a fresh
+        # unique dir, trading one leaked dir for guaranteed-clean reads
+        return tempfile.mkdtemp(prefix=f"a3s6_{tag}_")
+    os.makedirs(root)
     return root
 
 
@@ -77,27 +83,33 @@ _R01_SIGNED = set(range(1, 150)) - {86, 133, 139}
 _SIGNED_CACHE: set[int] | None = None
 
 
-def _signed_queries() -> set[int]:
+def _signed_queries(root: str | None = None) -> set[int]:
     """Query numbers with a driver-verified record, derived from the
-    CORRECTNESS_r{N}.json files the driver writes at the repo root.
+    CORRECTNESS_r{N}.json files the driver writes at the repo root
+    (``root`` overrides the location for tests).
 
     Later rounds override earlier ones (lexicographic order matches round
     order for the driver's zero-padded names). A row counts as signed when
     the value hash matched, or when it is a clean rows-only record
-    (``err == "no_oracle"`` — those never gain a hash, so re-checking them
-    every round would waste the capped window). Any red row (hash fail or a
-    real error) un-signs the query so the unsigned-first emission puts it
-    at the front of the next sweep. Falls back to the static floor when no
-    records are readable (e.g. the entry file runs outside the repo)."""
+    (``err == "no_oracle"``) for a query that STILL has no oracle — if an
+    oracle was added since, the rows-only record is stale and the query
+    must return to the unsigned block for a real hash check. Any red row
+    (hash fail or a real error) un-signs the query so the unsigned-first
+    emission puts it at the front of the next sweep. Falls back to the
+    static floor when no records are readable (e.g. the entry file runs
+    outside the repo)."""
     global _SIGNED_CACHE
-    if _SIGNED_CACHE is not None:
+    cacheable = root is None
+    if cacheable and _SIGNED_CACHE is not None:
         return _SIGNED_CACHE
     import glob
     import json
     import os
 
+    has_oracle = {_qnum(n) for n in _ORACLE}
     signed = set(_R01_SIGNED)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -118,12 +130,14 @@ def _signed_queries() -> set[int]:
             rows_only_clean = (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
+                and num not in has_oracle
             )
             if green or rows_only_clean:
                 signed.add(num)
             else:
                 signed.discard(num)
-    _SIGNED_CACHE = signed
+    if cacheable:
+        _SIGNED_CACHE = signed
     return signed
 
 

@@ -90,7 +90,10 @@ def _probe_ns_cols(path: str) -> list[str]:
         footer = pq.read_schema(path)
         ns_cols = [f.name for f in footer if str(f.type).startswith("timestamp[ns")]
     except Exception:
-        ns_cols = []
+        # do NOT cache the failure fallback: a transient probe error (file
+        # mid-regeneration, momentary IO blip) would otherwise pin [] for
+        # the whole session and break every later nanos-parquet read
+        return []
     _NS_COLS_CACHE[path] = (mtime, ns_cols)
     return ns_cols
 

@@ -138,21 +138,40 @@ def test_anchor_logistic_precision_via_fit(spark):
 # ---------------------------------------------------------------------------
 # 6. signed set derives from the driver's own CORRECTNESS records
 # ---------------------------------------------------------------------------
-def test_signed_set_tracks_correctness_files():
+def test_signed_set_tracks_correctness_files(tmp_path):
     """The unsigned-first emission order is derived from CORRECTNESS_r*.json
     (manual upkeep of the static set cost a full driver round when missed).
-    With the r01-r03 records present: the three r03 reds lead the order,
-    the r03 greens (q101+) are signed, and q150+ follows the reds."""
-    from isen_projet_bigdata_a3s6_spark.queries import _signed_queries, queries
+    Pinned against a synthetic record directory so the test stays valid as
+    the driver writes future rounds' records into the live repo root:
+    a green row signs, a later red row un-signs, a clean rows-only row
+    signs only while the query still has no oracle."""
+    import json
 
-    signed = _signed_queries()
-    assert 86 not in signed and 133 not in signed and 139 not in signed
-    assert 101 in signed and 149 in signed  # r03 green rows count
-    assert 125 in signed  # clean rows-only (no_oracle) rows count too
-    assert 150 not in signed
+    from isen_projet_bigdata_a3s6_spark.queries import _signed_queries
 
-    names = list(queries())
-    assert [n.split("_")[0] for n in names[:4]] == ["q86", "q133", "q139", "q150"]
+    def write(name, rows):
+        (tmp_path / name).write_text(json.dumps(rows))
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    red = dict(green, hash_match=False)
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
+    write("CORRECTNESS_r01.json", {
+        "q200_x": green,          # green -> signed
+        "q201_x": red,            # red -> unsigned (overrides nothing)
+        "q202_x": rows_only,      # rows-only BUT q202 has an oracle -> stale, unsigned
+        "q229_x": rows_only,      # rows-only and q229 has no oracle -> signed
+    })
+    write("CORRECTNESS_r02.json", {
+        "q200_x": red,            # later red overrides earlier green
+        "q201_x": green,          # later green overrides earlier red
+    })
+    signed = _signed_queries(root=str(tmp_path))
+    assert 200 not in signed and 201 in signed
+    assert 202 not in signed and 229 in signed
+    # static floor still underneath
+    assert 1 in signed and 86 not in signed
 
 
 # ---------------------------------------------------------------------------
