@@ -182,15 +182,21 @@ def main() -> None:
         else None
         for name in HEADLINE
     }
+    # Key order matters: the driver's capture of BENCH_r03 kept only the
+    # TAIL of this (long) line, truncating the head — the per-query seconds
+    # were lost and had to be re-derived from input_rows/rows_per_sec. Put
+    # the derivable diagnostics (input_rows) first as the sacrificial
+    # section and the essential fields (rows_per_sec, per-query seconds,
+    # total, sf) last so a tail capture always preserves them.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "input_rows": input_rows,
                 "rows_per_sec": rows_per_sec,
+                "queries": timings,
+                "value": total,
                 "sf": float(sf),
             }
         )

@@ -40,7 +40,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm (cosine undefined) — matching
+    DuckDB's ``x / 0 -> NULL`` so oracle twins agree; under ANSI mode a
+    bare division would abort the whole job on one corrupt zero vector."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -65,6 +68,11 @@ def cosine_topk(
         F.col(corpus_id).alias("vec_id"),
         F.round(cosine(F.col(corpus_vec), F.col("__qv")), 6).alias("score"),
     )
+    # zero-norm rows score NULL (cosine undefined) and are excluded from the
+    # ranking on BOTH engines — the SQL twins carry `score IS NOT NULL`; the
+    # arrow twin (cosine_topk_arrow) drops the same rows batch-side, so all
+    # three paths agree even when the corpus is smaller than k
+    scored = scored.filter(F.col("score").isNotNull())
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -119,8 +127,19 @@ def cosine_topk_arrow(
             V = np.array([list(v) for v in pdf[corpus_vec]], dtype=np.float64)
             ids = pdf[corpus_id].to_numpy(dtype=np.int64)
             vnorm = np.sqrt(_seq_sq_norm(V))
+            # zero-norm corpus rows: cosine undefined — drop them here, the
+            # same exclusion cosine_topk applies via `score IS NOT NULL`
+            # (NaN must never reach the final window: Spark sorts NaN FIRST
+            # under desc, which would rank garbage above every real score)
+            keep = vnorm > 0.0
+            if not keep.all():
+                V, ids, vnorm = V[keep], ids[keep], vnorm[keep]
+            if not len(ids):
+                continue
             out_ids, out_qids, out_scores = [], [], []
             for j in range(len(qids)):
+                if qnorm[j] == 0.0:
+                    continue
                 dots = np.zeros(V.shape[0], dtype=np.float64)
                 qj = Q[j]
                 for i in range(dim):  # sequential index sweep == JVM fold
@@ -131,6 +150,8 @@ def cosine_topk_arrow(
                 out_ids.append(ids[order])
                 out_qids.append(np.full(len(order), qids[j], dtype=np.int64))
                 out_scores.append(scores[order])
+            if not out_qids:
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_qids),

@@ -92,7 +92,12 @@ def quality_score(col: str | Column) -> Column:
         F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when((mean_wlen >= 2) & (mean_wlen <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when(alpha_ratio >= 0.6, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        # the punct rule is a *pass* condition, so it must be gated on
+        # n_chars > 0: an empty/null document has nothing to score and
+        # earns 0.0, not a free 0.25 for "no punctuation"
+        + F.when((n_chars > 0) & (punct_ratio <= 0.2), F.lit(0.25)).otherwise(
+            F.lit(0.0)
+        )
     )
     return score
 
@@ -100,10 +105,13 @@ def quality_score(col: str | Column) -> Column:
 def fingerprint(col: str | Column) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     whitespace-normalized, lowercased text (rolling-hash analog, exact-dup
-    detection key)."""
+    detection key). NULL text fingerprints to NULL — ``xxhash64`` maps SQL
+    NULL to its seed constant, which would make every null-text row an
+    exact "duplicate" of every other and count as a distinct doc under
+    COUNT(DISTINCT) (the oracle's md5(NULL) is NULL and is ignored)."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
-    return F.xxhash64(norm)
+    return F.when(c.isNotNull(), F.xxhash64(norm))
 
 
 def word_ngrams(col: str | Column, n: int = 5) -> Column:

@@ -25,33 +25,7 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
 
-def _scratch_dir(spark: SparkSession, tag: str) -> str:
-    """Fixed per-session scratch path for sink/roundtrip queries.
-
-    Derived from the Spark application id, so repeated invocations of the
-    same query — bench best-of-N reps, oracle sweeps — reuse (and wipe) ONE
-    directory instead of leaking a fresh ``tempfile.mkdtemp`` copy of the
-    written table per call. The directory is removed and recreated on every
-    call, which keeps the old fresh-empty-dir semantics.
-    """
-    import os
-    import shutil
-    import tempfile
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"a3s6_scratch_{spark.sparkContext.applicationId}",
-        tag,
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    if os.path.exists(root):
-        # the wipe failed (EBUSY on a still-open handle, NFS silly-rename,
-        # foreign-owned file): a re-used directory with leftovers would
-        # fold stale part files into the read-back — fall back to a fresh
-        # unique dir, trading one leaked dir for guaranteed-clean reads
-        return tempfile.mkdtemp(prefix=f"a3s6_{tag}_")
-    os.makedirs(root)
-    return root
+from .scratch import scratch_dir as _scratch_dir  # shared per-session scratch
 
 
 def register(name: str, oracle: str | None = None):
@@ -1065,7 +1039,8 @@ def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t <> '') AS tk
+             COALESCE(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                                  t -> t <> ''), []) AS tk
       FROM documents),
     scores AS (
       SELECT doc_id, lang,
@@ -1156,7 +1131,7 @@ def q40_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT query_id, vec_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-      FROM scored)
+      FROM scored WHERE score IS NOT NULL)
     SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
     """,
 )
@@ -1522,7 +1497,11 @@ def q58_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.round(n, 6).alias("l2_norm"),
-        F.round(F.element_at("embedding", 1).cast("double") / n, 6).alias("first_unit"),
+        # try_divide: a zero vector has no unit direction — NULL, matching
+        # the oracle's x/0 (DuckDB NULL); ANSI bare division would abort
+        F.round(
+            F.try_divide(F.element_at("embedding", 1).cast("double"), n), 6
+        ).alias("first_unit"),
     )
 
 
@@ -2998,7 +2977,7 @@ def q105_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT query_id, vec_id, score,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
-      FROM scored)
+      FROM scored WHERE score IS NOT NULL)
     SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
     """,
 )
@@ -3687,34 +3666,49 @@ def q123_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q124_ohlc_resample",
     oracle="""
-    SELECT user_id,
-           make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket,
-           arg_min(value, ts) AS open,
+    WITH b AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, ts) AS close,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
            COUNT(*) AS n
-    FROM events
-    GROUP BY 1, 2
+    FROM r GROUP BY 1, 2
     """,
 )
 def q124_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to 5-minute OHLC bars per user — the
     resample primitive: ONE groupBy with min_by/max_by picks open/close by
     event time with no window pass or self-join; the bucket is explicit
-    epoch arithmetic so both engines align identically. (user_id, ts) is
-    unique in events, so arg-min/max are deterministic."""
+    epoch arithmetic so both engines align identically. open/close order
+    on (ts, event_id) so same-timestamp ticks — real feeds have them —
+    get a deterministic winner (the oracle's ROW_NUMBER uses the same
+    composite key; a bare arg_min(value, ts) is tie-nondeterministic on
+    both engines)."""
     e = load_table(spark, sf_dir, "events")
     bucket = F.timestamp_seconds(
         F.floor(F.unix_micros("ts") / F.lit(300_000_000)) * 300
     )
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
     return (
         e.groupBy("user_id", bucket.alias("bucket"))
         .agg(
-            F.min_by("value", "ts").alias("open"),
+            F.min_by("value", ordk).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max_by("value", ordk).alias("close"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -3771,12 +3765,13 @@ def q126_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q127_streaming_upsert",
     oracle="""
-    SELECT user_id, MAX(ts) AS ts,
-           arg_max(event_id, ts) AS event_id,
-           arg_max(event_type, ts) AS event_type,
-           arg_max(value, ts) AS value,
-           arg_max(props, ts) AS props
-    FROM events GROUP BY 1
+    WITH r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_id, event_type, value, props
+    FROM r WHERE rn = 1
     """,
 )
 def q127_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5102,9 +5097,12 @@ def q162_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dur_us"),
     ).filter(F.col("dur_us").isNotNull() & F.col("value").isNotNull())
     return stepped.groupBy("user_id").agg(
-        (
-            F.sum(dec("value", 28, 6) * F.col("dur_us")).cast("double")
-            / F.sum("dur_us")
+        # try_divide: a user whose every event shares one timestamp has
+        # zero total duration — NULL (no time to weight over), matching
+        # the oracle's x/0 -> NULL instead of aborting the job
+        F.try_divide(
+            F.sum(dec("value", 28, 6) * F.col("dur_us")).cast("double"),
+            F.sum("dur_us"),
         ).alias("twa")
     )
 
@@ -6860,13 +6858,13 @@ def q200_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS DECIMAL(12,9))) AS DOUBLE) AS s
       FROM rc GROUP BY doc_id, n
     )
-    SELECT e.doc_id, e.n AS n_chars,
+    SELECT d.doc_id, len(d.text) AS n_chars,
            ROUND(-e.s, 6) AS entropy,
            ROUND(CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)
-                 / e.n, 6) AS digit_frac,
+                 / len(d.text), 6) AS digit_frac,
            ROUND(CAST(len(regexp_extract_all(d.text, '\\s')) AS DOUBLE)
-                 / e.n, 6) AS space_frac
-    FROM ent e JOIN documents d USING (doc_id)
+                 / len(d.text), 6) AS space_frac
+    FROM documents d LEFT JOIN ent e USING (doc_id)
     """,
 )
 def q201_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6887,7 +6885,9 @@ def q201_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
     n = F.length("text")
     zero = F.lit("0").cast("decimal(28,9)")
-    p_of = lambda cnt: cnt.cast("double") / F.col("n_chars")  # noqa: E731
+    # try_divide: an empty document has n_chars = 0 — every ratio is NULL
+    # (DuckDB's x/0), not a job abort
+    p_of = lambda cnt: F.try_divide(cnt.cast("double"), F.col("n_chars"))  # noqa: E731
     term = lambda ch: F.round(  # noqa: E731
         p_of(F.size(F.filter(F.col("__cs"), lambda c: c == ch)))
         * F.log(p_of(F.size(F.filter(F.col("__cs"), lambda c: c == ch)))),
@@ -6898,22 +6898,31 @@ def q201_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_chars",
-            F.round(
-                -F.aggregate(
-                    F.array_distinct("__cs"),
-                    zero,
-                    lambda acc, ch: (acc + term(ch)).cast("decimal(28,9)"),
-                ).cast("double"),
-                6,
+            # a doc with no characters has no char distribution: entropy
+            # NULL (the oracle's left join agrees), never -0.0 noise
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(
+                    -F.aggregate(
+                        F.array_distinct("__cs"),
+                        zero,
+                        lambda acc, ch: (acc + term(ch)).cast("decimal(28,9)"),
+                    ).cast("double"),
+                    6,
+                ),
             ).alias("entropy"),
             F.round(
-                F.regexp_count("text", F.lit("[0-9]")).cast("double")
-                / F.col("n_chars"),
+                F.try_divide(
+                    F.regexp_count("text", F.lit("[0-9]")).cast("double"),
+                    F.col("n_chars"),
+                ),
                 6,
             ).alias("digit_frac"),
             F.round(
-                F.regexp_count("text", F.lit("\\s")).cast("double")
-                / F.col("n_chars"),
+                F.try_divide(
+                    F.regexp_count("text", F.lit("\\s")).cast("double"),
+                    F.col("n_chars"),
+                ),
                 6,
             ).alias("space_frac"),
         )
@@ -7530,8 +7539,8 @@ def q209_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang AS labeled,
-             list_filter(string_split(lower(trim(text)), ' '), t -> t <> '')
-               AS t
+             COALESCE(list_filter(string_split(lower(trim(text)), ' '),
+                                  t -> t <> ''), []) AS t
       FROM documents
     ), hits AS (
       SELECT doc_id, labeled,
@@ -8001,8 +8010,11 @@ def q218_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "u",
+        # try_divide: zero-norm vectors score NULL (cosine undefined) and
+        # the >= tau filter drops them — same as the oracle's x/0 -> NULL
         F.round(
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+            6,
         ).alias("score"),
     )
     return (
@@ -8179,9 +8191,12 @@ def q220_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) // 10)
-             AS k_decades
+           CAST(SUM(CASE WHEN json_valid(props)
+                         THEN CAST(json_extract(props, '$.k') AS BIGINT) END)
+                AS BIGINT) AS sum_k,
+           COUNT(DISTINCT CASE WHEN json_valid(props)
+                               THEN CAST(json_extract(props, '$.k') AS BIGINT) // 10
+                          END) AS k_decades
     FROM events WHERE props IS NOT NULL
     GROUP BY 1
     """,
@@ -8202,7 +8217,11 @@ def q221_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference when payloads carry dozens of fields."""
     e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     v = e.select(
-        "event_type", F.parse_json("props").alias("pv")
+        # try_parse_json: malformed payloads become a NULL variant (path
+        # gets return NULL downstream) instead of FAILFAST aborting the
+        # job on one corrupt record — open-schema ingestion must tolerate
+        # the garbage row a 100 TB event feed always contains
+        "event_type", F.try_parse_json("props").alias("pv")
     ).select(
         "event_type",
         F.variant_get("pv", "$.k", "bigint").alias("k"),
@@ -11170,7 +11189,13 @@ def q264_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _comp_len(texts):
         import zlib
 
-        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+        # None-safe: a null document has no compressed length (NULL out),
+        # matching octet_length(NULL) on the raw side
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else None
+        )
 
     # real-object annotations: this module's `from __future__ import
     # annotations` would stringify inline hints, which pandas_udf can't
@@ -11188,12 +11213,14 @@ def q264_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "raw_bytes",
         "comp_bytes",
-        F.round(F.col("comp_bytes") / F.col("raw_bytes").cast("double"), 6).alias(
-            "ratio"
-        ),
-        (F.col("comp_bytes") / F.col("raw_bytes").cast("double") < 0.3).alias(
-            "low_complexity"
-        ),
+        # try_divide: an empty document has raw_bytes 0 — ratio undefined
+        # (NULL), not a job abort on one degenerate row
+        F.round(
+            F.try_divide(F.col("comp_bytes"), F.col("raw_bytes").cast("double")), 6
+        ).alias("ratio"),
+        (
+            F.try_divide(F.col("comp_bytes"), F.col("raw_bytes").cast("double")) < 0.3
+        ).alias("low_complexity"),
     )
 
 
@@ -12234,17 +12261,26 @@ def q280_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     h, min_pts = 0.08, 4
+    # grid-domain guard: a corrupt coordinate (|x/h| beyond ~1e12) would
+    # overflow the packed long cell key under ANSI and abort the job; such
+    # far-out points cannot belong to any dense cell, so they take a NULL
+    # cell here and fall through the left join below as noise (-1) — the
+    # DBSCAN-correct label for an extreme outlier
+    d1 = F.element_at("embedding", 1).cast("double") / F.lit(h)
+    d2 = F.element_at("embedding", 2).cast("double") / F.lit(h)
+    in_grid = (F.abs(d1) < F.lit(1.0e12)) & (F.abs(d2) < F.lit(1.0e12))
     pts = e.select(
         "vec_id",
-        F.floor(F.element_at("embedding", 1) / h).cast("long").alias("cx"),
-        F.floor(F.element_at("embedding", 2) / h).cast("long").alias("cy"),
+        F.when(in_grid, F.floor(d1)).cast("long").alias("cx"),
+        F.when(in_grid, F.floor(d2)).cast("long").alias("cy"),
     )
     cell_id = ((F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000)).alias(
         "cell"
     )
     cells = pts.select("vec_id", cell_id)
     dense = (
-        cells.groupBy("cell")
+        cells.where(F.col("cell").isNotNull())
+        .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_pts)
         .select("cell")
@@ -12413,9 +12449,14 @@ def q281_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "n_relevant",
         F.round(
-            F.col("dcg")
-            / F.element_at(
-                cum_arr, (F.least(F.col("n_relevant"), F.lit(10)) + 1).cast("int")
+            # try_divide: a query with zero relevant corpus docs has ideal
+            # DCG 0 — nDCG undefined -> NULL (DuckDB x/0), not a job abort
+            F.try_divide(
+                F.col("dcg"),
+                F.element_at(
+                    cum_arr,
+                    (F.least(F.col("n_relevant"), F.lit(10)) + 1).cast("int"),
+                ),
             ),
             6,
         ).alias("ndcg10"),

@@ -21,6 +21,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
+
 
 def _staged_stream(spark: SparkSession, parquet_path: str, prefix: str):
     """File-source stream over a single parquet file, with the batch reader's
@@ -29,7 +31,7 @@ def _staged_stream(spark: SparkSession, parquet_path: str, prefix: str):
 
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
-    stage = tempfile.mkdtemp(prefix=prefix)
+    stage = scratch_dir(spark, prefix.rstrip("_"))
     os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:

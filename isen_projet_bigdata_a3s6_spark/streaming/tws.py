@@ -29,6 +29,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..scratch import scratch_dir
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 
@@ -155,7 +157,7 @@ def tws_user_profile(
     batch = read_parquet_ns_safe(spark, parquet_path).select(
         "event_id", "user_id", "event_type", "value"
     )
-    stage = tempfile.mkdtemp(prefix="tws_src_")
+    stage = scratch_dir(spark, "tws_src")
     batch.repartition(n_batches).write.mode("overwrite").parquet(stage)
     stream = (
         spark.readStream.schema(batch.schema)
@@ -229,9 +231,9 @@ def restart_recovery_counts(
     batch = read_parquet_ns_safe(spark, parquet_path).select(
         "event_id", "user_id", "event_type", "value"
     )
-    src = tempfile.mkdtemp(prefix="restart_src_")
-    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
-    sink = tempfile.mkdtemp(prefix="restart_sink_") + "/out"
+    src = scratch_dir(spark, "restart_src")
+    ckpt = scratch_dir(spark, "restart_ckpt")
+    sink = scratch_dir(spark, "restart_sink") + "/out"
 
     def run_phase() -> None:
         stream = spark.readStream.schema(batch.schema).parquet(src)
@@ -256,7 +258,7 @@ def restart_recovery_counts(
     import shutil
 
     def land(df, tag: str) -> None:
-        scratch = tempfile.mkdtemp(prefix=f"restart_{tag}_")
+        scratch = scratch_dir(spark, f"restart_{tag}")
         df.coalesce(1).write.mode("overwrite").parquet(scratch)
         for i, f in enumerate(sorted(glob.glob(os.path.join(scratch, "*.parquet")))):
             shutil.move(f, os.path.join(src, f"{tag}_{i}.parquet"))

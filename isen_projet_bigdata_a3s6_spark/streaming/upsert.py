@@ -20,15 +20,26 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 
-def latest_per_key(df: DataFrame, key: str = "user_id", ts: str = "ts") -> DataFrame:
-    """Reduce to the latest row per key: max_by on event time (ties are
-    impossible in `events` — (user_id, ts) is unique — and would be
-    broken by max_by's last-wins otherwise)."""
+
+def latest_per_key(
+    df: DataFrame, key: str = "user_id", ts: str = "ts", tiebreak: str = "event_id"
+) -> DataFrame:
+    """Reduce to the latest row per key: max_by on (event time, tiebreak).
+
+    The composite ordering key matters twice: same-timestamp rows (real
+    feeds have them — clock granularity, batched emitters) get a
+    DETERMINISTIC winner, and every per-column ``max_by`` agrees on the
+    SAME winning row — a bare ``max_by(c, ts)`` under ties may stitch its
+    output from different rows (column A from one event, column B from
+    another), a row that never existed."""
+    tie = tiebreak if tiebreak in df.columns else None
+    ordk = F.struct(F.col(ts), F.col(tie)) if tie else F.col(ts)
     others = [c for c in df.columns if c not in (key, ts)]
     return df.groupBy(key).agg(
         F.max(ts).alias(ts),
-        *[F.max_by(c, ts).alias(c) for c in others],
+        *[F.max_by(c, ordk).alias(c) for c in others],
     )
 
 
@@ -51,13 +62,13 @@ def streaming_latest_state(
     raw_schema = spark.read.parquet(parquet_path).schema
 
     # stage the source as several files so the stream runs several batches
-    stage = tempfile.mkdtemp(prefix="upsert_src_")
+    stage = scratch_dir(spark, "upsert_src")
     spark.read.parquet(parquet_path).repartition(n_source_files).write.mode(
         "overwrite"
     ).parquet(stage)
 
-    store = tempfile.mkdtemp(prefix="upsert_state_") + "/state"
-    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+    store = scratch_dir(spark, "upsert_state") + "/state"
+    ckpt = scratch_dir(spark, "upsert_ckpt")
 
     stream = (
         spark.readStream.schema(raw_schema)

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
+
 from ..functions.scalar import dec_sum
 
 
@@ -95,7 +97,7 @@ def streaming_tumbling_counts(
     import tempfile
 
     # FileStreamSource wants a directory; stage the single file via symlink
-    stage_dir = tempfile.mkdtemp(prefix="stream_src_")
+    stage_dir = scratch_dir(spark, "stream_src")
     os.symlink(parquet_path, os.path.join(stage_dir, os.path.basename(parquet_path)))
     stream = (
         spark.readStream.schema(raw_schema)
@@ -160,7 +162,7 @@ def streaming_tumbling_to_file_sink(
 
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
-    stage = tempfile.mkdtemp(prefix="stream_fsink_src_")
+    stage = scratch_dir(spark, "stream_fsink_src")
     os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:
@@ -174,8 +176,8 @@ def streaming_tumbling_to_file_sink(
         .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), *keys, "n", "sum_value")
     )
-    sink_dir = tempfile.mkdtemp(prefix="stream_fsink_out_") + "/result"
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_fsink_ckpt_")
+    sink_dir = scratch_dir(spark, "stream_fsink_out") + "/result"
+    ckpt_dir = scratch_dir(spark, "stream_fsink_ckpt")
     q = (
         agg.writeStream.outputMode("append")
         .format("parquet")
@@ -213,7 +215,7 @@ def streaming_session_windows(
 
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
-    stage = tempfile.mkdtemp(prefix="stream_sess_src_")
+    stage = scratch_dir(spark, "stream_sess_src")
     os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:
@@ -259,7 +261,7 @@ def _stage_stream(
 
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
-    stage = tempfile.mkdtemp(prefix=prefix)
+    stage = scratch_dir(spark, prefix.rstrip("_"))
     os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:
@@ -334,8 +336,8 @@ def streaming_dedup_keys(
         .dropDuplicatesWithinWatermark(list(keys))
         .select(*keys)
     )
-    sink_dir = tempfile.mkdtemp(prefix="stream_dedup_out_") + "/result"
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    sink_dir = scratch_dir(spark, "stream_dedup_out") + "/result"
+    ckpt_dir = scratch_dir(spark, "stream_dedup_ckpt")
     q = (
         deduped.writeStream.outputMode("append")
         .format("parquet")

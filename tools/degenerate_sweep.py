@@ -1,0 +1,179 @@
+"""Degenerate-data hardening sweep.
+
+The driver's correctness gate runs every query on the generator's sf0.01
+tables, whose rows are all well-formed (min document length 47 chars, no
+zero-norm embeddings, no tied event timestamps). A 100 TB production corpus
+is NOT well-formed: it contains empty documents, single-token documents,
+whitespace-only text, zero vectors, duplicate vectors, and same-microsecond
+events. A query that crashes on those rows "works" in every driver round and
+then aborts a real 1000-executor job hours in (exactly the q261 slice-edge
+bug ADVICE.md round 3 caught by inspection).
+
+This tool makes that failure mode testable: it builds a copy of sf0.001
+with adversarial rows appended to documents / embeddings / events, then
+runs EVERY registered query against it and reports
+
+  - CRASH: the query raises and its DuckDB twin does not — a bug to fix
+    (Spark aborts the job on input the reference semantics accept);
+  - PARITY-ERR: BOTH engines reject the input (e.g. 1e300 into an exact
+    DECIMAL sum overflows identically under ANSI rules on Spark and
+    DuckDB) — fail-fast on out-of-domain data is the documented
+    convention, silent NULLs would corrupt sums;
+  - DRIFT: an oracle query returns different values than DuckDB on the
+    degenerate rows — advisory (the driver never feeds such rows), but
+    often a real semantic edge (e.g. round 4's token-empty chunk-dedup fix).
+
+Usage:  python tools/degenerate_sweep.py [--only q261,q299] [--base sfdir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+DEGEN_DOCS = [
+    # (text, lang, source) — n_chars derived. One row per degenerate class.
+    ("", "en", "web"),  # empty document
+    ("word", "en", "web"),  # single token (q261's crash class)
+    ("   ", "en", "web"),  # whitespace-only: split(' ') -> ['','','','']
+    ("!!! ??? ... ;;;", "en", "web"),  # punctuation-only tokens
+    ("a", "en", "web"),  # single character
+    ("x x x x x x x x", "en", "web"),  # zero-entropy repetition
+    ("a" * 5000, "en", "web"),  # one giant token, no separators
+    (None, "en", "web"),  # null text
+    ("word", "zz", None),  # unknown lang + null source
+]
+
+
+def build_degenerate_dir(base: str) -> str:
+    out = os.path.join(tempfile.gettempdir(), "a3s6_degenerate_sf")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for f in os.listdir(base):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(base, f)
+        dst = os.path.join(out, f)
+        name = f[: -len(".parquet")]
+        tbl = pq.read_table(src)
+        if name == "documents":
+            start = pa.compute.max(tbl["doc_id"]).as_py() + 1
+            extra = pd.DataFrame(
+                {
+                    "doc_id": [start + i for i in range(len(DEGEN_DOCS))],
+                    "text": [t for t, _, _ in DEGEN_DOCS],
+                    "lang": [lg for _, lg, _ in DEGEN_DOCS],
+                    "source": [s for _, _, s in DEGEN_DOCS],
+                    "n_chars": [len(t) if t is not None else 0 for t, _, _ in DEGEN_DOCS],
+                }
+            )
+            tbl = pa.concat_tables([tbl, pa.Table.from_pandas(extra, schema=tbl.schema)])
+        elif name == "embeddings":
+            start = pa.compute.max(tbl["vec_id"]).as_py() + 1
+            dim = len(tbl["embedding"][0])
+            first = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float32)
+            extra = pa.Table.from_pydict(
+                {
+                    "vec_id": [start, start + 1, start + 2],
+                    "embedding": [
+                        np.zeros(dim, dtype=np.float32),  # zero norm: cosine 0/0
+                        first,  # exact duplicate of vec 0: top-k ties
+                        np.full(dim, 1e30, dtype=np.float32),  # overflow-scale values
+                    ],
+                    "label": [0, 0, 0],
+                },
+                schema=tbl.schema,
+            )
+            tbl = pa.concat_tables([tbl, extra])
+        elif name == "events":
+            start = pa.compute.max(tbl["event_id"]).as_py() + 1
+            ts0 = tbl["ts"][0].as_py()
+            extra = pd.DataFrame(
+                {
+                    "event_id": [start, start + 1, start + 2, start + 3],
+                    "ts": [ts0, ts0, ts0, ts0],  # 4-way timestamp tie
+                    "user_id": [999_999, 999_999, 999_998, 999_997],
+                    "event_type": ["click", "click", "", "click"],
+                    "value": [0.0, -1.5, 0.0, float(1e300)],
+                    "props": ["", "{}", "not json", None],
+                }
+            )
+            tbl = pa.concat_tables([tbl, pa.Table.from_pandas(extra, schema=tbl.schema)])
+        pq.write_table(tbl, dst)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default=None, help="comma-separated query-name prefixes")
+    args = ap.parse_args()
+
+    sf_dir = build_degenerate_dir(args.base)
+    print(f"degenerate tables at {sf_dir}", flush=True)
+
+    from isen_projet_bigdata_a3s6_spark.oracle_check import check_query, duckdb_conn
+    from isen_projet_bigdata_a3s6_spark.queries import oracle_sql, queries
+    from isen_projet_bigdata_a3s6_spark.session import get_spark
+
+    names = sorted(queries())
+    if args.only:
+        pref = [p.strip() for p in args.only.split(",")]
+        names = [n for n in names if any(n.startswith(p) for p in pref)]
+
+    spark = get_spark(app_name="degenerate_sweep")
+    oracles = oracle_sql()
+    crashes, drifts, parity_errs, ok = [], [], [], 0
+    for name in names:
+        try:
+            r = check_query(spark, name, sf_dir)
+        except Exception as e:
+            # Spark rejected the input. If the DuckDB twin rejects it too
+            # (same ANSI overflow/conversion rules), that is parity, not a
+            # bug: both engines refuse to fold out-of-domain values into an
+            # exact aggregate.
+            sql = oracles.get(name)
+            oracle_err = None
+            if sql is not None:
+                try:
+                    con = duckdb_conn(sf_dir)
+                    con.execute(sql).fetchdf()
+                    con.close()
+                except Exception as oe:
+                    oracle_err = oe
+            if oracle_err is not None:
+                parity_errs.append(name)
+                print(
+                    f"PARITY-ERR {name}: both engines reject — spark:"
+                    f" {type(e).__name__}; duckdb: {str(oracle_err)[:120]}",
+                    flush=True,
+                )
+            else:
+                crashes.append(name)
+                print(f"CRASH [FAIL] {name}\n    - exception: {type(e).__name__}: {str(e)[:400]}", flush=True)
+            continue
+        if r.ok:
+            ok += 1
+            continue
+        drifts.append(name)
+        print("DRIFT " + str(r), flush=True)
+    print(
+        f"\n== degenerate sweep: {ok} ok, {len(crashes)} crashes, "
+        f"{len(parity_errs)} parity-errs, {len(drifts)} drifts / {len(names)} queries"
+    )
+    return 1 if crashes else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
