@@ -44,6 +44,26 @@ def dec_avg(col: str | Column, scale: int = 4) -> Column:
     return F.sum(dec(c, 28, scale)).cast("double") / F.count(c)
 
 
+def event_order_key(ts: str | Column = "ts", id_col: str | Column = "event_id") -> Column:
+    """Deterministic total-order key for arg-min/max reductions over event
+    rows: ``micros(ts) · 10^12 + id`` packed into one DECIMAL(38,0).
+
+    Why not ``F.struct(ts, id)``: a struct ordering key knocks min_by/max_by
+    off the Tungsten hash-aggregate path (struct buffers aren't mutable
+    fixed-width), degrading the whole aggregate to Sort+SortAggregate —
+    measured on q124's plan. A DECIMAL(38,0) buffer is fixed-width, so the
+    aggregate stays a two-phase HashAggregate with ONE exchange.
+
+    Domain: micros ≈ 1.7e15 · 10^12 = 1.7e27 ≪ 10^38, ids < 10^12 —
+    comfortable for any realistic event-id space; ordering equals
+    (ts, id) lexicographic order exactly."""
+    t = F.col(ts) if isinstance(ts, str) else ts
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.unix_micros(t).cast("decimal(38,0)") * F.lit(10**12) + i
+    ).cast("decimal(38,0)")
+
+
 def round6(c: Column) -> Column:
     """For genuinely float-path aggregates (corr, stddev, percentile
     interpolation): round to 6 so ~1e-12 accumulation-order noise between

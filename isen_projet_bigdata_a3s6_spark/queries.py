@@ -3696,12 +3696,15 @@ def q124_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (ts, event_id) so same-timestamp ticks — real feeds have them —
     get a deterministic winner (the oracle's ROW_NUMBER uses the same
     composite key; a bare arg_min(value, ts) is tie-nondeterministic on
-    both engines)."""
+    both engines). The key is the packed-decimal event_order_key, not a
+    struct: structs would demote this to Sort+SortAggregate."""
+    from .functions.scalar import event_order_key
+
     e = load_table(spark, sf_dir, "events")
     bucket = F.timestamp_seconds(
         F.floor(F.unix_micros("ts") / F.lit(300_000_000)) * 300
     )
-    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    ordk = event_order_key("ts", "event_id")
     return (
         e.groupBy("user_id", bucket.alias("bucket"))
         .agg(

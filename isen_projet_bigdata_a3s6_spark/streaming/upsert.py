@@ -33,9 +33,13 @@ def latest_per_key(
     DETERMINISTIC winner, and every per-column ``max_by`` agrees on the
     SAME winning row — a bare ``max_by(c, ts)`` under ties may stitch its
     output from different rows (column A from one event, column B from
-    another), a row that never existed."""
+    another), a row that never existed. Packed-decimal key (not a struct)
+    keeps the reduce on the hash-aggregate path — see
+    ``functions.scalar.event_order_key``."""
+    from ..functions.scalar import event_order_key
+
     tie = tiebreak if tiebreak in df.columns else None
-    ordk = F.struct(F.col(ts), F.col(tie)) if tie else F.col(ts)
+    ordk = event_order_key(ts, tie) if tie else F.col(ts)
     others = [c for c in df.columns if c not in (key, ts)]
     return df.groupBy(key).agg(
         F.max(ts).alias(ts),

@@ -116,22 +116,32 @@ def test_latest_per_key_tie_breaks_coherently(spark):
     assert out[8]["event_id"] == 50
 
 
-def test_min_by_struct_key_ohlc_tie(spark):
-    # the q124 convention: open/close keyed on (ts, event_id)
+def test_event_order_key_ohlc_tie(spark):
+    # the q124 convention: open/close keyed on the packed (ts, event_id)
+    # decimal — equivalent to lexicographic (ts, event_id) order but keeps
+    # min_by/max_by on the Tungsten hash-aggregate path (a struct key
+    # demotes the aggregate to Sort+SortAggregate)
+    from isen_projet_bigdata_a3s6_spark.functions.scalar import event_order_key
+
     df = spark.createDataFrame(
         [
             ("2024-01-01 00:00:00", 1, 10.0),
-            ("2024-01-01 00:00:00", 2, 20.0),
+            ("2024-01-01 00:00:00", 2, 20.0),  # same ts: higher id is later
             ("2024-01-01 00:00:05", 3, 15.0),
         ],
         "ts string, event_id long, value double",
     ).withColumn("ts", F.to_timestamp("ts"))
-    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    ordk = event_order_key("ts", "event_id")
     r = df.agg(
         F.min_by("value", ordk).alias("open"), F.max_by("value", ordk).alias("close")
     ).first()
     assert r["open"] == 10.0  # earliest (ts, event_id)
     assert r["close"] == 15.0
+    # plan stays hash-aggregable with the decimal key
+    plan = df.groupBy().agg(F.min_by("value", ordk))._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "SortAggregate" not in plan
 
 
 def test_try_parse_json_tolerates_garbage(spark):

@@ -23,7 +23,15 @@ runs EVERY registered query against it and reports
     degenerate rows — advisory (the driver never feeds such rows), but
     often a real semantic edge (e.g. round 4's token-empty chunk-dedup fix).
 
+A second mode, ``--mode empty``, runs every query against SCHEMA-ONLY
+tables (0 rows everywhere): the "empty ingest day" — a partition with no
+data, a filter that matched nothing upstream. The correct behavior is an
+empty (or all-NULL-aggregate) result; a crash here means a driver-side
+``.first()[0]`` / fit-on-nothing that would kill a scheduled pipeline run
+the first quiet day it sees.
+
 Usage:  python tools/degenerate_sweep.py [--only q261,q299] [--base sfdir]
+                                         [--mode degen|empty]
 """
 
 from __future__ import annotations
@@ -114,14 +122,32 @@ def build_degenerate_dir(base: str) -> str:
     return out
 
 
+def build_empty_dir(base: str) -> str:
+    """Schema-identical tables with zero rows."""
+    out = os.path.join(tempfile.gettempdir(), "a3s6_empty_sf")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for f in os.listdir(base):
+        if not f.endswith(".parquet"):
+            continue
+        tbl = pq.read_table(os.path.join(base, f))
+        pq.write_table(tbl.slice(0, 0), os.path.join(out, f))
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None, help="comma-separated query-name prefixes")
+    ap.add_argument("--mode", default="degen", choices=["degen", "empty"])
     args = ap.parse_args()
 
-    sf_dir = build_degenerate_dir(args.base)
-    print(f"degenerate tables at {sf_dir}", flush=True)
+    if args.mode == "empty":
+        sf_dir = build_empty_dir(args.base)
+        print(f"empty tables at {sf_dir}", flush=True)
+    else:
+        sf_dir = build_degenerate_dir(args.base)
+        print(f"degenerate tables at {sf_dir}", flush=True)
 
     from isen_projet_bigdata_a3s6_spark.oracle_check import check_query, duckdb_conn
     from isen_projet_bigdata_a3s6_spark.queries import oracle_sql, queries
