@@ -294,6 +294,12 @@ def embedding_dedup_pairs(
     else:
         if dim is None:
             first = df.select(F.size(vec_col).alias("d")).first()
+            if first is None:
+                # empty corpus: no pairs (schema-correct empty result)
+                id_type = df.schema[id_col].dataType.simpleString()
+                return df.sparkSession.createDataFrame(
+                    [], f"id_a {id_type}, id_b {id_type}, cos_sim double"
+                )
             dim = int(first["d"])
         planes = _hyperplanes(dim, num_bits)
         bits_per_band = num_bits // bands

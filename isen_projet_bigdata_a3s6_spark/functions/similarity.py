@@ -107,7 +107,11 @@ def cosine_topk_arrow(
 
     qrows = queries.select(query_id, query_vec).collect()
     if not qrows:
-        raise ValueError("cosine_topk_arrow: empty query set")
+        # empty query set -> empty (schema-correct) result, matching
+        # cosine_topk's behavior on the same input
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, score double, rank int"
+        )
     qids = np.array([r[query_id] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[query_vec]) for r in qrows], dtype=np.float64)  # (nq, d)
     dim = Q.shape[1]
@@ -319,7 +323,13 @@ def kcenter_select(
 
     if k < 1:
         raise ValueError("kcenter_select: k must be >= 1")
-    seed = df.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    seed_rows = df.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        # empty corpus -> empty selection (schema-correct)
+        return spark.createDataFrame([], f"step int, {id_col} {id_type}, radius double")
+    seed = seed_rows[0]
     chosen: list[tuple[int, object, float | None]] = [(1, seed[id_col], None)]
     center = seed[vec_col]
 
@@ -350,8 +360,6 @@ def kcenter_select(
             )
         )
         state = cut_lineage(state)
-    spark = df.sparkSession
-    id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         [(s, i, (round(r, 6) if r is not None else None)) for s, i, r in chosen],
         f"step int, {id_col} {id_type}, radius double",

@@ -125,6 +125,13 @@ def unigram_train(
     seed = chars.unionByName(multi).collect()  # ≤ |charset| + vocab_size rows
     import math
 
+    if not seed:
+        # empty corpus: no vocabulary to learn (empty-in/empty-out; the
+        # per-round floor-probability division would hit 0/0 otherwise)
+        words.unpersist()
+        return words.sparkSession.createDataFrame(
+            [], "piece string, count long, logprob double"
+        )
     total = sum(r.cnt for r in seed)
     logp = {r.piece: math.log(r.cnt / total) for r in seed}
 

@@ -239,14 +239,21 @@ def fit_glm_binomial(
     from .pipeline import _assembled_names, _feature_pipeline
 
     categorical = categorical or []
+    clean = df.dropna(subset=[label, *numeric, *categorical])
+    if clean.isEmpty():
+        # empty-in/empty-out (see ml.pipeline.fit_multiple_ols)
+        empty = df.sparkSession.createDataFrame(
+            [],
+            "feature string, coefficient double, std_error double,"
+            " z_value double, p_value double",
+        )
+        return None, empty
     stages = _feature_pipeline(numeric, categorical)
     glm = GeneralizedLinearRegression(
         family="binomial", link="logit", featuresCol="features", labelCol=label,
         regParam=0.0,
     )
-    model = Pipeline(stages=[*stages, glm]).fit(
-        df.dropna(subset=[label, *numeric, *categorical])
-    )
+    model = Pipeline(stages=[*stages, glm]).fit(clean)
     glmm = model.stages[-1]
     names = ["intercept"] + _assembled_names(model, numeric, categorical)
     coefs = [float(glmm.intercept)] + [float(c) for c in glmm.coefficients]

@@ -53,11 +53,23 @@ def fit_multiple_ols(
     (feature, coefficient, std_error, t_value, p_value) plus the intercept —
     the reference's ``summary(lm)`` table (R_groupe4.R:845-847)."""
     categorical = categorical or []
+    clean = df.dropna(subset=[label, *numeric, *categorical])
+    if clean.isEmpty():
+        # empty-in/empty-out: nothing to fit on a no-data day (a model fit
+        # on zero rows is undefined; StringIndexer would abort anyway) —
+        # the empty summary keeps a scheduled pipeline alive so downstream
+        # gates can alarm on it
+        empty = df.sparkSession.createDataFrame(
+            [],
+            "feature string, coefficient double, std_error double,"
+            " t_value double, p_value double",
+        )
+        return None, empty
     stages = _feature_pipeline(numeric, categorical)
     lr = LinearRegression(
         featuresCol="features", labelCol=label, solver="normal", regParam=0.0
     )
-    model = Pipeline(stages=[*stages, lr]).fit(df.dropna(subset=[label, *numeric, *categorical]))
+    model = Pipeline(stages=[*stages, lr]).fit(clean)
     lrm = model.stages[-1]
     names = ["intercept"] + _assembled_names(model, numeric, categorical)
     coefs = [float(lrm.intercept)] + [float(c) for c in lrm.coefficients]
@@ -105,6 +117,13 @@ def fit_logistic(
     ``probability_1`` and thresholded ``prediction`` columns
     (reference predict(type="response") + 0.5 cut, R_groupe4.R:1005-1007)."""
     categorical = categorical or []
+    if df.isEmpty():
+        # empty-in/empty-out (see fit_multiple_ols): scored frame keeps the
+        # input schema plus the two scoring columns, with zero rows
+        scored = df.withColumn("probability_1", F.lit(0.0)).withColumn(
+            "prediction", F.lit(0.0)
+        )
+        return None, scored
     stages = _feature_pipeline(numeric, categorical)
     lr = LogisticRegression(featuresCol="features", labelCol=label)
     model = Pipeline(stages=[*stages, lr]).fit(df)

@@ -42,7 +42,10 @@ def pagerank(
     ).persist()
     n = nodes.count()
     if n == 0:
-        raise ValueError("pagerank: empty graph")
+        # empty graph -> empty ranks (empty-in/empty-out keeps a scheduled
+        # pipeline alive on a no-data day; downstream gates alarm on empty)
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # pre-join degree onto edges once; partition by src for round reuse
     contrib_edges = (
@@ -107,7 +110,11 @@ def pagerank_convergence(
     ).persist()
     n = nodes.count()
     if n == 0:
-        raise ValueError("pagerank_convergence: empty graph")
+        # empty graph -> empty diagnostics frame, same schema as below
+        nodes.unpersist()
+        return spark.createDataFrame(
+            [], "iteration int, l1_delta double, linf_delta double, rank_mass double"
+        )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib_edges = e.join(out_deg, "src").repartition("src").persist()
     contrib_edges.count()

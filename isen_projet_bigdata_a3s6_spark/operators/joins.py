@@ -336,9 +336,10 @@ def knn_join_1nn_auto(
     import math
 
     n_known = known.count()
-    if n_known == 0:
-        raise ValueError("knn_join_1nn_auto: empty known side has no nearest neighbor")
     n_probes = probes.count()
+    # empty known side: no probe has a nearest neighbor — the small-path
+    # broadcast join below degenerates to an empty (schema-correct) result,
+    # which is the empty-in/empty-out behavior a scheduled pipeline needs
     if n_probes * n_known <= work_threshold:
         return knn_join_1nn(
             probes, known, probe_id, probe_coords, known_coords,

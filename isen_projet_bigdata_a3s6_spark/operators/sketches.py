@@ -222,6 +222,12 @@ def histogram_build(
     r = df.select(
         F.min(col).alias("lo"), F.max(col).alias("hi")
     ).first()
+    if r["lo"] is None:
+        # no non-null values: empty histogram on the degenerate [0, 1)
+        # grid — quantile estimates over it are empty/NULL downstream
+        # (empty-in/empty-out), never a driver-side float(None) crash
+        empty = df.sparkSession.createDataFrame([], "bin int, cnt long")
+        return empty, 0.0, 1.0
     lo, hi = float(r["lo"]), float(r["hi"])
     width = (hi - lo) / bins or 1.0
     hist = (

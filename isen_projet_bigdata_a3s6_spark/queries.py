@@ -1266,9 +1266,16 @@ def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def q48_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP margins. Note: on EMPTY input Spark's rollup/cube emit zero
+    rows — strict SQL (and DuckDB) emit the () grand-total row with
+    COUNT 0. The oracle's no-op-on-data `HAVING COUNT(*) > 0` encodes
+    Spark's behavior (a rollup cell always has count ≥ 1 when any input
+    exists), documented here rather than papered over with a union that
+    would double-scan the feed. Same convention: q49, q205."""
     from .functions.scalar import dec_sum
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1283,6 +1290,7 @@ def q48_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def q49_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1785,6 +1793,9 @@ def q69_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    if vecs.isEmpty():
+        # empty-in/empty-out: no clusters on a no-data day
+        return spark.createDataFrame([], "prediction int, n long, n_labels long")
     km = KMeans(k=3, seed=42, maxIter=20, featuresCol="features")
     model = km.fit(vecs)
     assigned = model.transform(vecs)
@@ -1811,6 +1822,11 @@ def q70_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
     ).withColumn("features", array_to_vector("emb"))
+    if vecs.isEmpty():
+        # empty-in/empty-out: no index, no neighbors on a no-data day
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, score double, rank int"
+        )
     km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select(
@@ -2086,6 +2102,12 @@ def q80_logistic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = o.withColumn("is_closed", binary_label("o_orderstatus", ["F"]).cast("double"))
     train, test = hash_split(o, ["o_orderkey"], test_frac=0.2)
     model, _ = fit_logistic(train, "is_closed", ["o_totalprice"], ["o_orderpriority"])
+    if model is None:
+        # empty training split (no-data day): no model, no metrics
+        return spark.createDataFrame(
+            [],
+            "accuracy double, precision double, recall double, f1 double, n long",
+        )
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(test).withColumn(
@@ -2484,13 +2506,16 @@ def q92_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date", F.to_date("ts")
     )
     out_dir = _scratch_dir(spark, "layout") + "/events_by_day"
+    written = e.select("event_id", "ts", "user_id", "value", "event_date")
     write_clustered(
-        e.select("event_id", "ts", "user_id", "value", "event_date"),
+        written,
         out_dir,
         partition_by=["event_date"],
         range_cols=["ts"],
     )
-    back = spark.read.parquet(out_dir).filter(
+    # explicit schema: an all-empty write leaves nothing to infer from
+    # (see q242) — empty-partition days must read back as empty, not crash
+    back = spark.read.schema(written.schema).parquet(out_dir).filter(
         (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
         & (F.col("event_date") < F.lit("2024-01-15").cast("date"))
     )
@@ -2759,7 +2784,10 @@ def q100_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).select(
         "n_clicked",
         "n_converted",
-        (F.col("n_converted") / F.col("n_clicked")).alias("conversion_rate"),
+        # try_divide: zero clickers (empty feed) -> NULL rate, not a crash
+        F.try_divide(F.col("n_converted"), F.col("n_clicked")).alias(
+            "conversion_rate"
+        ),
     )
 
 
@@ -3504,7 +3532,9 @@ def q119_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_partition_overwrite(fix, base, ["event_date"])
 
-    back = spark.read.parquet(base)
+    # explicit schema on the read-back (q242 convention): an all-empty
+    # write leaves nothing to infer from — empty-feed days read back empty
+    back = spark.read.schema(e.schema).parquet(base)
     return (
         back.groupBy("event_date")
         .agg(
@@ -3589,7 +3619,7 @@ def q121_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.expr("percentile(cnt, 0.99)") / F.expr("percentile(cnt, 0.5)"), 6
         ).alias("p99_over_p50"),
-    )
+    ).where(F.col("n_keys") > 0)  # no keys -> no report row (oracle's GROUP BY agrees)
 
 
 @register(
@@ -3970,6 +4000,11 @@ def q133_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.pca import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        # empty-in/empty-out: nothing to fit on a no-data day
+        return spark.createDataFrame(
+            [], "vec_id long, pc_pos int, pc_value double"
+        )
     mean, comps = pca_fit(emb, "embedding", k=8)
     out = pca_project(emb, "embedding", mean, comps)
     return out.select(
@@ -4638,6 +4673,11 @@ def q152_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        # empty feed: nothing to stream (empty-in/empty-out)
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, ts timestamp, ewma double"
+        )
     span = (hi - lo) / 3
     stage = _scratch_dir(spark, "ewma_stream_src")
     splits = [
@@ -6336,17 +6376,24 @@ def q190_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stats = per_fp.agg(
-        F.sum("in_a").alias("n_a"),
-        F.sum("in_b").alias("n_b"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+        # coalesce-to-0: these are COUNTS of membership bits — an empty
+        # corpus has 0 distinct docs, not NULL (the oracle's COUNT(*)
+        # agrees); try_divide keeps the 0/0 Jaccard NULL, not a crash
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
     )
     return stats.select(
         "n_a",
         "n_b",
         "n_common",
         F.round(
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            F.try_divide(
+                F.col("n_common"),
+                (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            ),
             6,
         ).alias("jaccard"),
     )
@@ -7187,6 +7234,7 @@ def q204_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS revenue
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def q205_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7289,6 +7337,11 @@ def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    if vecs.isEmpty():
+        # empty-in/empty-out: no codebooks to train on a no-data day
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, score double, rank int"
+        )
     # per-subspace codebooks, trained on a deterministic sample
     train = vecs.filter(F.col("vec_id") % 2 == 0)
     codebooks: list[list[list[float]]] = []
@@ -9378,10 +9431,12 @@ def q242_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     out_dir = _scratch_dir(spark, "part_layout") + "/events_by_day"
-    e.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(out_dir)
-    back = spark.read.parquet(out_dir).where(
+    staged = e.withColumn("event_date", F.to_date("ts"))
+    staged.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
+    # explicit schema on the read-back: an all-empty write leaves no part
+    # files and schema inference would fail (UNABLE_TO_INFER_SCHEMA) — the
+    # empty-partition day must produce an empty result, not a crash
+    back = spark.read.schema(staged.schema).parquet(out_dir).where(
         F.col("event_date").between("2024-01-08", "2024-01-14")
     )
     return back.groupBy("event_type").agg(
@@ -12737,8 +12792,15 @@ def q285_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(col).alias("col"),
             F.countDistinct(col).cast("long").alias("ndv"),
             (F.count(F.lit(1)) - F.count(col)).cast("long").alias("nulls"),
-            F.format_string("%.4f", F.min(col)).alias("min_val"),
-            F.format_string("%.4f", F.max(col)).alias("max_val"),
+            # NULL-gated printf: Spark's format_string renders SQL NULL as
+            # the literal string 'null' (DuckDB printf yields NULL) — an
+            # all-null column must report NULL min/max, not 'null'
+            F.when(
+                F.min(col).isNotNull(), F.format_string("%.4f", F.min(col))
+            ).alias("min_val"),
+            F.when(
+                F.max(col).isNotNull(), F.format_string("%.4f", F.max(col))
+            ).alias("max_val"),
             F.round(F.expr(f"percentile({col}, 0.25)"), 6).alias("p25"),
             F.round(F.expr(f"percentile({col}, 0.5)"), 6).alias("p50"),
             F.round(F.expr(f"percentile({col}, 0.75)"), 6).alias("p75"),

@@ -144,6 +144,63 @@ def test_event_order_key_ohlc_tie(spark):
     assert "SortAggregate" not in plan
 
 
+def test_empty_input_library_operators(spark):
+    """Empty-in/empty-out across the driver-iterative operators: a no-data
+    day must produce empty (schema-correct) results, not a .first()[0]
+    crash that kills the scheduled pipeline run."""
+    from isen_projet_bigdata_a3s6_spark.functions.similarity import (
+        cosine_topk_arrow,
+        kcenter_select,
+    )
+    from isen_projet_bigdata_a3s6_spark.operators.graph import (
+        pagerank,
+        pagerank_convergence,
+    )
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    pr = pagerank(no_edges)
+    assert pr.count() == 0 and set(pr.columns) == {"node", "rank"}
+    diag = pagerank_convergence(no_edges)
+    assert diag.count() == 0 and "l1_delta" in diag.columns
+
+    no_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    sel = kcenter_select(no_vecs, "embedding", "vec_id", k=3)
+    assert sel.count() == 0 and set(sel.columns) == {"step", "vec_id", "radius"}
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    no_queries = spark.createDataFrame([], "query_id long, embedding array<float>")
+    topk = cosine_topk_arrow(corpus, no_queries, k=5)
+    assert topk.count() == 0
+    assert set(topk.columns) == {"query_id", "vec_id", "score", "rank"}
+
+    no_vals = spark.createDataFrame([], "x double")
+    hist, lo, hi = histogram_build(no_vals, "x", bins=16)
+    assert hist.count() == 0
+    assert histogram_quantiles(hist, lo, hi, 16, [0.5]).count() == 0
+
+
+def test_empty_input_ml_fits(spark):
+    from isen_projet_bigdata_a3s6_spark.ml.pipeline import (
+        confusion_matrix,
+        fit_logistic,
+        fit_multiple_ols,
+    )
+
+    empty = spark.createDataFrame([], "y double, x double, g string")
+    model, summary = fit_multiple_ols(empty, "y", ["x"], ["g"])
+    assert model is None and summary.count() == 0
+    assert "coefficient" in summary.columns
+    model, scored = fit_logistic(empty, "y", ["x"], ["g"])
+    assert model is None and scored.count() == 0
+    assert confusion_matrix(scored, "y").count() == 0
+
+
 def test_try_parse_json_tolerates_garbage(spark):
     df = spark.createDataFrame(
         [(1, '{"k": 3}'), (2, "not json"), (3, "")], "id int, props string"

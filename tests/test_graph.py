@@ -41,9 +41,10 @@ def test_pagerank_guards(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+    # empty graph: empty-in/empty-out (round-4 convention), not a raise
     empty = spark.createDataFrame([], "src string, dst string")
-    with pytest.raises(ValueError):
-        pagerank(empty)
+    out = pagerank(empty)
+    assert out.count() == 0 and set(out.columns) == {"node", "rank"}
 
 
 def test_pagerank_convergence_matches_numpy(spark):
