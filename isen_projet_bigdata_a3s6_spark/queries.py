@@ -896,7 +896,8 @@ def q28_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q29_json_extract",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+    SELECT CAST(json_extract_string(
+             CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) AS k,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
