@@ -93,3 +93,35 @@ def test_title_case_idempotent(spark, s):
     once = df.select(title_case("s").alias("t"))
     twice = once.select(title_case("t").alias("t"))
     assert once.collect()[0][0] == twice.collect()[0][0]
+
+
+# --- round 4: packed event-order key == lexicographic (ts, id) order ---
+
+ts_id_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),              # tight ts range → ties
+        st.integers(min_value=0, max_value=10**11),         # id up to the 1e12 bound
+    ),
+    min_size=2,
+    max_size=20,
+    unique=True,
+)
+
+
+@SETTINGS
+@given(rows=ts_id_rows)
+def test_event_order_key_matches_lexicographic(spark, rows):
+    """functions.scalar.event_order_key packs (ts, id) into one
+    DECIMAL(38,0) so min_by/max_by stay hash-aggregable; the pack must
+    order EXACTLY like lexicographic (ts, id) — including timestamp ties,
+    which is the whole point of the composite key."""
+    from isen_projet_bigdata_a3s6_spark.functions.scalar import event_order_key
+
+    df = spark.createDataFrame(
+        [(t, i) for t, i in rows], "t long, event_id long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("t")))
+    got = [
+        (r["t"], r["event_id"])
+        for r in df.orderBy(event_order_key("ts", "event_id")).collect()
+    ]
+    assert got == sorted((t, i) for t, i in rows)
