@@ -54,13 +54,21 @@ def event_order_key(ts: str | Column = "ts", id_col: str | Column = "event_id") 
     measured on q124's plan. A DECIMAL(38,0) buffer is fixed-width, so the
     aggregate stays a two-phase HashAggregate with ONE exchange.
 
-    Domain: micros ≈ 1.7e15 · 10^12 = 1.7e27 ≪ 10^38, ids < 10^12 —
-    comfortable for any realistic event-id space; ordering equals
+    Domain: the 10^19 stride covers the ENTIRE signed-int64 id space
+    (|id| ≤ 9.2e18 < 10^19 — snowflake-scale ids included, where a
+    narrower stride would silently bleed id digits into the timestamp
+    digits and mis-order), and micros up to the int64-nanos epoch limit
+    (year 2262, ≈9.2e15) keep the pack ≤ 9.3e34 ≪ 10^38. Ordering equals
     (ts, id) lexicographic order exactly."""
+    from decimal import Decimal
+
     t = F.col(ts) if isinstance(ts, str) else ts
     i = F.col(id_col) if isinstance(id_col, str) else id_col
+    # Decimal literal: 10^19 exceeds int64, so a plain int literal cannot
+    # cross the py4j bridge
+    stride = F.lit(Decimal(10**19))
     return (
-        F.unix_micros(t).cast("decimal(38,0)") * F.lit(10**12) + i
+        F.unix_micros(t).cast("decimal(38,0)") * stride + i
     ).cast("decimal(38,0)")
 
 

@@ -100,7 +100,7 @@ def test_title_case_idempotent(spark, s):
 ts_id_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),              # tight ts range → ties
-        st.integers(min_value=0, max_value=10**11),         # id up to the 1e12 bound
+        st.integers(min_value=0, max_value=2**63 - 1),      # full int64 id space
     ),
     min_size=2,
     max_size=20,
