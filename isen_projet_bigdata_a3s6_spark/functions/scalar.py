@@ -54,19 +54,22 @@ def event_order_key(ts: str | Column = "ts", id_col: str | Column = "event_id") 
     measured on q124's plan. A DECIMAL(38,0) buffer is fixed-width, so the
     aggregate stays a two-phase HashAggregate with ONE exchange.
 
-    Domain: the 10^19 stride covers the ENTIRE signed-int64 id space
-    (|id| ≤ 9.2e18 < 10^19 — snowflake-scale ids included, where a
-    narrower stride would silently bleed id digits into the timestamp
-    digits and mis-order), and micros up to the int64-nanos epoch limit
-    (year 2262, ≈9.2e15) keep the pack ≤ 9.3e34 ≪ 10^38. Ordering equals
-    (ts, id) lexicographic order exactly."""
+    Domain: the stride is 2^64 — strictly greater than the WIDTH of the
+    signed-int64 id range (id_max − id_min = 2^64 − 1), which is the
+    actual ordering-equivalence requirement: pack(T, id_max) =
+    T·2^64 + (2^63 − 1) < pack(T+1µs, id_min) = T·2^64 + 2^63. A 10^19
+    stride (the previous constant) covers |id| ≤ 9.2e18 but NOT the
+    mixed-sign span — pack(T, 9.2e18) would exceed pack(T+1µs, −9.2e18).
+    Micros up to the int64-nanos epoch limit (year 2262, ≈9.2e15) keep
+    the pack ≤ 1.7e35 ≪ 10^38. Ordering equals (ts, id) lexicographic
+    order exactly, for every int64 id including negatives."""
     from decimal import Decimal
 
     t = F.col(ts) if isinstance(ts, str) else ts
     i = F.col(id_col) if isinstance(id_col, str) else id_col
-    # Decimal literal: 10^19 exceeds int64, so a plain int literal cannot
+    # Decimal literal: 2^64 exceeds int64, so a plain int literal cannot
     # cross the py4j bridge
-    stride = F.lit(Decimal(10**19))
+    stride = F.lit(Decimal(2**64))
     return (
         F.unix_micros(t).cast("decimal(38,0)") * stride + i
     ).cast("decimal(38,0)")

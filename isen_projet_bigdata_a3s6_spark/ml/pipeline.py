@@ -117,17 +117,22 @@ def fit_logistic(
     ``probability_1`` and thresholded ``prediction`` columns
     (reference predict(type="response") + 0.5 cut, R_groupe4.R:1005-1007)."""
     categorical = categorical or []
-    if df.isEmpty():
+    # Mirror fit_multiple_ols/fit_glm_binomial: drop rows with NULL label or
+    # features BEFORE the emptiness guard — a non-empty frame whose label
+    # column is all-NULL (the degenerate-day shape) would otherwise reach
+    # Pipeline.fit and crash inside the assembler.
+    clean = df.dropna(subset=[label, *numeric, *categorical])
+    if clean.isEmpty():
         # empty-in/empty-out (see fit_multiple_ols): scored frame keeps the
         # input schema plus the two scoring columns, with zero rows
-        scored = df.withColumn("probability_1", F.lit(0.0)).withColumn(
+        scored = clean.withColumn("probability_1", F.lit(0.0)).withColumn(
             "prediction", F.lit(0.0)
         )
         return None, scored
     stages = _feature_pipeline(numeric, categorical)
     lr = LogisticRegression(featuresCol="features", labelCol=label)
-    model = Pipeline(stages=[*stages, lr]).fit(df)
-    scored = model.transform(df)
+    model = Pipeline(stages=[*stages, lr]).fit(clean)
+    scored = model.transform(clean)
     from pyspark.ml.functions import vector_to_array
 
     scored = scored.withColumn(

@@ -6235,12 +6235,14 @@ def q186_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(am / 127.0, 6) AS scale,
+           CAST(u.pos AS BIGINT) AS pos,
            CASE WHEN am > 0 THEN
-             list_transform(embedding,
-               x -> GREATEST(-127, LEAST(127,
-                      CAST(ROUND(CAST(x AS DOUBLE) / (am / 127.0)) AS INT))))
-           ELSE list_transform(embedding, x -> 0) END AS qvec
-    FROM t
+             GREATEST(-127, LEAST(127,
+               CAST(ROUND(CAST(u.val AS DOUBLE) / (am / 127.0)) AS INT)))
+           ELSE 0 END AS qval
+    FROM t,
+         LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
+                         unnest(embedding) AS val) u
     """,
 )
 def q187_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6249,6 +6251,13 @@ def q187_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     every large-scale ANN index applies before serving. Pure higher-order
     array expressions, zero shuffles: embarrassingly row-parallel, the
     shape you want over 10^11 vectors.
+
+    Driver contract: the quantized vector is posexploded to scalar
+    ``(vec_id, scale, pos, qval)`` rows — the driver's canonicalizer
+    hash-sorts cells and cannot hash an array cell (the r04 q187 `err`,
+    same failure mode as r03's q133, fixed the same way q58/q64/q133
+    already flatten their arrays). quantize_int8 itself still returns the
+    array form for engine callers (q193/q207 consume it directly).
 
     Local-bench caveat (the q202 single-split pattern): the small-SF
     embeddings table arrives as ONE parquet split, so the CPU-bound array
@@ -6262,7 +6271,17 @@ def q187_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     if e.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         e = e.repartition(spark.sparkContext.defaultParallelism)
-    return quantize_int8(e, "embedding", "vec_id")
+    q = quantize_int8(e, "embedding", "vec_id")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.posexplode("qvec").alias("pos0", "qval"),
+    ).select(
+        "vec_id",
+        "scale",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("qval").cast("int").alias("qval"),
+    )
 
 
 @register(

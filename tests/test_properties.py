@@ -100,7 +100,11 @@ def test_title_case_idempotent(spark, s):
 ts_id_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),              # tight ts range → ties
-        st.integers(min_value=0, max_value=2**63 - 1),      # full int64 id space
+        # FULL signed-int64 id space, negatives included: the r04 advisor
+        # showed a 10^19 stride misorders mixed-sign ids across adjacent
+        # timestamps (pack(T, 9.2e18) > pack(T+1µs, −9.2e18)); the stride
+        # is now 2^64 and this strategy must be able to catch a regression
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
     ),
     min_size=2,
     max_size=20,

@@ -233,22 +233,25 @@ def test_headline_plans_have_no_scale_killers(spark, sf_dir, disable_broadcast):
     if disable_broadcast:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        from isen_projet_bigdata_a3s6_spark.plans.guard import (
+            scale_killer_flags,
+        )
+
         offenders = {}
         for name in bench.HEADLINE:
-            plan = _physical_plan(qs[name](spark, sf_dir))
-            if "CartesianProduct" in plan:
-                offenders[name] = "CartesianProduct"
-            if "BroadcastNestedLoopJoin" in plan and name not in sanctioned_bnlj:
-                # sanctioned only for 1-row scalar broadcasts: the build
-                # side must be a global (group-key-free) aggregate
-                import re
-
-                builds = plan.count("BroadcastNestedLoopJoin")
-                scalar_aggs = len(re.findall(
-                    r"HashAggregate\(keys=\[\]", plan
-                )) + len(re.findall(r"SortAggregate\(keys=\[\]", plan))
-                if scalar_aggs == 0:
-                    offenders[name] = "BroadcastNestedLoopJoin (non-scalar)"
+            # per-node judgment (plans/guard.py): each flagged join is
+            # exempt only when its OWN build side is bounded by
+            # construction — the former plan-wide scalar-agg count let a
+            # data-sized cartesian hide behind an unrelated global scalar
+            flags = scale_killer_flags(qs[name](spark, sf_dir))
+            if name in sanctioned_bnlj:
+                flags = [
+                    f
+                    for f in flags
+                    if not f.startswith("BroadcastNestedLoopJoin")
+                ]
+            if flags:
+                offenders[name] = "+".join(flags)
         assert not offenders, offenders
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -77,28 +76,23 @@ def main() -> int:
         pref = [p.strip() for p in args.only.split(",")]
         names = [n for n in names if any(n.startswith(p) for p in pref)]
 
+    from isen_projet_bigdata_a3s6_spark.plans.guard import scale_killer_flags
+
     qs = queries()
     offenders, sanctioned_hits, errs, ok = {}, [], [], 0
     for name in names:
         try:
             df = qs[name](spark, args.sf)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # per-NODE judgment (plans/guard.py): each CartesianProduct /
+            # BroadcastNestedLoopJoin is exempt only when its OWN build
+            # side is bounded by construction (key-free aggregate or
+            # driver-literal scan) — the r03/r04 plan-wide scalar-agg
+            # count let a data-sized cartesian hide behind an unrelated
+            # global scalar elsewhere in the same query
+            flags = scale_killer_flags(df)
         except Exception as e:
             errs.append(f"{name}: {type(e).__name__}")
             continue
-        flags = []
-        # scalar exemption for BOTH strategies: a global (key-free)
-        # aggregate build is exactly one row at any scale, so crossJoin of
-        # an agg scalar (Spark compiles it to CartesianProduct with the
-        # broadcast threshold off, BroadcastNestedLoopJoin otherwise) is
-        # bounded by construction
-        scalar_aggs = len(
-            re.findall(r"(HashAggregate|SortAggregate)\(keys=\[\]", plan)
-        )
-        if "CartesianProduct" in plan and scalar_aggs == 0:
-            flags.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and scalar_aggs == 0:
-            flags.append("BroadcastNestedLoopJoin(non-scalar)")
         if not flags:
             ok += 1
         elif name in SANCTIONED:
