@@ -63,23 +63,29 @@ def _is_keyfree_aggregate(node) -> bool:
 
 def _is_bounded_side(node) -> bool:
     """True when the subtree rooted at ``node`` provably yields a
-    data-independent number of rows: a key-free (global) aggregate at the
-    top of a single-child chain, or a literal LocalTableScan."""
-    while True:
-        name = node.nodeName()
-        if _is_keyfree_aggregate(node):
-            return True
-        if name.startswith(("LocalTableScan", "EmptyRelation")):
-            return True
-        # driver-side createDataFrame renders as "Scan ExistingRDD":
-        # its rows crossed the py4j bridge from the driver, so the side
-        # is bounded by driver memory, never by table data volume
-        if name.startswith("Scan ExistingRDD"):
-            return True
-        kids = _children(node)
-        if len(kids) != 1:
-            return False
-        node = kids[0]
+    data-independent number of rows.
+
+    Recursive: a key-free (global) aggregate bounds its subtree to one
+    row no matter what feeds it; literal leaves (LocalTableScan, driver
+    ``createDataFrame`` scans) are plan constants; and any other node is
+    bounded iff ALL its inputs are — a join/union/project over one-row
+    sides stays one-row-ish (e.g. the common ``scalarA.crossJoin(scalarB)``
+    constants frame), while a node with zero children that isn't a literal
+    leaf (FileScan, ReusedExchange we can't resolve) is data-sized."""
+    name = node.nodeName()
+    if _is_keyfree_aggregate(node):
+        return True
+    if name.startswith(("LocalTableScan", "EmptyRelation")):
+        return True
+    # driver-side createDataFrame renders as "Scan ExistingRDD":
+    # its rows crossed the py4j bridge from the driver, so the side
+    # is bounded by driver memory, never by table data volume
+    if name.startswith("Scan ExistingRDD"):
+        return True
+    kids = _children(node)
+    if not kids:
+        return False
+    return all(_is_bounded_side(k) for k in kids)
 
 
 def _build_side_child(node) -> object | None:

@@ -47,6 +47,15 @@ SANCTIONED = {
     "(~11k pairs) by construction — the tune-before-trust sample",
     "q241_theil_sen": "pairwise slopes over the BOUNDED calendar axis "
     "(|days|^2 after the daily collapse), never row-level pairs",
+    "q248_naive_bayes_lang": "per-class scoring cross against the "
+    "|langs|-row class table (ISO-language domain, ~10^2 max) — the "
+    "token-level work joins by word, never crosses",
+    "q278_quantile_normalization": "pooled-CDF build is DISTINCT length "
+    "VALUES + prefix sums — value-resolution bounded (docstring), not "
+    "row-sized",
+    "q298_energy_distance": "pairwise expectations over DISTINCT quantity "
+    "values (|v|^2 = 2500 cells after the collapse-first reduction), "
+    "never row-level pairs",
     "q273_sequence_pattern": "broadcasts the 3-row literal pattern table "
     "against per-user sequences",
     "q281_retrieval_metrics": "broadcasts the 10-query evaluation set "
