@@ -143,3 +143,88 @@ def global_prefix_sum(
         )
     drop = ["__pid"] + [f"{c}__local" for c in sum_cols] + [f"{c}__off" for c in sum_cols]
     return out.drop(*drop)
+
+
+def global_running(
+    df: DataFrame,
+    order_exprs: list[Column],
+    sum_cols: list[str] | tuple[str, ...] = (),
+    rank_col: str | None = None,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Globally-ordered running sums and/or row_number over a COMPOSITE
+    (multi-column, mixed asc/desc) total order, without a single-reducer
+    window — the generalization of :func:`global_prefix_sum` the
+    Pareto/Zipf/ABC rank shapes need (order by ``revenue DESC, key``).
+
+    An unpartitioned ``Window.orderBy(...)`` funnels every row through one
+    task. That is survivable over calendar-bounded frames (q114's days),
+    but the |vocabulary|- and |parts|-sized frames these rank shapes run
+    on reach 10^8-10^9 rows at the 100 TB scale point. Same two-phase
+    scan as global_prefix_sum:
+
+      1. ``repartitionByRange(*order_exprs)`` — contiguous key ranges,
+         sort directions honored (partition 0 holds the globally-first
+         rows of the requested order);
+      2. per-partition running sums / row_numbers via a window
+         PARTITIONED by the materialized ``spark_partition_id``;
+      3. |partitions|-row totals get a tiny cumulative offset,
+         broadcast-joined back.
+
+    Requirements, as global_prefix_sum: the composite ``order_exprs`` must
+    be a TOTAL order (unique per row — every caller orders by
+    (measure, unique_key)), and the lazy persist pins ONE range exchange
+    so both consumers see identical sampled boundaries.
+
+    ``order_exprs`` are Column sort expressions (``F.desc("rev")``,
+    ``F.col("k")``); ``rank_col`` names an optional 1-based global
+    row_number output column.
+    """
+    part = df.repartitionByRange(*order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part = part.persist()
+    w_rows = (
+        W.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    proj = [F.sum(c).over(w_rows).alias(f"{c}__local") for c in sum_cols]
+    if rank_col:
+        proj.append(
+            F.row_number()
+            .over(W.partitionBy("__pid").orderBy(*order_exprs))
+            .alias("__rn_local")
+        )
+    local = part.select("*", *proj)
+    aggs = [F.sum(c).alias(f"{c}__tot") for c in sum_cols]
+    if rank_col:
+        aggs.append(F.count(F.lit(1)).alias("__cnt__tot"))
+    totals = part.groupBy("__pid").agg(*aggs)
+    # offsets: cumulative totals of PRECEDING partitions (|partitions|
+    # rows — this single-reducer window is over ~hundreds of rows)
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    off_proj = [
+        F.sum(f"{c}__tot").over(w_off).alias(f"{c}__off") for c in sum_cols
+    ]
+    if rank_col:
+        off_proj.append(F.sum("__cnt__tot").over(w_off).alias("__cnt__off"))
+    offsets = totals.select("__pid", *off_proj)
+    out = local.join(F.broadcast(offsets), "__pid")
+    drop = ["__pid"]
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.col(f"{c}__local") + F.coalesce(F.col(f"{c}__off"), F.lit(0)),
+        )
+        drop += [f"{c}__local", f"{c}__off"]
+    if rank_col:
+        out = out.withColumn(
+            rank_col,
+            (
+                F.col("__rn_local")
+                + F.coalesce(F.col("__cnt__off"), F.lit(0))
+            ).cast("long"),
+        )
+        drop += ["__rn_local", "__cnt__off"]
+    return out.drop(*drop)

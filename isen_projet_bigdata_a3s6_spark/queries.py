@@ -5156,39 +5156,49 @@ def q162_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_partkey,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR)
-                  AS DOUBLE) AS revenue
+             SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS revd
       FROM lineitem GROUP BY 1
     ), tot AS (SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)))
                     AS VARCHAR) AS DOUBLE) AS t FROM lineitem)
-    SELECT l_partkey, revenue,
-           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) / t, 6)
-             AS cum_share,
-           CASE WHEN SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) / t
+    SELECT l_partkey,
+           CAST(CAST(revd AS VARCHAR) AS DOUBLE) AS revenue,
+           ROUND(CAST(CAST(SUM(revd) OVER (ORDER BY revd DESC, l_partkey)
+                           AS VARCHAR) AS DOUBLE) / t, 6) AS cum_share,
+           CASE WHEN CAST(CAST(SUM(revd) OVER (ORDER BY revd DESC, l_partkey)
+                           AS VARCHAR) AS DOUBLE) / t
                      <= 0.8 THEN 1 ELSE 0 END AS in_top80
     FROM rev, tot
     """,
 )
 def q163_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC contribution analysis: per-part revenue, cumulative share
-    of total in descending order, and the 80%-club flag. The unpartitioned
-    running sum is safe because it runs on the ALREADY-REDUCED per-part
-    frame (|parts| rows, not |lineitem|); the grand total rides along as a
-    broadcast scalar, never a driver collect."""
-    from pyspark.sql import Window as W
-
-    from .functions.scalar import dec_sum
+    of total in descending order, and the 80%-club flag. The running sum
+    runs on the ALREADY-REDUCED per-part frame (|parts| rows, not
+    |lineitem|) through global_running — |parts| still reaches 10^8 at
+    100 TB, so the two-phase scan replaces the single-reducer
+    Window.orderBy; the grand total rides along as a broadcast scalar,
+    never a driver collect. The running sum stays DECIMAL through the
+    scan (window-decimal harden rule): a double running sum would be
+    addition-order-dependent, and the two-phase scan adds in a different
+    order than the oracle's sequential window — decimals make both sides
+    exact, the single double division happens once per row at the end."""
+    from .functions.scalar import dec
+    from .operators.windows import global_running
 
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(dec_sum("l_extendedprice").alias("revenue"))
-    tot = li.agg(dec_sum("l_extendedprice").alias("t"))
-    w = W.orderBy(F.desc("revenue"), "l_partkey")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice", 28, 4)).alias("revd")
+    )
+    tot = li.agg(F.sum(dec("l_extendedprice", 28, 4)).cast("double").alias("t"))
     return (
-        rev.crossJoin(F.broadcast(tot))
-        .withColumn("cum", F.sum("revenue").over(w) / F.col("t"))
+        global_running(
+            rev, [F.desc("revd"), F.asc("l_partkey")], sum_cols=["revd"]
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.col("revd_cum").cast("double") / F.col("t"))
         .select(
             "l_partkey",
-            "revenue",
+            F.col("revd").cast("double").alias("revenue"),
             F.round("cum", 6).alias("cum_share"),
             F.when(F.col("cum") <= 0.8, 1).otherwise(0).alias("in_top80"),
         )
@@ -6058,12 +6068,11 @@ def q182_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q183_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: quarterly revenue per supplier, return the
     supplier(s) achieving the maximum (ties kept, per spec). The MAX
-    scalar subquery is an unpartitioned window MAX over the |suppliers|-row
-    aggregate — cheap because it runs post-aggregation; the equality test
-    happens on EXACT decimals (cast to double only for output), so no
+    scalar subquery is a 1-row global aggregate broadcast back onto the
+    |suppliers|-row frame (NOT an unpartitioned window MAX, which would
+    funnel the whole frame through one task); the equality test happens
+    on EXACT decimals (cast to double only for output), so no
     float-boundary flakiness."""
-    from pyspark.sql import Window as W
-
     from .functions.scalar import dec
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -6080,9 +6089,8 @@ def q183_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     )
-    top = rev.withColumn("__mx", F.max("r").over(W.partitionBy())).filter(
-        F.col("r") == F.col("__mx")
-    )
+    mx = rev.agg(F.max("r").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("r") == F.col("__mx"))
     return (
         top.join(s, top.l_suppkey == s.s_suppkey)
         .select(
@@ -7513,15 +7521,16 @@ def q208_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(rank) — the slope (≈ −1 for natural language) is the standard
     sanity check that a scraped corpus has natural token statistics rather
     than machine-generated repetition. One corpus-wide word count (the
-    TF-IDF reduction, vocab-sized output), a vocab-sized ranking window,
-    and a closed-form OLS on (ln rank, ln freq) — the unpartitioned
-    row_number window is over the VOCABULARY, not the corpus, so it stays
-    small at any scale. Each ln is quantized to DECIMAL(15,9) so the
-    moment sums are order-independent (q170 convention); slope/intercept
-    computed once in doubles from the exact sums."""
-    from pyspark.sql import Window
-
+    TF-IDF reduction, vocab-sized output), a vocab-sized ranking, and a
+    closed-form OLS on (ln rank, ln freq). The global rank runs through
+    operators/windows.py::global_running (two-phase range-partitioned
+    row_number) — a raw corpus vocabulary reaches 10^8-10^9 types at
+    100 TB, too big for the single-reducer Window.orderBy it replaced.
+    Each ln is quantized to DECIMAL(15,9) so the moment sums are
+    order-independent (q170 convention); slope/intercept computed once in
+    doubles from the exact sums."""
     from .functions.text import tokens
+    from .operators.windows import global_running
 
     d = load_table(spark, sf_dir, "documents")
     wc = (
@@ -7529,12 +7538,9 @@ def q208_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = wc.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.desc("freq"), F.asc("w")))
-        .alias("rnk"),
-    )
+    ranked = global_running(
+        wc, [F.desc("freq"), F.asc("w")], rank_col="rnk"
+    ).select("freq", "rnk")
     pts = ranked.select(
         F.round(F.log(F.col("rnk").cast("double")), 9)
         .cast("decimal(15,9)")
@@ -13013,13 +13019,15 @@ def q288_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick forecasting/stocking policy per cell.
 
     Scale shape: both classifications collapse to the |parts| axis
-    first (one groupBy each, sharing the scan); the cumulative-share
-    window runs over |parts| rows AFTER aggregation (the q163 pattern),
-    with (rev DESC, part) as the shared deterministic total order;
-    decimal-exact revenue sums route VARCHAR→DOUBLE in the oracle (the
-    window-decimal harden rule). The 9-cell output is a |cells|-group
-    count."""
-    from pyspark.sql import Window
+    first (one groupBy each, sharing the scan); the cumulative share
+    over (rev DESC, part) runs through global_running — |parts| reaches
+    10^8 at the 100 TB scale point, too big for the single-reducer
+    Window.orderBy it replaced — and the grand total rides along as a
+    1-row broadcast scalar instead of a Window.partitionBy() (which
+    also funnels every row to one task); decimal-exact revenue sums
+    route VARCHAR→DOUBLE in the oracle (the window-decimal harden
+    rule). The 9-cell output is a |cells|-group count."""
+    from .operators.windows import global_running
 
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
@@ -13039,13 +13047,15 @@ def q288_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = monthly.groupBy("part").agg(
         F.when(nm > 1, F.sqrt(var) / mean_q).otherwise(F.lit(0.0)).alias("cv")
     )
-    w = Window.orderBy(F.desc("rev"), "part").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per_part.select(
-        "part",
-        F.sum("rev").over(w).cast("double").alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).cast("double").alias("tot"),
+    tot = per_part.agg(F.sum("rev").alias("t"))
+    ranked = (
+        global_running(per_part, [F.desc("rev"), F.asc("part")], sum_cols=["rev"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            F.col("rev_cum").cast("double").alias("cum"),
+            F.col("t").cast("double").alias("tot"),
+        )
     )
     share = F.col("cum") / F.col("tot")
     classed = ranked.join(cv, "part").select(

@@ -146,6 +146,78 @@ def test_q187_scalar_schema_and_roundtrip(spark):
     assert abs(row["qval"] * step - float(src["x0"])) <= step / 2 + 1e-6
 
 
+def test_global_running_matches_single_reducer_window(spark):
+    """operators.windows.global_running (two-phase range-partitioned scan)
+    must reproduce the single-reducer Window.orderBy exactly: same global
+    row_number AND same running sums over a composite (desc, asc) order —
+    including duplicate measure values that straddle range-partition
+    boundaries (the tiebreak key keeps the composite order total)."""
+    from pyspark.sql import Window as W
+
+    from isen_projet_bigdata_a3s6_spark.operators.windows import (
+        global_running,
+    )
+
+    rows = [(i, (i * 7) % 13, float((i * 31) % 17)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, m long, v double").repartition(8)
+    order = [F.desc("m"), F.asc("k")]
+    got = {
+        r["k"]: (r["rnk"], r["v_cum"])
+        for r in global_running(
+            df, order, sum_cols=["v"], rank_col="rnk"
+        ).collect()
+    }
+    w = W.orderBy(*order)
+    want = {
+        r["k"]: (r["rnk"], r["cum"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("v")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cum"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_shape_queries_have_no_single_reducer_window(spark):
+    """q163/q208/q288 rank over |parts|- or |vocab|-sized frames: their
+    plans must contain no unpartitioned Window (every Window node's
+    partition spec should include __pid or another key)."""
+    import re
+
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    qs = queries()
+    for name in (
+        "q163_pareto_contribution",
+        "q208_zipf_fit",
+        "q288_abc_xyz",
+        "q183_top_supplier",
+    ):
+        plan = (
+            qs[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # a physical Window node renders as
+        #   Window [exprs], [partition cols], [order spec]   (partitioned)
+        #   Window [exprs], [order spec]                     (global)
+        # so a global window has exactly ONE top-level "], [" separator.
+        # The only sanctioned global window is global_running's offsets
+        # pass, which orders by the synthetic __pid (|partitions| rows).
+        bad = [
+            line
+            for line in plan.splitlines()
+            if re.search(r"\bWindow \[", line)
+            and line.count("], [") < 2
+            and "__pid" not in line
+        ]
+        assert not bad, f"{name}: unpartitioned window:\n" + "\n".join(bad)
+
+
 def test_all_registered_queries_emit_scalar_columns_only(spark):
     """The driver's canonicalizer cannot hash array/map/struct cells
     (r03 q133, r04 q187): EVERY registered query must emit scalars only.
