@@ -13563,6 +13563,11 @@ def q294_corrupt_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrong arity, non-numeric price, and a bare fragment
     with open(os.path.join(out_dir, "part-corrupt.csv"), "w") as f:
         f.write("9999999,X\nBAD,F,not_a_number\ngarbage-line\n")
+    # the append happened OUTSIDE Spark: drop the session's cached file
+    # listing / cached plans for this path, or a REPEAT invocation in one
+    # session reads a stale 4-file listing and quarantines 0 rows (the
+    # write's own overwrite-refresh ran BEFORE the append)
+    spark.catalog.refreshByPath(out_dir)
     back = (
         spark.read.schema(
             "o_orderkey long, o_orderstatus string, o_totalprice double, _bad string"
