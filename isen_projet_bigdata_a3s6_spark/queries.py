@@ -5189,11 +5189,15 @@ def q163_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice", 28, 4)).alias("revd")
     )
-    tot = li.agg(F.sum(dec("l_extendedprice", 28, 4)).cast("double").alias("t"))
+    gr = global_running(
+        rev, [F.desc("revd"), F.asc("l_partkey")], sum_cols=["revd"]
+    )
+    # grand total from the per-part frame global_running already persisted
+    # (sum of exact-decimal per-part sums == the lineitem sum) — a direct
+    # li.agg would RESCAN the fact table, a second full 100 TB pass
+    tot = gr.agg(F.sum("revd").cast("double").alias("t"))
     return (
-        global_running(
-            rev, [F.desc("revd"), F.asc("l_partkey")], sum_cols=["revd"]
-        )
+        gr
         .crossJoin(F.broadcast(tot))
         .withColumn("cum", F.col("revd_cum").cast("double") / F.col("t"))
         .select(
@@ -13047,9 +13051,12 @@ def q288_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = monthly.groupBy("part").agg(
         F.when(nm > 1, F.sqrt(var) / mean_q).otherwise(F.lit(0.0)).alias("cv")
     )
-    tot = per_part.agg(F.sum("rev").alias("t"))
+    gr = global_running(per_part, [F.desc("rev"), F.asc("part")], sum_cols=["rev"])
+    # grand total from global_running's persisted per-part frame, not a
+    # per_part.agg — that plan subtree misses the cache and rescans lineitem
+    tot = gr.agg(F.sum("rev").alias("t"))
     ranked = (
-        global_running(per_part, [F.desc("rev"), F.asc("part")], sum_cols=["rev"])
+        gr
         .crossJoin(F.broadcast(tot))
         .select(
             "part",

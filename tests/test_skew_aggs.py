@@ -58,3 +58,42 @@ def test_hll_and_gk_within_tolerance(spark, sf_dir):
     ).first()
     assert abs(row["hll"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["gk_med"] - row["med"]) <= 1.0
+
+
+def test_build_skew_dir_invariants():
+    """The hot-key fixture (tools/degenerate_sweep.py --mode skew) must be a
+    VALUE-ONLY rewrite: same schemas, same row counts, and every targeted
+    key actually hot (≥ 0.8·frac of rows on one value) — otherwise the
+    sweep's oracle-parity and straggler advisories test nothing."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "degenerate_sweep",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "degenerate_sweep.py"),
+    )
+    ds = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ds)
+    base = "/root/testdata/sf0.001"
+    out = ds.build_skew_dir(base, frac=0.25)
+    for f in sorted(os.listdir(base)):
+        if not f.endswith(".parquet"):
+            continue
+        src, dst = os.path.join(base, f), os.path.join(out, f)
+        assert pq.read_schema(src).equals(pq.read_schema(dst)), f
+        assert pq.read_metadata(src).num_rows == pq.read_metadata(dst).num_rows, f
+    li = pq.read_table(os.path.join(out, "lineitem.parquet")).to_pandas()
+    ev = pq.read_table(os.path.join(out, "events.parquet")).to_pandas()
+    docs = pq.read_table(os.path.join(out, "documents.parquet")).to_pandas()
+    emb = pq.read_table(os.path.join(out, "embeddings.parquet")).to_pandas()
+    assert li["l_suppkey"].value_counts(normalize=True).iloc[0] >= 0.2
+    assert li["l_partkey"].value_counts(normalize=True).iloc[0] >= 0.2
+    assert ev["user_id"].value_counts(normalize=True).iloc[0] >= 0.24
+    assert docs["text"].value_counts(normalize=True).iloc[0] >= 0.2
+    # derived column consistency: n_chars matches the rewritten text
+    assert (docs["text"].str.len() == docs["n_chars"]).all()
+    assert emb["label"].value_counts(normalize=True).iloc[0] >= 0.3
+    # event ids stay unique (rewrites never touch primary keys)
+    assert ev["event_id"].is_unique

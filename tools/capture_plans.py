@@ -98,9 +98,11 @@ ANNOTATED = {
     "scale); explicit numPartitions repartitions pin parallelism on the "
     "CPU-bound stages where AQE's byte-based coalescing would "
     "under-provision.",
-    "q163_pareto_contribution": "Pareto contribution: the unpartitioned "
-    "running-share window runs AFTER the per-part aggregation (|parts| "
-    "rows), and the grand total arrives via a one-row broadcast.",
+    "q163_pareto_contribution": "Pareto contribution: the running share "
+    "is a two-phase global_running scan over the |parts| aggregate — "
+    "range-repartition on (revenue DESC, part), per-partition window "
+    "keyed by partition id, |partitions|-row offset broadcast back; no "
+    "unpartitioned Window node, the grand total is a one-row broadcast.",
     "q167_kfold_cv_ols": "5-fold CV in one pass: a single two-phase "
     "aggregate builds all per-fold decimal moments; everything after is "
     "5-row algebra — no per-fold rescans, no row duplication.",
@@ -108,9 +110,10 @@ ANNOTATED = {
     "exchange (the per-source window), token counting and the pack-index "
     "arithmetic all inside codegen above it — the sequential dependency "
     "is confined to each source stream, never a global ordering.",
-    "q187_embedding_quantize": "per-vector int8 quantization: ZERO "
-    "exchanges — a single Project over the scan with higher-order array "
-    "expressions; embarrassingly row-parallel at any corpus size (one "
+    "q187_embedding_quantize": "per-vector int8 quantization: no "
+    "data-sized exchange at scale — higher-order array expressions in one "
+    "Project, then a Generate (posexplode) flattening for the driver "
+    "canonicalizer; embarrassingly row-parallel at any corpus size (the "
     "round-robin exchange appears only on the single-split local bench "
     "input, see the q202 pattern).",
     "q233_ks_two_sample": "KS via two-phase parallel prefix scan: the only "
@@ -174,8 +177,10 @@ ANNOTATED = {
     "container's full token index; candidates dedupe before the "
     "array_intersect verify; no broadcast hints (optimizer decides).",
     "q288_abc_xyz": "ABC-XYZ: both classification axes collapse to the "
-    "|parts| frame first; the cumulative-share window runs over |parts| "
-    "rows AFTER aggregation (q163 pattern) — never over the fact feed.",
+    "|parts| frame first; the cumulative share is the q163 two-phase "
+    "global_running scan (range partition + offset correction) and the "
+    "grand total a 1-row scalar broadcast — no unpartitioned Window over "
+    "any frame, never the fact feed.",
     "q290_interval_coverage": "interval coverage: ±1 marks double the "
     "rows map-side; ONE per-user exchange serves the depth window, the "
     "lead, and implicitly the final aggregate's partial phase.",

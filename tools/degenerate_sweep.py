@@ -122,6 +122,82 @@ def build_degenerate_dir(base: str) -> str:
     return out
 
 
+def build_skew_dir(base: str, frac: float = 0.25) -> str:
+    """Hot-key fixture: same tables, same ROW COUNTS, but ``frac`` of the
+    rows of every join/group key rewritten to ONE existing hot value.
+
+    The driver's generator draws keys near-uniformly, so every groupBy and
+    join in the registry sees balanced partitions. Production corpora do
+    not: one crawl domain is 30% of documents, one bot user is 30% of
+    events, one SKU is 25% of order lines. At 100 TB that turns into a
+    single straggler task holding the hot key's entire shuffle partition
+    (or, for the quadratic candidate-verify stages of LSH/SemDeDup, a
+    hot-bucket blowup). This fixture makes both failure modes observable
+    locally:
+
+      - CORRECTNESS under skew: the DuckDB twin runs on the SAME skewed
+        parquet, so any tie-nondeterminism or hot-group edge a query
+        hides on uniform data surfaces as DRIFT;
+      - STRAGGLER advisory: each query is timed on the skewed dir and on
+        the untouched base dir (identical row counts — only VALUES were
+        rewritten), and queries whose skewed run exceeds the threshold
+        ratio are reported SKEW-SLOW. Local[N] compresses the effect one
+        straggler task has on a real cluster, so any reproducible local
+        blowup is a loud signal.
+
+    Rewrites are value-only so primary keys stay unique: lineitem keeps
+    (l_orderkey, l_linenumber) and gets hot l_suppkey / l_partkey FKs;
+    orders gets a hot o_custkey; events a hot user_id; documents a
+    duplicated hot text (dedup/LSH hot group); embeddings a duplicated
+    hot vector and a hot cluster label (SemDeDup's per-cluster quadratic).
+    """
+    out = os.path.join(tempfile.gettempdir(), "a3s6_skew_sf")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    rng = np.random.default_rng(7)
+    for f in sorted(os.listdir(base)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(base, f)
+        name = f[: -len(".parquet")]
+        tbl = pq.read_table(src)
+        if name in ("lineitem", "orders", "events", "documents", "embeddings"):
+            df = tbl.to_pandas()
+            n = len(df)
+            if name == "lineitem":
+                hot_supp = df["l_suppkey"].mode().iloc[0]
+                hot_part = df["l_partkey"].mode().iloc[0]
+                df.loc[rng.random(n) < frac, "l_suppkey"] = hot_supp
+                df.loc[rng.random(n) < frac, "l_partkey"] = hot_part
+            elif name == "orders":
+                hot_cust = df["o_custkey"].mode().iloc[0]
+                df.loc[rng.random(n) < frac, "o_custkey"] = hot_cust
+            elif name == "events":
+                hot_user = df["user_id"].mode().iloc[0]
+                # hotter than the FK tables: one bot user dominating the
+                # stream is the canonical sessionize/window straggler
+                df.loc[rng.random(n) < frac + 0.05, "user_id"] = hot_user
+            elif name == "documents":
+                # duplicate the longest doc's full row-content into frac of
+                # the corpus (doc_id stays unique): every shingle/band/
+                # fingerprint bucket of that text becomes a hot bucket
+                hot = df.loc[df["n_chars"].idxmax()]
+                m = rng.random(n) < frac
+                for col in ("text", "lang", "source", "n_chars"):
+                    df.loc[m, col] = hot[col]
+            elif name == "embeddings":
+                hot_vec = df["embedding"].iloc[0]
+                hot_label = df["label"].mode().iloc[0]
+                m = rng.random(n) < frac
+                df.loc[m, "embedding"] = pd.Series([hot_vec] * int(m.sum()), index=df.index[m])
+                # independent hot cluster ~40%: SemDeDup/IVF per-cluster
+                # work is quadratic/linear in cluster size — make one big
+                df.loc[rng.random(n) < 0.4, "label"] = hot_label
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+        pq.write_table(tbl, os.path.join(out, f))
+    return out
+
+
 def build_empty_dir(base: str) -> str:
     """Schema-identical tables with zero rows."""
     out = os.path.join(tempfile.gettempdir(), "a3s6_empty_sf")
@@ -135,16 +211,104 @@ def build_empty_dir(base: str) -> str:
     return out
 
 
+def skew_sweep(spark, names, skew_dir: str, base_dir: str, slow_ratio: float) -> int:
+    """Run every query on the hot-key fixture: oracle parity on the skewed
+    tables (strict — a drift is a tie-nondeterminism or hot-group bug) plus
+    a straggler advisory (skewed runtime vs base runtime on identical row
+    counts; local[N] damps the cluster effect, so a reproducible local
+    blowup beyond ``slow_ratio`` is advisory-flagged for a plan look)."""
+    import time
+
+    from isen_projet_bigdata_a3s6_spark.oracle_check import compare_frames, duckdb_conn
+    from isen_projet_bigdata_a3s6_spark.queries import oracle_sql, queries
+
+    qfns, oracles = queries(), oracle_sql()
+    crashes, parity_errs, drifts, slow, ok = [], [], [], [], 0
+    for name in names:
+        fn = qfns[name]
+        try:
+            t0 = time.perf_counter()
+            fn(spark, base_dir).collect()
+            t_base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            spark_pdf = fn(spark, skew_dir).toPandas()
+            t_skew = time.perf_counter() - t0
+        except Exception as e:
+            sql = oracles.get(name)
+            oracle_err = None
+            if sql is not None:
+                try:
+                    con = duckdb_conn(skew_dir)
+                    con.execute(sql).fetchdf()
+                    con.close()
+                except Exception as oe:
+                    oracle_err = oe
+            if oracle_err is not None:
+                parity_errs.append(name)
+                print(
+                    f"PARITY-ERR {name}: both engines reject — spark:"
+                    f" {type(e).__name__}; duckdb: {str(oracle_err)[:120]}",
+                    flush=True,
+                )
+            else:
+                crashes.append(name)
+                print(
+                    f"CRASH [FAIL] {name}\n    - exception: {type(e).__name__}: {str(e)[:400]}",
+                    flush=True,
+                )
+            continue
+        sql = oracles.get(name)
+        if sql is not None:
+            try:
+                con = duckdb_conn(skew_dir)
+                oracle_pdf = con.execute(sql).fetchdf()
+                con.close()
+                r = compare_frames(name, spark_pdf, oracle_pdf)
+            except Exception as oe:
+                parity_errs.append(name)
+                print(f"PARITY-ERR {name}: duckdb-only reject: {str(oe)[:160]}", flush=True)
+                r = None
+            if r is not None and not r.ok:
+                drifts.append(name)
+                print("DRIFT " + str(r), flush=True)
+                continue
+            elif r is not None:
+                ok += 1
+        else:
+            ok += 1
+        if t_skew > slow_ratio * max(t_base, 0.05) and t_skew > 2.0:
+            slow.append((name, t_base, t_skew))
+            print(
+                f"SKEW-SLOW {name}: base {t_base:.2f}s -> skew {t_skew:.2f}s "
+                f"({t_skew / max(t_base, 1e-9):.1f}x) — straggler/hot-bucket advisory",
+                flush=True,
+            )
+    print(
+        f"\n== skew sweep: {ok} ok, {len(crashes)} crashes, {len(parity_errs)} parity-errs, "
+        f"{len(drifts)} drifts, {len(slow)} skew-slow / {len(names)} queries"
+    )
+    return 1 if crashes else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None, help="comma-separated query-name prefixes")
-    ap.add_argument("--mode", default="degen", choices=["degen", "empty"])
+    ap.add_argument("--mode", default="degen", choices=["degen", "empty", "skew"])
+    ap.add_argument(
+        "--slow-ratio",
+        type=float,
+        default=3.0,
+        help="skew mode: flag queries whose skewed runtime exceeds this multiple of the base runtime",
+    )
     args = ap.parse_args()
 
     if args.mode == "empty":
         sf_dir = build_empty_dir(args.base)
         print(f"empty tables at {sf_dir}", flush=True)
+    elif args.mode == "skew":
+        sf_dir = build_skew_dir(args.base)
+        print(f"skewed tables at {sf_dir}", flush=True)
     else:
         sf_dir = build_degenerate_dir(args.base)
         print(f"degenerate tables at {sf_dir}", flush=True)
@@ -159,6 +323,9 @@ def main() -> int:
         names = [n for n in names if any(n.startswith(p) for p in pref)]
 
     spark = get_spark(app_name="degenerate_sweep")
+
+    if args.mode == "skew":
+        return skew_sweep(spark, names, sf_dir, args.base, args.slow_ratio)
     oracles = oracle_sql()
     crashes, drifts, parity_errs, ok = [], [], [], 0
     for name in names:
