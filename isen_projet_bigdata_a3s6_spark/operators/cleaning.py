@@ -100,7 +100,7 @@ def groupwise_mode_fill(
 
     modes = mode_per_group(df.filter(F.col(col).isNotNull()), group_col, col, "__mode")
     return (
-        df.join(F.broadcast(modes), group_col, "left")
+        df.join(modes, group_col, "left")
         .withColumn(col, F.coalesce(F.col(col), F.col("__mode"), F.lit(default)))
         .drop("__mode")
     )

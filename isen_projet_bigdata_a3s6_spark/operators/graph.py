@@ -189,8 +189,8 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     oriented = (
-        e.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        e.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))

@@ -22,9 +22,12 @@ def decorate_with_group_agg(
     df: DataFrame, agg_df: DataFrame, on: str | list[str], how: str = "left"
 ) -> DataFrame:
     """J1/J2: attach a per-group aggregate back onto the fact table.
-    The aggregate side is |groups| rows → broadcast hash join, no shuffle
-    of the fact side."""
-    return df.join(F.broadcast(agg_df), on, how)
+    The aggregate side is |groups| rows; no forced hint — Catalyst
+    broadcasts it when it fits (no fact-side shuffle) and falls back to a
+    shuffle join when the group key is high-cardinality (per-user /
+    per-document groups grow with the data, so a forced broadcast would
+    OOM the executors at 100 TB)."""
+    return df.join(agg_df, on, how)
 
 
 def knn_join_1nn(

@@ -498,21 +498,46 @@ def q11_join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue by nation, one region).
+
+    Join ORDER is chosen by hand because Catalyst only reorders joins under
+    CBO with collected stats (not available on bare parquet reads) and AQE
+    re-plans strategies, not the join tree: the region predicate selects
+    1-of-5 regions, so routing it through nation onto BOTH fact-side
+    dimensions FIRST (customer and supplier each shrink ~5x via a 5-row
+    broadcast) means the two big shuffle joins (orders on custkey, lineitem
+    on orderkey) each carry ~1/5 the probe-side rows they would in the
+    naive customer->orders->lineitem order. At 100 TB that is the
+    difference between shuffling the whole orders table and shuffling a
+    fifth of it; locally it is plan-visible as the broadcast filter
+    sitting below the first Exchange."""
     from .functions.scalar import dec
 
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    # region(ASIA) -> nation: 5 rows; broadcast onto both dimension legs
+    asia_nations = (
+        t["nation"]
+        .join(t["region"].filter(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(asia_nations.select(F.col("n_nationkey").alias("sn_key"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+        "left_semi",
+    )
     joined = (
-        t["customer"]
+        cust
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            t["supplier"],
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
-              F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy("n_name").agg(
         F.sum(dec("l_extendedprice", 18, 4) * dec(F.lit(1) - F.col("l_discount"), 18, 4))
@@ -2725,13 +2750,15 @@ def q98_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q99_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention grid: users bucketed by first-seen week, distinct
     active users per (cohort week, activity week). The cohort side reduces
-    to |users| rows and broadcasts back onto the fact scan."""
+    to |users| rows — unhinted: Catalyst broadcasts it while it fits and
+    falls back to a shuffle join on user_id at scale (per-user frames grow
+    with the data, a forced broadcast would OOM at 100 TB)."""
     e = load_table(spark, sf_dir, "events")
     cohorts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     return (
-        e.join(F.broadcast(cohorts), "user_id")
+        e.join(cohorts, "user_id")
         .groupBy("cohort_week", F.date_trunc("week", F.col("ts")).alias("activity_week"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
@@ -2816,8 +2843,15 @@ def q100_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q101_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume by year between two nations —
-    5 joins (both nation sides + supplier/customer broadcast), disjunctive
-    nation-pair predicate, decimal revenue sums."""
+    disjunctive nation-pair predicate, decimal revenue sums.
+
+    Join order: the nation-pair predicate only names 2 of 25 nations, so
+    the 2-row nation slices broadcast onto the DIMENSION legs first —
+    supplier and customer each shrink ~12.5x before they ever meet a fact
+    table (Catalyst won't reorder joins without CBO stats, so the
+    selectivity has to be routed by hand). The cross-nation disjunction
+    (N1→N2 or N2→N1, never N1→N1) still evaluates post-join — it mixes
+    columns from both legs — but on ~1/150 of the naive intermediate."""
     from .functions.scalar import dec
 
     s = load_table(spark, sf_dir, "supplier")
@@ -2825,14 +2859,15 @@ def q101_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = pair.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = pair.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
     joined = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s2, li.l_suppkey == F.col("s_suppkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(c2, o.o_custkey == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -2864,8 +2899,9 @@ def q101_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q102_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotional revenue share per year — conditional
-    decimal sum over a broadcast part join, exact ratio of two hardened
-    decimal sums."""
+    decimal sum over an unhinted part join (broadcast locally, SMJ when
+    part outgrows the threshold), exact ratio of two hardened decimal
+    sums."""
     from .functions.scalar import dec
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2875,7 +2911,7 @@ def q102_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").cast("long").alias("yr"))
         .agg(
             (
@@ -3144,7 +3180,7 @@ def q109_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter — broadcast-semi-prune lineitem BEFORE the window shuffle
     # (the per-part min over the pruned set is identical)
     li = li.join(
-        F.broadcast(p.select("p_partkey")),
+        p.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
@@ -3156,8 +3192,8 @@ def q109_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("unit_price") == F.col("min_unit"))
     )
     return (
-        cand.join(F.broadcast(p), cand.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        cand.join(p, cand.l_partkey == p.p_partkey)
+        .join(s, cand.l_suppkey == s.s_suppkey)
         .select("p_partkey", "s_name", F.round("unit_price", 6).alias("unit_price"))
     )
 
@@ -3179,7 +3215,7 @@ def q110_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate feeds a semi join back onto the fact. Spark plan: the
     SUM(l_quantity)-per-order aggregate is computed ONCE and reused both as
     the semi-join filter and as the output sum_qty (no second scan of
-    lineitem); customer joins broadcast. l_quantity sums are integer-valued
+    lineitem); the customer join is unhinted (size-dispatched). l_quantity sums are integer-valued
     doubles — exact in IEEE, no decimal detour needed."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -3191,7 +3227,7 @@ def q110_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "sum_qty")
     )
@@ -3256,7 +3292,7 @@ def q111_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole.select("l_orderkey", "late_lines"), "l_orderkey"
     )
     return (
-        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        culprit.join(s, culprit.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.sum("late_lines").alias("numwait"))
@@ -4723,7 +4759,8 @@ def q152_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q153_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): segment-filtered customer
-    broadcast into orders, date predicates pushed to both fact scans,
+    joined into orders (unhinted — broadcast while it fits, shuffle at
+    scale), date predicates pushed to both fact scans,
     decimal revenue per order, top-10 via TakeOrderedAndProject (per-
     partition k — no global sort). Deterministic tiebreak on l_orderkey."""
     from .functions.scalar import dec
@@ -4738,7 +4775,7 @@ def q153_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-06-30").cast("date")
     )
     joined = li.join(
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        o.join(c, o.o_custkey == c.c_custkey),
         li.l_orderkey == o.o_orderkey,
     )
     return (
@@ -4776,8 +4813,10 @@ def q153_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q154_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): revenue where the customer
     and supplier share a nation inside one region — the classic snowflake
-    with an extra cross-dimension equality. Region/nation/supplier/customer
-    all broadcast; the only shuffle is the final nation aggregate."""
+    with an extra cross-dimension equality. The 5-row ASIA nation slice
+    broadcasts onto the customer and supplier legs BEFORE the fact joins
+    (each shrinks ~5x); the pruned dimensions join unhinted — broadcast
+    while they fit, shuffle at scale."""
     from .functions.scalar import dec
 
     c = load_table(spark, sf_dir, "customer")
@@ -4789,15 +4828,27 @@ def q154_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # region(ASIA)→nation: a 5-row slice broadcast onto BOTH dimension
+    # legs first, so customer and supplier shrink ~5x before any fact
+    # join (same hand-routed selectivity as q12/q101 — Catalyst has no
+    # CBO stats here to reorder by)
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c2 = c.join(
+        F.broadcast(asia.select(F.col("n_nationkey").alias("cn_key"))),
+        c.c_nationkey == F.col("cn_key"),
+        "left_semi",
+    )
+    s2 = s.join(F.broadcast(asia), s.s_nationkey == F.col("n_nationkey"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c2, o.o_custkey == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            s2,
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
         F.sum(
@@ -4829,7 +4880,7 @@ def q154_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q155_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): lost revenue per customer
     from returned lineitems in one quarter — returnflag + date filters
-    pushed to the fact scans, customer/nation broadcast, top-20 via
+    pushed to the fact scans, nation broadcast (customer unhinted), top-20 via
     TakeOrderedAndProject with a deterministic custkey tiebreak."""
     from .functions.scalar import dec
 
@@ -4842,7 +4893,7 @@ def q155_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -4880,7 +4931,8 @@ def q156_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema's columns): the disjunction mixes columns from BOTH sides, so
     Catalyst can only push the per-side residuals (derived l_quantity ≤ 50
     and brand IN-list); the cross-side conjunctions evaluate post-join on
-    the broadcast part join. Single-row decimal aggregate."""
+    the part join (unhinted, size-dispatched). Single-row decimal
+    aggregate."""
     from .functions.scalar import dec
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4892,7 +4944,7 @@ def q156_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & sz.between(20, 50) & q.between(20, 50))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.sum(
@@ -4930,7 +4982,7 @@ def q157_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_retailprice per unit — the join topology (part name LIKE filter,
     supplier→nation rollup, order-year axis) and the mixed-sign decimal
     profit expression are the Q9 semantics under test. Part filter prunes
-    before the broadcast join; one aggregate shuffle."""
+    before the join (unhinted, size-dispatched); one aggregate shuffle."""
     from .functions.scalar import dec
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4939,8 +4991,8 @@ def q157_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
@@ -6192,8 +6244,9 @@ def q185_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q186_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_7's share of revenue from ASIA-region
-    customers, per order year. Supplier/nation/region dimension tables
-    broadcast; revenue accumulates in exact decimals per (year, supplier
+    customers, per order year. The ASIA nation slice semi-prunes customer
+    ~5x before the orders join; supplier joins unhinted with a 25-row
+    name decoration; revenue accumulates in exact decimals per (year, supplier
     nation) — |years|×|nations| rows — and the share division is the only
     float step (round6). Conditional aggregation replaces a second scan."""
     from .functions.scalar import dec
@@ -6204,24 +6257,37 @@ def q186_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    n1, n2 = n.alias("n1"), n.alias("n2")
+    # ASIA→nation slice prunes CUSTOMER to 1/5 before the orders join
+    # (hand-routed selectivity, q12/q101/q154 doctrine); the supplier leg
+    # keeps all nations — supp_nation is the output axis — so it only
+    # gets the 25-row name decoration
+    asia_keys = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c2 = c.join(
+        F.broadcast(asia_keys), c.c_nationkey == F.col("cn_key"), "left_semi"
+    )
+    s2 = s.join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name"))
+        ),
+        s.s_nationkey == F.col("sn_key"),
+    )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
-        .join(
-            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
-            F.col("n1.n_regionkey") == F.col("r_regionkey"),
-        )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .join(c2, o.o_custkey == F.col("c_custkey"))
+        .join(s2, li.l_suppkey == F.col("s_suppkey"))
     )
     amount = dec("l_extendedprice", 18, 4) * dec(
         F.lit(1) - F.col("l_discount"), 18, 4
     )
     rev = joined.groupBy(
         F.year("o_orderdate").cast("long").alias("yr"),
-        F.col("n2.n_name").alias("supp_nation"),
+        F.col("n_name").alias("supp_nation"),
     ).agg(F.sum(amount).alias("r"))
     return rev.groupBy("yr").agg(
         F.round(
@@ -6874,8 +6940,10 @@ def q200_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     target-like than corpus-like and get selected.
 
     Scale shape: the two language models reduce to VOCAB-sized count
-    tables (same reduction as TF-IDF q87) and broadcast into the per-doc
-    term join; the only corpus-sized shuffle is the (doc, word) count. At
+    tables (same reduction as TF-IDF q87) joined into the per-doc
+    term join (unhinted — vocab grows by Heaps' law, so the optimizer
+    owns the broadcast-vs-shuffle call); the only corpus-sized shuffle is
+    the (doc, word) count. At
     100 TB you'd feature-hash words into 2^20 buckets exactly as the paper
     does — same plan, bounded LM size. Float parity: each ln ratio is
     quantized to DECIMAL(12,9) so the per-doc sum is order-independent
@@ -6896,8 +6964,8 @@ def q200_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cc").alias("nc"), F.count(F.lit(1)).alias("v")
     ).crossJoin(target.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
     terms = (
-        dc.join(F.broadcast(corpus), "w")
-        .join(F.broadcast(target), "w", "left")
+        dc.join(corpus, "w")
+        .join(target, "w", "left")
         .crossJoin(F.broadcast(consts))
         .select(
             "doc_id",
@@ -7989,7 +8057,7 @@ def q217_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a slowly-changing batch dimension (customer → segment), then a
     watermarked daily windowed aggregate per segment. The static side needs
     no watermark and holds no join state: Spark re-plans it per micro-batch
-    and broadcasts it under the stream, which is why stream-static is the
+    and joins it under the stream (broadcast while it fits), which is why stream-static is the
     recommended enrichment pattern over copying dimension data into the
     stream.
 
@@ -8018,7 +8086,7 @@ def q217_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
     agg = (
-        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        stream.join(dim, stream.user_id == dim.c_custkey)
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 day").alias("w"), "segment")
         .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
@@ -9327,7 +9395,8 @@ def q240_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the token stream is filtered to the query's terms before
     the only data-sized shuffle (tf groupBy) — exactly how a search engine
     reads 3 posting lists, not the corpus; df and the (N, avgdl) scalars
-    are |terms|- and 1-row broadcasts. Float path: per-(doc,term) scores
+    are a |terms|-row unhinted join (size-dispatched) and a 1-row
+    broadcast. Float path: per-(doc,term) scores
     quantize to DECIMAL(12,9) (q170 convention) so the per-doc sum is
     order-independent; idf/tf-norm are single expressions over exact
     integers, identically associated in both engines."""
@@ -9355,7 +9424,7 @@ def q240_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(dl, "doc_id")
         .join(F.broadcast(g))
         .select(
@@ -10250,8 +10319,10 @@ def q251_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")
     db = deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db")
     return (
-        cand.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        # degree frames are |nodes| rows and grow with the data — unhinted
+        # (broadcast while they fit, shuffle at scale)
+        cand.join(da, "a")
+        .join(db, "b")
         .select(
             "a",
             "b",
@@ -11049,7 +11120,8 @@ def q261_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list is zip_with(slice(tok,1,n-g), slice(tok,g+1,n-g)), pure
     array codegen inside the row, so the only shuffles are the two
     groupBy counts. Unigram marginals reduce to |vocab| rows and
-    broadcast. The PMI ratio is composed in the SAME operation order on
+    joined unhinted (vocab-sized — the optimizer owns the dispatch).
+    The PMI ratio is composed in the SAME operation order on
     both engines ((n_xy/S) / ((c_x/N)·(c_y/N)) — IEEE-identical), ln is
     round6'd per the q255 convention, and the min-count floor (≥ 50)
     ships every surviving cell with no float-ordered top-k."""
@@ -11089,8 +11161,8 @@ def q261_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cxy.where(F.col("n_xy") >= 50)
-        .join(F.broadcast(ca), "w1")
-        .join(F.broadcast(cb), "w2")
+        .join(ca, "w1")
+        .join(cb, "w2")
         .join(F.broadcast(nt))
         .join(F.broadcast(np_))
         .select("w1", "w2", "n_xy", F.round(F.log(r1 / r2), 6).alias("pmi"))
@@ -12343,7 +12415,7 @@ def q280_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     points, usually ≪); adjacency is an 8-way explode of the DENSE-cell
     frame joined to itself on cell id (no point-level pairwise
     anything); CC runs on |dense cells| nodes — the same pointer-jumping
-    operator q78 trusts; the final labeling is one broadcast join of the
+    operator q78 trusts; the final labeling is one unhinted equi-join of the
     cell→cluster map onto points."""
     from .functions.dedup import connected_components
 
@@ -12393,7 +12465,7 @@ def q280_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cell", F.coalesce("component", F.col("cell")).alias("cluster")
     )
-    return cells.join(F.broadcast(labeled), "cell", "left").select(
+    return cells.join(labeled, "cell", "left").select(
         "vec_id",
         F.coalesce("cluster", F.lit(-1)).cast("long").alias("cluster"),
         F.col("cluster").isNull().alias("is_noise"),
@@ -12597,13 +12669,14 @@ def q282_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     data; the confusion matrix (q44) reports the AGGREGATE, this
     reports who the errors land on.
 
-    Scale shape: one fact-dim broadcast join, one |segments|-group
+    Scale shape: one fact-dim join (unhinted — customer grows with SF),
+    one |segments|-group
     aggregate of four integer counts, and a 1-row gap broadcast joined
     back. All rates are single divisions over exact integers
     (round6)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    scored = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    scored = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         (F.col("o_totalprice") > 250000).cast("int").alias("pred"),
         (F.col("o_orderstatus") == "F").cast("int").alias("y"),
@@ -13627,7 +13700,8 @@ def q295_wide_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the lineitem rollup collapses to |orders| rows BEFORE
     joining (never a fact×fact row explosion); all three dimension
-    joins broadcast; the single shuffle-sized join is orders⋈rollup on
+    joins dispatched by size (nation/region hinted, customer unhinted);
+    the big shuffle join is orders⋈rollup on
     the order key, then one map-side-combining aggregate. Net revenue
     stays decimal-exact until the hardened final cast."""
     o = load_table(spark, sf_dir, "orders")
@@ -13643,7 +13717,7 @@ def q295_wide_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("net"),
     )
     wide = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .join(rollup, F.col("o_orderkey") == rollup.l_orderkey)
