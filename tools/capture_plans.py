@@ -17,8 +17,10 @@ ANNOTATED = {
     "q11_join_topk_revenue": "3-way join: every filter pushed to its scan, "
     "both dimension sides broadcast, top-k as TakeOrderedAndProject "
     "(per-partition k, no global sort).",
-    "q12_join_multiway": "6-way TPC-H Q5 shape: 5 broadcast hash joins, "
-    "region filter pushed, single aggregation exchange.",
+    "q12_join_multiway": "6-way TPC-H Q5 shape: the 5-row ASIA nation "
+    "slice broadcasts onto the customer and supplier legs BEFORE the fact "
+    "joins (each leg shrinks ~5x), so the two big equi-joins carry 1/5 of "
+    "the naive probe rows; single aggregation exchange.",
     "q16_knn_1nn": "1-NN join via knn_join_1nn_auto: below the work "
     "threshold the known side broadcasts (reference regime); above it the "
     "grid-exact doubling-cell path runs pure equi-joins — no "
@@ -43,7 +45,8 @@ ANNOTATED = {
     "final per-group limit sees ≤ k·32 rows.",
     "q109_min_cost_supplier": "TPC-H Q2 shape: the correlated min is a "
     "window MIN over the natural join key — ONE exchange on l_partkey, no "
-    "decorrelated re-join; part/supplier dims broadcast.",
+    "decorrelated re-join; part/supplier dims join unhinted (broadcast "
+    "while they fit, shuffle at scale).",
     "q110_large_orders": "TPC-H Q18 shape: the HAVING aggregate is computed "
     "once and reused as both semi-join filter and output column — lineitem "
     "scanned and shuffled exactly once.",
@@ -80,7 +83,8 @@ ANNOTATED = {
     "on the final AQE plan in tests/test_joins.py) — at scale the join "
     "shuffle is paid once at write time.",
     "q153_shipping_priority": "TPC-H Q3 shape: date filters pushed to both "
-    "fact scans, segment-filtered customer broadcast, top-10 compiles to "
+    "fact scans, segment-filtered customer joined unhinted (broadcast "
+    "while it fits), top-10 compiles to "
     "TakeOrderedAndProject — per-partition k, no global sort.",
     "q158_bloom_join_prune": "Bloom join pruning, literal-predicate form "
     "(Spark's own runtime-bloom move): the 8 KB sketch is inlined as a "
@@ -123,8 +127,8 @@ ANNOTATED = {
     "window anywhere.",
     "q240_bm25_topk": "BM25: the term IN-filter reaches the scan side "
     "before the tf groupBy — the corpus never shuffles, only the 3 "
-    "posting lists; df and (N, avgdl) join as broadcasts; top-10 is "
-    "TakeOrderedAndProject.",
+    "posting lists; the |terms|-row df frame joins unhinted, (N, avgdl) "
+    "is a 1-row broadcast; top-10 is TakeOrderedAndProject.",
     "q243_weighted_median": "grouped weighted median: distinct-value "
     "weight collapse first, then per-group windows over the SAME "
     "partitioning (one exchange reused by both window frames).",
@@ -146,7 +150,8 @@ ANNOTATED = {
     "q261_cooccurrence_pmi": "co-occurrence PMI: skip-gram pairs are "
     "zip_with(slice,slice) array codegen INSIDE the row — no self-join, "
     "no posexplode pair join; the only exchanges are the two count "
-    "groupBys, marginals broadcast back.",
+    "groupBys; vocab-sized marginals join unhinted, scalar totals "
+    "broadcast.",
     "q262_cohort_ltv": "cohort LTV: revenue collapses to (cohort, age) "
     "before the cumulative window, which is PARTITIONED BY COHORT — "
     "parallel across cohorts; cohort sizes broadcast.",
@@ -169,7 +174,7 @@ ANNOTATED = {
     "broadcasts; scoring stays in codegen; per-query ranking is a "
     "partitioned window; the DCG discount curve is a literal array — "
     "no libm at query time.",
-    "q282_fairness_audit": "fairness audit: one broadcast fact-dim join, "
+    "q282_fairness_audit": "fairness audit: one size-dispatched fact-dim join, "
     "a |segments|-group aggregate of integer counts, and a 1-row gap "
     "frame broadcast back onto the rates.",
     "q287_containment_join": "containment join: one-sided prefix filter — "
