@@ -241,3 +241,56 @@ def test_all_registered_queries_emit_scalar_columns_only(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_hand_routed_dimension_slices_broadcast_at_scale(spark, sf_dir):
+    """The broadcast audit's two contracts, pinned in the 100 TB regime
+    (auto-broadcast disabled):
+
+    1. q12/q101/q154/q186 route a bounded nation/region slice onto the
+       dimension legs via an EXPLICIT hint — those BroadcastExchanges must
+       survive threshold=-1 (they are bounded by schema, 2-25 rows), while
+       the fact joins fall back to sort-merge. No nested-loop anywhere.
+    2. q99/q102/q153 are fully unhinted — with the threshold disabled
+       their plans must contain NO BroadcastExchange at all (nothing
+       data-sized is ever forced resident on the executors).
+    """
+    from isen_projet_bigdata_a3s6_spark.queries import queries
+
+    qs = queries()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        routed = (
+            "q12_join_multiway",
+            "q101_nation_volume",
+            "q154_local_supplier_volume",
+            "q186_market_share",
+        )
+        for name in routed:
+            plan = (
+                qs[name](spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert plan.count("BroadcastExchange") >= 2, name
+            assert "SortMergeJoin" in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
+        unhinted = (
+            "q99_cohort_retention",
+            "q102_promo_ratio",
+            "q153_shipping_priority",
+        )
+        for name in unhinted:
+            plan = (
+                qs[name](spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastExchange" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
