@@ -73,3 +73,24 @@ def raster_align(lon: Column, lat: Column, dlon: float = 17.863636, dlat: float 
     """G2: constant georeference shift to align to the background raster
     (R_groupe4.R:103-104)."""
     return lon - F.lit(dlon), lat - F.lit(dlat)
+
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean earth radius
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km between two WGS84 points (haversine
+    form — numerically stable for small separations, and the wrapped
+    Δlon is handled for free: sin((λ₂-λ₁)/2) is symmetric about 90°, so
+    a 350° raw difference scores as the 10° short way round).
+
+    Pure builtin trig — stays inside whole-stage codegen."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlam = F.radians(lon2 - lon1) / 2
+    h = (
+        F.pow(F.sin(dphi), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlam), 2)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(h))

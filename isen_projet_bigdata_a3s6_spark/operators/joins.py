@@ -367,3 +367,292 @@ def knn_join_1nn_auto(
         payload_cols=payload_cols, cell_size=cell, tiebreak=tiebreak,
         reliable=reliable,
     )
+
+
+def haversine_knn_1nn(
+    probes: DataFrame,
+    known: DataFrame,
+    probe_id: str,
+    probe_latlon: tuple[str, str],
+    known_latlon: tuple[str, str],
+    payload_cols: list[str],
+    dist_col: str = "d_km",
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spherical (great-circle) 1-NN, broadcast regime: for each probe row
+    the payload of the haversine-nearest known row, plus the distance.
+
+    The distance is ROUNDED to ``round_to`` decimals BEFORE the argmin and
+    ties break on ``tiebreak`` ascending — the q41/q297 doctrine that keeps
+    libm trig ULP differences from flipping the winner between engines.
+
+    Correct whenever the known side fits in a broadcast; for big×big use
+    :func:`haversine_knn_1nn_auto` (grid dispatch, same output contract).
+    """
+    from ..functions.geo import haversine_km
+
+    plat, plon = probe_latlon
+    klat, klon = known_latlon
+    k = known.select(
+        F.col(klat).alias("__klat"),
+        F.col(klon).alias("__klon"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+    )
+    par = probes.sparkSession.sparkContext.defaultParallelism
+    joined = (
+        probes.repartition(par)
+        .join(F.broadcast(k), how="cross")
+        .withColumn(
+            "__d",
+            F.round(
+                haversine_km(
+                    F.col(plat), F.col(plon), F.col("__klat"), F.col("__klon")
+                ),
+                round_to,
+            ),
+        )
+    )
+    order = F.struct(
+        *([F.col("__d"), F.col("__tb")] if tiebreak else [F.col("__d")])
+    )
+    pay = F.struct(*[F.col(f"__p_{c}") for c in payload_cols], F.col("__d"))
+    probe_cols = [c for c in probes.columns]
+    best = joined.groupBy(probe_id).agg(
+        F.min_by(pay, order).alias("__best"),
+        *[F.first(c).alias(c) for c in probe_cols if c != probe_id],
+    )
+    return best.select(
+        *probe_cols,
+        *[F.col(f"__best.__p_{c}").alias(c) for c in payload_cols],
+        F.col("__best.__d").alias(dist_col),
+    )
+
+
+def haversine_knn_1nn_grid_exact(
+    probes: DataFrame,
+    known: DataFrame,
+    probe_id: str,
+    probe_latlon: tuple[str, str],
+    known_latlon: tuple[str, str],
+    payload_cols: list[str],
+    cell_deg: float,
+    dist_col: str = "d_km",
+    tiebreak: str | None = None,
+    round_to: int = 6,
+    max_rounds: int = 8,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Exact big×big spherical 1-NN: grid-bucketed rounds with doubling
+    cell size — the geodesic sibling of :func:`knn_join_1nn_grid_exact`.
+
+    Both sides bucket into lat/lon cells of ~``cell_deg`` degrees (the lon
+    width snaps to 360/n so the antimeridian wraps cleanly via pmod); the
+    known side replicates into its 3×3 neighborhood and each round is a
+    pure equi-join on (lat_row, lon_col). A per-probe candidate is
+    CERTIFIED the true global NN when its distance ≤ r, where r is the
+    provable minimum distance to any point outside the neighborhood:
+
+      r = min( R·rad(h_lat),                         # Δlat > h_lat
+               2R·asin(cos(φ_cap)·sin(rad(h_lon)/2)) )  # Δlon > h_lon
+
+    with φ_cap = max |latitude| over both inputs (from
+    sin²(θ/2) ≥ cos φ₁ cos φ₂ sin²(Δλ/2) ≥ cos²(φ_cap) sin²(Δλ/2)); when
+    the 3×3 neighborhood already wraps the full circle (n_lon ≤ 3) only
+    the latitude bound applies. A 1e-5 km safety margin keeps the
+    ROUNDED global ordering exact: any outside point sits > 10·(rounding
+    step) beyond the certified candidate, so rounding can never tie them.
+
+    Unresolved probes re-run with the cell size doubled; after
+    ``max_rounds`` the (tiny) residual resolves by the broadcast pass —
+    row-preserving like the Euclidean twin. Near the poles cos(φ_cap)→0
+    collapses the lon bound, so polar data degrades to more rounds (still
+    exact, never wrong); the efficient envelope is |lat| ≲ 85°.
+    """
+    import math
+
+    from ..checkpointing import cut_lineage
+    from ..functions.geo import EARTH_RADIUS_KM, haversine_km
+
+    plat, plon = probe_latlon
+    klat, klon = known_latlon
+
+    phi_cap_row = (
+        probes.agg(F.max(F.abs(F.col(plat))).alias("m"))
+        .unionByName(known.agg(F.max(F.abs(F.col(klat))).alias("m")))
+        .agg(F.max("m").alias("m"))
+        .first()
+    )
+    phi_cap = float(phi_cap_row["m"] or 0.0)
+
+    def one_round(remaining: DataFrame, h_lat: float):
+        n_lon = max(1, int(math.ceil(360.0 / h_lat)))
+        h_lon = 360.0 / n_lon
+        k = known.select(
+            F.col(klat).alias("__klat"),
+            F.col(klon).alias("__klon"),
+            *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+            *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+        ).withColumns(
+            {
+                "__krow": F.floor(F.col("__klat") / F.lit(h_lat)).cast("long"),
+                "__kcol": F.pmod(
+                    F.floor((F.col("__klon") + 180.0) / F.lit(h_lon)), F.lit(n_lon)
+                ).cast("long"),
+            }
+        )
+        offsets = F.expr(
+            "explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1),"
+            " array(-1,0,1,-1,0,1,-1,0,1)))"
+        )
+        k_rep = (
+            k.select("*", offsets.alias("__o"))
+            .withColumns(
+                {
+                    "__jrow": F.col("__krow") + F.col("__o.0"),
+                    "__jcol": F.pmod(F.col("__kcol") + F.col("__o.1"), F.lit(n_lon)),
+                }
+            )
+            .drop("__o", "__krow", "__kcol")
+        )
+        # tiny n_lon: neighbor offsets alias the same wrapped cell —
+        # dedup so the candidate join doesn't multiply rows
+        if n_lon <= 3:
+            k_rep = k_rep.dropDuplicates(
+                ["__jrow", "__jcol", "__klat", "__klon"]
+                + [f"__p_{c}" for c in payload_cols]
+            )
+        p = remaining.withColumns(
+            {
+                "__jrow": F.floor(F.col(plat) / F.lit(h_lat)).cast("long"),
+                "__jcol": F.pmod(
+                    F.floor((F.col(plon) + 180.0) / F.lit(h_lon)), F.lit(n_lon)
+                ).cast("long"),
+            }
+        )
+        joined = p.join(k_rep, ["__jrow", "__jcol"], "inner").withColumn(
+            "__dtrue",
+            haversine_km(F.col(plat), F.col(plon), F.col("__klat"), F.col("__klon")),
+        ).withColumn("__d", F.round(F.col("__dtrue"), round_to))
+        order = F.struct(
+            *([F.col("__d"), F.col("__tb")] if tiebreak else [F.col("__d")])
+        )
+        pay = F.struct(
+            *[F.col(f"__p_{c}") for c in payload_cols],
+            F.col("__d"),
+            F.col("__dtrue"),
+        )
+        probe_cols = [c for c in remaining.columns if not c.startswith("__j")]
+        cand = (
+            joined.groupBy(probe_id)
+            .agg(
+                F.min_by(pay, order).alias("__best"),
+                *[F.first(c).alias(c) for c in probe_cols if c != probe_id],
+            )
+            .select(
+                *probe_cols,
+                *[F.col(f"__best.__p_{c}").alias(c) for c in payload_cols],
+                F.col("__best.__d").alias(dist_col),
+                F.col("__best.__dtrue").alias("__dtrue"),
+            )
+        )
+        r_lat = EARTH_RADIUS_KM * math.radians(h_lat)
+        if n_lon <= 3:
+            r = r_lat
+        else:
+            r_lon = (
+                2.0
+                * EARTH_RADIUS_KM
+                * math.asin(
+                    math.cos(math.radians(min(phi_cap, 90.0)))
+                    * math.sin(math.radians(h_lon) / 2.0)
+                )
+            )
+            r = min(r_lat, r_lon)
+        return cand, r - 1e-5
+
+    resolved_parts: list[DataFrame] = []
+    remaining = probes
+    h = cell_deg
+    exhausted = True
+    for _round in range(max_rounds):
+        cand, r = one_round(remaining, h)
+        certified = cand.filter(F.col("__dtrue") <= F.lit(r)).drop("__dtrue")
+        resolved_parts.append(certified)
+        unresolved = cand.filter(F.col("__dtrue") > F.lit(r)).select(probe_id)
+        no_cand = remaining.join(
+            cand.select(probe_id), probe_id, "left_anti"
+        ).select(probe_id)
+        remaining = cut_lineage(
+            remaining.join(
+                unresolved.unionByName(no_cand).distinct(), probe_id, "left_semi"
+            ),
+            reliable=reliable,
+        )
+        h *= 2.0
+        if remaining.limit(1).count() == 0:
+            exhausted = False
+            break
+    if exhausted:
+        resolved_parts.append(
+            haversine_knn_1nn(
+                remaining, known, probe_id, probe_latlon, known_latlon,
+                payload_cols=payload_cols, dist_col=dist_col,
+                tiebreak=tiebreak, round_to=round_to,
+            )
+        )
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def haversine_knn_1nn_auto(
+    probes: DataFrame,
+    known: DataFrame,
+    probe_id: str,
+    probe_latlon: tuple[str, str],
+    known_latlon: tuple[str, str],
+    payload_cols: list[str],
+    dist_col: str = "d_km",
+    tiebreak: str | None = None,
+    round_to: int = 6,
+    work_threshold: int = 2_000_000,
+    target_per_cell: float = 4.0,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Spherical 1-NN with size-based dispatch — mirrors
+    :func:`knn_join_1nn_auto`. |probes|·|known| ≤ ``work_threshold`` →
+    broadcast cross (the dimension-sized regime); otherwise the exact
+    grid path with the starting cell derived from the known side's
+    angular extent (~``target_per_cell`` rows per occupied cell). The
+    cell-size guess never affects exactness — only the round count."""
+    import math
+
+    n_known = known.count()
+    n_probes = probes.count()
+    if n_probes * n_known <= work_threshold:
+        return haversine_knn_1nn(
+            probes, known, probe_id, probe_latlon, known_latlon,
+            payload_cols=payload_cols, dist_col=dist_col,
+            tiebreak=tiebreak, round_to=round_to,
+        )
+    klat, klon = known_latlon
+    s = known.agg(
+        F.min(klat).alias("y0"), F.max(klat).alias("y1"),
+        F.min(klon).alias("x0"), F.max(klon).alias("x1"),
+    ).first()
+    ey = float(s["y1"]) - float(s["y0"])
+    ex = float(s["x1"]) - float(s["x0"])
+    if ex > 0 and ey > 0:
+        cell = math.sqrt(ex * ey * target_per_cell / n_known)
+    else:
+        extent = max(ex, ey)
+        cell = (extent if extent > 0 else 1.0) * target_per_cell / max(n_known, 1)
+    cell = max(min(cell, 90.0), 1e-9)
+    return haversine_knn_1nn_grid_exact(
+        probes, known, probe_id, probe_latlon, known_latlon,
+        payload_cols=payload_cols, cell_deg=cell, dist_col=dist_col,
+        tiebreak=tiebreak, round_to=round_to, reliable=reliable,
+    )
