@@ -280,6 +280,11 @@ def knn_join_1nn_grid_exact(
         ).withColumn(
             "__d", euclidean_distance(F.col(px), F.col(py), F.col(kx), F.col(ky))
         )
+        # snapshot before the certified/unresolved/no_cand fan-out — the
+        # three branches would otherwise re-run the min_by job and a
+        # tiebreak=None tie at the certify boundary could resolve
+        # differently per job (duplicate or dropped probe)
+        cand = cut_lineage(cand, reliable=reliable)
         certified = cand.filter(F.col("__d") <= F.lit(size)).drop("__d", kx, ky)
         resolved_parts.append(certified)
         unresolved = cand.filter(F.col("__d") > F.lit(size)).select(probe_id)
@@ -460,8 +465,8 @@ def haversine_knn_1nn_grid_exact(
     with φ_cap = max |latitude| over both inputs (from
     sin²(θ/2) ≥ cos φ₁ cos φ₂ sin²(Δλ/2) ≥ cos²(φ_cap) sin²(Δλ/2)); when
     the 3×3 neighborhood already wraps the full circle (n_lon ≤ 3) only
-    the latitude bound applies. A 1e-5 km safety margin keeps the
-    ROUNDED global ordering exact: any outside point sits > 10·(rounding
+    the latitude bound applies. A 10·10^-round_to km safety margin keeps
+    the ROUNDED global ordering exact: any outside point sits > 10·(rounding
     step) beyond the certified candidate, so rounding can never tie them.
 
     Unresolved probes re-run with the cell size doubled; after
@@ -570,7 +575,12 @@ def haversine_knn_1nn_grid_exact(
                 )
             )
             r = min(r_lat, r_lon)
-        return cand, r - 1e-5
+        # margin scales with the rounding step (10 × 10^-round_to) so the
+        # "rounded ordering exact" certificate holds for ANY round_to, not
+        # just the former hardcoded 1e-5 ≡ round_to=6 (r05 advisory): an
+        # outside point always sits ≥ 10 rounding steps beyond a certified
+        # candidate, so rounding can never tie them
+        return cand, r - 10.0 ** (1 - round_to)
 
     resolved_parts: list[DataFrame] = []
     remaining = probes
@@ -578,6 +588,12 @@ def haversine_knn_1nn_grid_exact(
     exhausted = True
     for _round in range(max_rounds):
         cand, r = one_round(remaining, h)
+        # snapshot cand before fanning out into certified/unresolved/no_cand:
+        # without it each branch re-runs the min_by job independently, and
+        # with tiebreak=None a rounded-distance tie straddling the certify
+        # radius can resolve differently per job — duplicating or dropping
+        # a probe and breaking the row-preserving guarantee (r05 advisory)
+        cand = cut_lineage(cand, reliable=reliable)
         certified = cand.filter(F.col("__dtrue") <= F.lit(r)).drop("__dtrue")
         resolved_parts.append(certified)
         unresolved = cand.filter(F.col("__dtrue") > F.lit(r)).select(probe_id)

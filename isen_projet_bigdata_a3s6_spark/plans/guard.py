@@ -61,31 +61,86 @@ def _is_keyfree_aggregate(node) -> bool:
         return "keys=[]" in node.simpleString(2)
 
 
+def _is_driver_literal_rdd_scan(node) -> bool:
+    """True only for ``Scan ExistingRDD`` leaves whose RDD lineage
+    bottoms out in a ``ParallelCollectionRDD`` — i.e. the rows crossed
+    the py4j bridge from the driver (``spark.createDataFrame``), so the
+    side is bounded by driver memory, never by table data volume.
+
+    Checkpointed / localCheckpointed DataFrames (the repo's
+    ``cut_lineage``, routinely applied to data-sized frames) compile to
+    the SAME ``Scan ExistingRDD`` nodeName but originate from
+    ``LocalCheckpointRDD`` / ``ReliableCheckpointRDD`` — those must NOT
+    be treated as bounded (r05 advisor finding). Any probe failure is
+    conservatively unbounded."""
+    if not node.nodeName().startswith("Scan ExistingRDD"):
+        return False
+    try:
+        cur = node.rdd()
+        for _ in range(32):
+            deps = cur.dependencies()
+            if deps.isEmpty():
+                break
+            cur = deps.head().rdd()
+        return cur.getClass().getName().endswith("ParallelCollectionRDD")
+    except Exception:
+        return False
+
+
+def _is_literal_leaf(node) -> bool:
+    return node.nodeName().startswith(
+        ("LocalTableScan", "EmptyRelation")
+    ) or _is_driver_literal_rdd_scan(node)
+
+
 def _is_bounded_side(node) -> bool:
     """True when the subtree rooted at ``node`` provably yields a
     data-independent number of rows.
 
     Recursive: a key-free (global) aggregate bounds its subtree to one
-    row no matter what feeds it; literal leaves (LocalTableScan, driver
-    ``createDataFrame`` scans) are plan constants; and any other node is
-    bounded iff ALL its inputs are — a join/union/project over one-row
-    sides stays one-row-ish (e.g. the common ``scalarA.crossJoin(scalarB)``
-    constants frame), while a node with zero children that isn't a literal
-    leaf (FileScan, ReusedExchange we can't resolve) is data-sized."""
+    row no matter what feeds it; literal leaves (LocalTableScan, and
+    ``Scan ExistingRDD`` proven to wrap a driver-side collection — see
+    :func:`_is_driver_literal_rdd_scan`) are plan constants; and any
+    other node is bounded iff ALL its inputs are — a join/union/project
+    over one-row sides stays one-row-ish (e.g. the common
+    ``scalarA.crossJoin(scalarB)`` constants frame), while a node with
+    zero children that isn't a literal leaf (FileScan, checkpoint scan,
+    ReusedExchange we can't resolve) is data-sized.
+
+    Row-MULTIPLYING nodes break the all-children rule: a
+    ``Generate``/``explode`` or ``Expand`` over a one-row key-free
+    ``collect_list`` aggregate has a bounded child yet data-sized output
+    (r05 advisor finding — the aggregate packed table data into an array
+    the Generate unpacks right back out). Those nodes are bounded only
+    when their subtree never touches a data-sized leaf at all (exploding
+    a plan constant stays a plan constant)."""
     name = node.nodeName()
+    if name.startswith(("Generate", "Expand")):
+        return _all_leaves_literal(node)
     if _is_keyfree_aggregate(node):
         return True
-    if name.startswith(("LocalTableScan", "EmptyRelation")):
-        return True
-    # driver-side createDataFrame renders as "Scan ExistingRDD":
-    # its rows crossed the py4j bridge from the driver, so the side
-    # is bounded by driver memory, never by table data volume
-    if name.startswith("Scan ExistingRDD"):
+    if _is_literal_leaf(node):
         return True
     kids = _children(node)
     if not kids:
         return False
     return all(_is_bounded_side(k) for k in kids)
+
+
+def _all_leaves_literal(node) -> bool:
+    """True iff every leaf under ``node`` is a plan-constant literal —
+    the subtree's cardinality then cannot depend on table data volume,
+    whatever aggregates/generates sit in between."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        kids = _children(n)
+        if not kids:
+            if not _is_literal_leaf(n):
+                return False
+        else:
+            stack.extend(kids)
+    return True
 
 
 def _build_side_child(node) -> object | None:

@@ -9,8 +9,9 @@ value filters (:145-146) → case normalization (:178) → group-wise fills
 (:181-205) → global string fill (:209) → final 20-column projection (:1071).
 
 Where the reference runs 13 sequential filters and two O(n·m) R loops, this
-plan is: one pushed-down filter, one broadcast-nested-loop 1-NN per imputed
-column, and three window/broadcast-join fills — the whole Part 1 is two
+plan is: one pushed-down filter, one auto-dispatched 1-NN per imputed column
+(broadcast at the reference's ≤10⁴-row regime, grid-bucketed exact equi-joins
+beyond it), and three window/broadcast-join fills — the whole Part 1 is two
 shuffles plus broadcasts, independent of row count.
 """
 
@@ -29,7 +30,7 @@ from ..operators.cleaning import (
     groupwise_first_fill,
     groupwise_mode_fill,
 )
-from ..operators.joins import knn_join_1nn
+from ..operators.joins import knn_join_1nn_auto
 
 FINAL_COLUMNS = [
     "clc_quartier", "clc_secteur", "haut_tot", "haut_tronc", "tronc_diam",
@@ -60,11 +61,15 @@ def clean_trees(trees: DataFrame, ingest_order_col: str = "id_arbre") -> DataFra
         replace_literal(replace_literal("fk_stadedev", "Adulte", "adulte"), "Jeune", "jeune"),
     )                                                               # :90-91
     df = with_wgs84(df, "X", "Y")                                   # :95-106
-    # 1-NN imputation of quartier/secteur from known rows (:110-142)
+    # 1-NN imputation of quartier/secteur from known rows (:110-142).
+    # Auto-dispatched: the reference's regime (≤10⁴ known rows) takes the
+    # broadcast path, but at dataset scale the same pipeline switches to
+    # the grid-bucketed exact 1-NN (pure equi-joins) without caller action —
+    # the flagship E1 plan is 100×-safe by default, not by caller choice.
     for col in ("clc_quartier", "clc_secteur"):
         missing = df.filter(F.col(col).isNull()).drop(col)
         known = df.filter(F.col(col).isNotNull())
-        imputed = knn_join_1nn(
+        imputed = knn_join_1nn_auto(
             missing, known.select("X", "Y", col, ingest_order_col),
             probe_id=ingest_order_col,
             probe_coords=("X", "Y"), known_coords=("X", "Y"),

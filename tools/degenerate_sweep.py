@@ -65,7 +65,7 @@ DEGEN_DOCS = [
 
 
 def build_degenerate_dir(base: str) -> str:
-    out = os.path.join(tempfile.gettempdir(), "a3s6_degenerate_sf")
+    out = os.path.join(tempfile.gettempdir(), f"a3s6_degenerate_sf_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for f in os.listdir(base):
@@ -151,7 +151,9 @@ def build_skew_dir(base: str, frac: float = 0.25) -> str:
     duplicated hot text (dedup/LSH hot group); embeddings a duplicated
     hot vector and a hot cluster label (SemDeDup's per-cluster quadratic).
     """
-    out = os.path.join(tempfile.gettempdir(), "a3s6_skew_sf")
+    # pid-suffixed so concurrent sweeps cannot clobber each other's
+    # fixture mid-read (r05 advisory)
+    out = os.path.join(tempfile.gettempdir(), f"a3s6_skew_sf_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     rng = np.random.default_rng(7)
@@ -200,7 +202,7 @@ def build_skew_dir(base: str, frac: float = 0.25) -> str:
 
 def build_empty_dir(base: str) -> str:
     """Schema-identical tables with zero rows."""
-    out = os.path.join(tempfile.gettempdir(), "a3s6_empty_sf")
+    out = os.path.join(tempfile.gettempdir(), f"a3s6_empty_sf_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for f in os.listdir(base):
@@ -276,6 +278,17 @@ def skew_sweep(spark, names, skew_dir: str, base_dir: str, slow_ratio: float) ->
                 ok += 1
         else:
             ok += 1
+        if t_skew > slow_ratio * max(t_base, 0.05) and t_skew > 2.0:
+            # the first base collect of the session pays JIT/warm-up, which
+            # biases t_base high OR low depending on run order — confirm a
+            # flag by re-timing both runs warm and keeping the second-run
+            # numbers (r05 advisory); bounded cost: only flagged queries pay
+            t0 = time.perf_counter()
+            fn(spark, base_dir).collect()
+            t_base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            fn(spark, skew_dir).collect()
+            t_skew = time.perf_counter() - t0
         if t_skew > slow_ratio * max(t_base, 0.05) and t_skew > 2.0:
             slow.append((name, t_base, t_skew))
             print(
