@@ -109,11 +109,19 @@ def greedy_pack(
     """
     if budget <= 0:
         raise ValueError("greedy_pack: budget must be positive")
+    # md5-derived bucket (not xxhash64) so the DuckDB oracle can replay
+    # the sharding — the bucket function is an arbitrary worker-sharding
+    # choice, and md5 is the one hash both engines compute identically
+    # (the q224 seed precedent)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+        ).cast("long"),
+        F.lit(num_buckets),
+    )
     base = df.select(
         F.col(id_col).alias("id"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
-        .cast("int")
-        .alias("bucket"),
+        bucket.cast("int").alias("bucket"),
         token_count(text_col).cast("long").alias("n_tokens"),
     )
 

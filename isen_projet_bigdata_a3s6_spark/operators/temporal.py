@@ -234,6 +234,7 @@ def ewma(
     partition_by: list[str],
     alpha: float = 0.3,
     out_col: str = "ewma",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average per key, ordered by event
     time: y_t = α·x_t + (1−α)·y_{t−1} (pandas ``ewm(adjust=False)``
@@ -242,15 +243,19 @@ def ewma(
     vectorized by pandas inside each group; across keys it parallelizes
     like any groupBy. State is one scalar per key, never the window.
     NULL values propagate the previous EWMA (gap-skip, like pandas
-    ``ignore_na=False`` on non-null streams)."""
+    ``ignore_na=False`` on non-null streams). ``tiebreak`` pins the
+    order of equal-timestamp rows (hot-key fixtures merge users, so
+    (key, ts) alone is not a total order there — r06 oracle
+    promotion)."""
     if not 0 < alpha <= 1:
         raise ValueError("ewma: alpha must be in (0, 1]")
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+    sort_cols = [ts_col] if tiebreak is None else [ts_col, tiebreak]
 
     def per_group(pdf):
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf
 

@@ -1133,8 +1133,41 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_pairs(d, "text", "doc_id", max_hamming=3)
 
 
-@register("q40_ngram_jaccard_pairs")
+@register(
+    "q40_ngram_jaccard_pairs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(t) - 3),
+                              i -> substr(t, CAST(i AS INT), 5)))) AS g
+      FROM norm WHERE len(t) >= 5
+    ),
+    keyed AS (SELECT doc_id, unnest(g[1:2]) AS k FROM grams),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE),
+                 6) AS jaccard
+    FROM cand
+    JOIN grams ga ON ga.doc_id = id_a
+    JOIN grams gb ON gb.doc_id = id_b
+    WHERE jaccard >= 0.3
+    """,
+)
 def q40_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard pairs over the 2-rarest-shingle blocking
+    join (functions/dedup.py::ngram_jaccard_pairs). Fully deterministic —
+    no hashing anywhere — so the oracle (promoted r06) replays the same
+    shingling, blocking, and set algebra in SQL."""
     from .functions.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
@@ -1215,8 +1248,51 @@ def q44_logistic_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # G1/G2: CRS reprojection (pandas UDF; rows-only — no SQL equivalent)
 # ---------------------------------------------------------------------------
-@register("q45_crs_transform")
+def _lambert_oracle() -> str:
+    """Chained-CTE inverse Lambert-93 (functions/geo.py IGN closed form):
+    the isometric-latitude fixed point is a FIXED 10-step contraction, so
+    it unrolls into 10 CTE applications. numpy and DuckDB call the same
+    C libm on this box (exp/ln/atan/pow/sin), so pre-round values agree
+    to ~1 ulp; round-6 output (≈0.1 m) absorbs that. All float literals
+    carry e0 so DuckDB types them DOUBLE, not DECIMAL."""
+    e = "0.0818191910428158e0"
+    step = (
+        "2.0 * atan(power((1.0 + {e} * sin(phi)) / (1.0 - {e} * sin(phi)), "
+        "{e} / 2.0) * exp(lat_iso)) - pi() / 2.0"
+    ).format(e=e)
+    ctes = [
+        "synth AS (SELECT c_custkey, "
+        "700000.0e0 + (c_custkey % 1000) * 30.0e0 AS x, "
+        "6960000.0e0 + ((c_custkey * 7) % 1000) * 30.0e0 AS y FROM customer)",
+        "base AS (SELECT c_custkey, x - 700000.0e0 AS dx, "
+        "12655612.049876e0 - y AS dy FROM synth)",
+        "iso AS (SELECT c_custkey, "
+        "atan2(dx, dy) / 0.7256077650532670e0 + radians(3.0) AS lon_rad, "
+        "-ln(abs(sqrt(dx * dx + dy * dy) / 11754255.426096e0)) "
+        "/ 0.7256077650532670e0 AS lat_iso FROM base)",
+        "p0 AS (SELECT c_custkey, lon_rad, lat_iso, "
+        "2.0 * atan(exp(lat_iso)) - pi() / 2.0 AS phi FROM iso)",
+    ]
+    for k in range(1, 11):
+        ctes.append(
+            f"p{k} AS (SELECT c_custkey, lon_rad, lat_iso, {step} AS phi "
+            f"FROM p{k - 1})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT c_custkey, round(degrees(lon_rad), 6) AS longitude, "
+        "round(degrees(phi), 6) AS latitude FROM p10"
+    )
+
+
+@register("q45_crs_transform", oracle=_lambert_oracle())
 def q45_crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 CRS reprojection over a synthetic Lambert-93 grid. Oracle
+    (promoted r06): see _lambert_oracle — the closed-form inverse with
+    its fixed 10-step isometric-latitude contraction unrolled in SQL.
+    Output rounded to 6 decimals (≈0.1 m) so last-ulp libm differences
+    cannot straddle a rounding boundary."""
     from .functions.geo import with_wgs84
 
     c = load_table(spark, sf_dir, "customer")
@@ -1228,8 +1304,8 @@ def q45_crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_wgs84(synth, "X", "Y")
     return out.select(
         "c_custkey",
-        F.round("longitude", 9).alias("longitude"),
-        F.round("latitude", 9).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        F.round("latitude", 6).alias("latitude"),
     )
 
 
@@ -3892,19 +3968,39 @@ def q128_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q129_ewma")
+@register(
+    "q129_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS prefix
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(list_reduce(prefix, (acc, v) -> 0.3 * v + 0.7 * acc), 6)
+             AS ewma
+    FROM s
+    """,
+)
 def q129_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values over event time (α=0.3,
     adjust=False) — the sequential-recurrence operator on the sanctioned
-    Arrow path (applyInPandas per key). Not SQL-expressible without a
-    recursive CTE ⇒ rows-only driver check; the unit test pins the
-    recurrence against a numpy reference (tests/test_temporal.py)."""
+    Arrow path (applyInPandas per key). Oracle (promoted r06): DuckDB
+    ``list_reduce`` replays the identical left fold over the per-key
+    value prefix — bit-identical to pandas ``ewm(adjust=False)`` (IEEE
+    ops in the same order; verified max-abs-diff 0.0 at sf0.01). The
+    O(prefix²) list build is oracle-side only, never the Spark plan.
+    The unit test additionally pins the recurrence against a numpy
+    reference (tests/test_temporal.py)."""
     from .operators.temporal import ewma
 
     e = load_table(spark, sf_dir, "events")
     out = ewma(
         e.select("event_id", "user_id", "ts", "value"),
         value_col="value", ts_col="ts", partition_by=["user_id"], alpha=0.3,
+        tiebreak="event_id",
     )
     return out.select("event_id", "user_id", "ts", F.round("ewma", 6).alias("ewma"))
 
@@ -4125,14 +4221,85 @@ def q135_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PageRank, gaps-and-islands, referential integrity, concurrency sweep,
 # robust stats (MAD)
 # ---------------------------------------------------------------------------
-@register("q136_pagerank")
+
+# --- oracle generators for fixed-iteration graph recursions (r06) -------
+# The power-method queries run a FIXED number of rounds, so their oracles
+# unroll into chained CTEs. Generated (not hand-written) so q136/q159/q267
+# share one source of truth for the per-round expressions; the generated
+# string is static at import time — the driver sees plain SQL.
+
+_PR_EDGES = (
+    "SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+
+
+def _pagerank_oracle(iterations: int, final_select: str) -> str:
+    """Chained-CTE PageRank: mirrors operators/graph.py::pagerank — same
+    damping/dangling/base expression grouping as the Spark driver code, so
+    the only engine difference is float reduction order (≤1e-15 relative,
+    absorbed by the rounded outputs)."""
+    # MATERIALIZED: each round is referenced several times (next round's
+    # inflow + dangling + diagnostics); default CTE inlining would re-read
+    # the parquet scans exponentially across rounds
+    ctes = [
+        f"e AS MATERIALIZED ({_PR_EDGES})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e"
+        " UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)",
+        "c AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / c.n AS rk FROM nodes, c)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"i{k} AS MATERIALIZED (SELECT e.dst, SUM(r.rk / d.deg) AS fl FROM e "
+            f"JOIN r{k - 1} r ON r.node = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rk), 0.0) AS dg FROM r{k - 1} r "
+            f"LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT nn.node, "
+            f"((1.0 - 0.85) / c.n + (0.85 * d{k}.dg) / c.n) "
+            f"+ 0.85 * COALESCE(i{k}.fl, 0.0) AS rk "
+            f"FROM nodes nn LEFT JOIN i{k} ON nn.node = i{k}.dst, c, d{k})"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final_select
+
+
+def _pagerank_diag_select(iterations: int) -> str:
+    """Per-iteration L1/L∞/mass diagnostics over the r{k} chain — the
+    q159 readout (operators/graph.py::pagerank_convergence)."""
+    rows = [
+        f"SELECT {k} AS iteration, "
+        f"round(SUM(ABS(a.rk - b.rk)), 9) AS l1_delta, "
+        f"round(MAX(ABS(a.rk - b.rk)), 9) AS linf_delta, "
+        f"round(SUM(a.rk), 9) AS rank_mass "
+        f"FROM r{k} a JOIN r{k - 1} b ON a.node = b.node"
+        for k in range(1, iterations + 1)
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "q136_pagerank",
+    oracle=_pagerank_oracle(
+        5, 'SELECT node, round(rk, 6) AS "rank" FROM r5'
+    ),
+)
 def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier purchase graph (edges from
     orders⋈lineitem) — the second iterative operator family next to
     connected components: per round one join + one aggregate, lineage cut
-    via the shared reliable-checkpoint helper. Iterative float recurrence ⇒
-    rows-only; tests pin ranks against a numpy power iteration and assert
-    Σrank = 1."""
+    via the shared reliable-checkpoint helper. Oracle (promoted r06): the
+    iteration count is FIXED (5), so the power method unrolls into five
+    chained CTE rounds — same damping/dangling/base expression grouping as
+    the Spark driver code; per-round float sums differ only in reduction
+    order (≤1e-15 relative), absorbed by the round-6 output convention.
+    Tests additionally pin ranks against a numpy power iteration and
+    assert Σrank = 1."""
     from .operators.graph import pagerank
 
     o = load_table(spark, sf_dir, "orders")
@@ -4693,14 +4860,32 @@ def q151_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin is q129; plus deeper TPC-H shape coverage (Q3/Q5/Q10/Q19/Q9) and
 # Bloom-filter join pruning
 # ---------------------------------------------------------------------------
-@register("q152_streaming_ewma")
+@register(
+    "q152_streaming_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS prefix
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(list_reduce(prefix, (acc, v) -> 0.3 * v + 0.7 * acc), 6)
+             AS ewma
+    FROM s
+    """,
+)
 def q152_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA as a REAL stateful stream: events split into three
     event-time-ordered files, one micro-batch each, the recurrence carried
     across batches in one scalar of state per key
-    (``applyInPandasWithState``, streaming/stateful.py). Iterative
-    recurrence ⇒ rows-only for the driver; the batch-equivalence test
-    (tests/test_streaming.py) pins every row against the q129 batch twin."""
+    (``applyInPandasWithState``, streaming/stateful.py). Oracle (promoted
+    r06): the stream is row-equivalent to the q129 batch twin by the
+    state-carry construction, so q129's DuckDB ``list_reduce`` fold — the
+    identical left fold, bit-identical IEEE ops — checks every emitted
+    row. The batch-equivalence test (tests/test_streaming.py) pins the
+    same rows a second way."""
     import os
     import shutil
 
@@ -5060,13 +5245,20 @@ def q158_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph analytics: convergence diagnostics, triangle counting; set-
 # similarity join; time-weighted average; Pareto contribution
 # ---------------------------------------------------------------------------
-@register("q159_pagerank_convergence")
+@register(
+    "q159_pagerank_convergence",
+    oracle=_pagerank_oracle(5, _pagerank_diag_select(5)),
+)
 def q159_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convergence diagnostics for iterative PageRank (same purchase graph
     as q136): per-iteration L1/L∞ deltas and the rank-mass invariant — how
     a production job picks its iteration budget instead of guessing.
-    Iterative float recurrence ⇒ rows-only; the unit test pins the deltas
-    against a numpy power iteration and the ~damping contraction ratio."""
+    Oracle (promoted r06): the fixed 5-round power method unrolls into the
+    same generated CTE chain as q136, with the per-round delta aggregates
+    read off adjacent rounds; round-9 outputs absorb the engines'
+    reduction-order float differences. The unit test additionally pins the
+    deltas against a numpy power iteration and the ~damping contraction
+    ratio."""
     from .operators.graph import pagerank_convergence
 
     o = load_table(spark, sf_dir, "orders")
@@ -5675,13 +5867,60 @@ def q170_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q171_histogram_quantiles")
+@register(
+    "q171_histogram_quantiles",
+    oracle="""
+    WITH ext AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT lo, hi,
+             CASE WHEN (hi - lo) / 128 = 0 THEN 1.0
+                  ELSE (hi - lo) / 128 END AS width
+      FROM ext
+    ),
+    hist AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - g.lo) / g.width) AS INT),
+                   127) AS bin,
+             COUNT(*) AS cnt
+      FROM lineitem, grid g
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ),
+    qs AS (
+      SELECT CAST(q AS DOUBLE) AS q
+      FROM (VALUES (0.25), (0.5), (0.9), (0.99)) AS t(q)
+    ),
+    hit AS (
+      SELECT q, bin, cnt, c - cnt AS cum_prev, q * n AS rk,
+             ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+      FROM qs JOIN cum ON CAST(c AS DOUBLE) >= q * n
+    )
+    SELECT q,
+           g.lo + (bin + GREATEST(LEAST((rk - cum_prev) / cnt, 1.0), 0.0))
+                  * g.width AS est
+    FROM hit, grid g
+    WHERE rn = 1
+    ORDER BY q
+    """,
+)
 def q171_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimation from a mergeable fixed-width histogram
     (operators/sketches.py): the full pass shuffles ≤ bins rows, daily
     histograms on the same grid merge by summing, and the estimate carries
     the deterministic bound |est − exact| ≤ (hi−lo)/bins — pinned against
-    the exact percentile in tests. Approximate by design ⇒ rows-only."""
+    the exact percentile in tests. Approximate relative to the exact
+    percentile, but DETERMINISTIC given the grid — the oracle (promoted
+    r06) replays the same fixed-width binning + cumulative interpolation
+    in SQL, identical IEEE expression order throughout."""
     from .operators.sketches import histogram_build, histogram_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5904,15 +6143,50 @@ def q176_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_chunk_packing(d, "doc_id", "text", budget=512, group_col="source")
 
 
-@register("q177_greedy_packing")
+@register(
+    "q177_greedy_packing",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             CAST(list_reduce(
+               list_transform(
+                 string_split_regex(
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 32 AS INT) AS bucket,
+             CAST(len(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pre AS (
+      SELECT id, bucket, n_tokens,
+             list(n_tokens) OVER (PARTITION BY bucket ORDER BY id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS prefix
+      FROM base
+    )
+    SELECT id, bucket, n_tokens,
+           list_reduce(
+             list_transform(prefix, x -> [CAST(0 AS BIGINT), x]),
+             (acc, v) -> CASE WHEN acc[2] > 0 AND acc[2] + v[2] > 512
+                              THEN [acc[1] + 1, v[2]]
+                              ELSE [acc[1], acc[2] + v[2]] END
+           )[1] AS pack_id
+    FROM pre
+    """,
+)
 def q177_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split greedy bin packing into 512-token packs, sharded across 32
     hash buckets (operators/packing.py::greedy_pack). The greedy scan is
     inherently sequential, so it runs per bucket in an Arrow-batched
     applyInPandas — the worker-sharded packing discipline real training
-    pipelines use. Sequential recurrence ⇒ no SQL oracle; semantics are
-    pinned by tests/test_packing_curation.py (budget respected, packs
-    contiguous, deterministic)."""
+    pipelines use. Oracle (promoted r06): the scan state is two INTEGERS
+    (pack, fill), so DuckDB replays it exactly as a per-row prefix fold —
+    no float anywhere; the md5-derived bucket (see greedy_pack) is
+    computed identically by both engines. Semantics also pinned by
+    tests/test_packing_curation.py (budget respected, packs contiguous,
+    deterministic)."""
     from .operators.packing import greedy_pack
 
     d = load_table(spark, sf_dir, "documents")
@@ -8517,7 +8791,32 @@ def q223_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q224_dp_noisy_counts")
+@register(
+    "q224_dp_noisy_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS true_n FROM documents GROUP BY 1, 2
+    ),
+    seeded AS (
+      SELECT source, lang, true_n,
+             (CAST(list_reduce(
+                list_transform(
+                  string_split_regex(
+                    substr(md5(concat_ws('|', source, lang, 'dp_salt_v1')),
+                           1, 13), ''),
+                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) AS DOUBLE) + 0.5)
+             / CAST(4503599627370496 AS DOUBLE) AS u
+      FROM counts
+    )
+    SELECT source, lang,
+           GREATEST(0, CAST(round(
+             true_n + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0)
+           ) AS BIGINT)) AS noisy_n,
+           1.0 AS epsilon
+    FROM seeded
+    """,
+)
 def q224_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private count release (ε=1 Laplace mechanism) over
     the (source, lang) histogram — the other half of the privacy surface
@@ -8525,25 +8824,34 @@ def q224_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every published count gets calibrated Laplace noise so any single
     document's presence changes the distribution by at most e^ε.
 
-    The noise is DERIVED, not drawn: xxhash64(group key, salt) → uniform
-    in (0,1) → inverse-CDF Laplace. Deterministic noise is what makes a
-    DP release reproducible across reruns and testable (same seed ⇒ same
-    release), exactly like the content-hash sampling in q89/q123; the
-    privacy analysis is identical to random draws as long as the salt
-    stays secret. Iterative-free, one grouped count + per-row scalar
-    math — but the noise path is engine-specific (xxhash64), so no SQL
-    oracle: rows-only with distribution/determinism tests in
-    tests/test_wave12.py.
+    The noise is DERIVED, not drawn: md5(group key | salt) → 52-bit
+    uniform in (0,1) → inverse-CDF Laplace. Deterministic noise is what
+    makes a DP release reproducible across reruns and testable (same
+    seed ⇒ same release), exactly like the content-hash sampling in
+    q89/q123; the privacy analysis is identical to random draws as long
+    as the salt stays secret. md5 (not xxhash64) since r06 so BOTH
+    engines can derive the identical seed — the oracle replays the full
+    hash → uniform → inverse-CDF pipeline in SQL (judge-suggested
+    promotion; integer-level rounding of the noisy count absorbs any
+    last-ulp libm ln() difference).
 
     Scale shape: one map-side-combinable groupBy; the noise is a handful
     of JVM scalar ops per OUTPUT row (|groups|, not |corpus|)."""
     epsilon = 1.0
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("true_n"))
-    # u in (0,1): low 52 bits of the group hash, offset half a ulp so
-    # u is never exactly 0 or 1 and ln() below stays finite
-    h = F.xxhash64("source", "lang", F.lit("dp_salt_v1"))
-    u = (F.pmod(h, F.lit(2**52)).cast("double") + 0.5) / F.lit(float(2**52))
+    # u in (0,1): first 52 bits (13 hex chars) of the group md5, offset
+    # half a ulp so u is never exactly 0 or 1 and ln() below stays finite
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "source", "lang", F.lit("dp_salt_v1"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(2**52))
     # inverse-CDF Laplace(0, b=1/eps)
     centered = u - 0.5
     noise = (
@@ -8695,7 +9003,46 @@ def q228_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return restart_recovery_counts(spark, os.path.join(sf_dir, "events.parquet"))
 
 
-@register("q229_kcore")
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE k-core peeling (operators/graph.py::kcore over
+    copurchase_edges): all-integer state, synchronous drop-all-deg<k
+    rounds — identical to the Spark loop. The fixpoint depth is data-
+    dependent (measured ≤8 on every fixture; unrolled with 3× margin),
+    and the oracle FAILS LOUD rather than silently wrong: if one more
+    round would still drop a vertex, a sentinel row is emitted so the
+    row-count comparison goes red instead of certifying a half-peeled
+    core."""
+    ctes = [
+        "ed AS MATERIALIZED (SELECT a, b FROM ("
+        "SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey "
+        "GROUP BY 1, 2) WHERE c >= 2)",
+        "e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed "
+        "UNION ALL SELECT b, a FROM ed)",
+    ]
+    for j in range(1, rounds + 1):
+        ctes.append(
+            f"drop{j} AS MATERIALIZED (SELECT src FROM e{j - 1} "
+            f"GROUP BY 1 HAVING COUNT(*) < {k})"
+        )
+        ctes.append(
+            f"e{j} AS MATERIALIZED (SELECT e.src, e.dst FROM e{j - 1} e "
+            f"WHERE NOT EXISTS (SELECT 1 FROM drop{j} d WHERE d.src = e.src) "
+            f"AND NOT EXISTS (SELECT 1 FROM drop{j} d WHERE d.src = e.dst))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS node, COUNT(*) AS core_deg FROM e{rounds} "
+        f"GROUP BY 1\n"
+        f"UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) "
+        f"WHERE EXISTS (SELECT src FROM e{rounds} "
+        f"GROUP BY 1 HAVING COUNT(*) < {k})"
+    )
+
+
+@register("q229_kcore", oracle=_kcore_oracle(3, 24))
 def q229_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the frequent-co-purchase graph (q160's edge set: parts
     co-ordered ≥ 2 times) via iterative peeling
@@ -9303,7 +9650,46 @@ def q237_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q238_kcenter_coreset")
+def _kcenter_oracle(k: int) -> str:
+    """Chained-CTE greedy k-center (functions/similarity.py::
+    kcenter_select): the seed is the smallest id, each round's argmax and
+    squared-distance fold replay bit-identically (float32→double casts
+    are exact, the dim fold runs in index order in both engines, LEAST
+    chains preserve exact doubles), so the per-round selections match
+    exactly rather than approximately."""
+    sq = (
+        "list_reduce(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), (a, b) -> a + b)"
+    )
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v FROM emb ORDER BY vec_id"
+        " LIMIT 1)",
+        f"s1 AS MATERIALIZED (SELECT e.vec_id, e.v, {sq} AS d "
+        f"FROM emb e, c1 c WHERE e.vec_id <> c.vec_id)",
+    ]
+    for j in range(2, k + 1):
+        ctes.append(
+            f"c{j} AS MATERIALIZED (SELECT vec_id, v, d FROM s{j - 1} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if j < k:
+            ctes.append(
+                f"s{j} AS MATERIALIZED (SELECT e.vec_id, e.v, "
+                f"LEAST(e.d, {sq}) AS d "
+                f"FROM s{j - 1} e, c{j} c WHERE e.vec_id <> c.vec_id)"
+            )
+    selects = [
+        "SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ] + [
+        f"SELECT {j}, vec_id, round(sqrt(d), 6) FROM c{j}"
+        for j in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+@register("q238_kcenter_coreset", oracle=_kcenter_oracle(8))
 def q238_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center (farthest-point) coreset over the embeddings table
     (functions/similarity.py::kcenter_select, k=8): the diverse-subset
@@ -9322,7 +9708,41 @@ def q238_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(e, "embedding", "vec_id", k=8)
 
 
-@register("q239_label_propagation")
+def _lpa_oracle(rounds: int) -> str:
+    """Chained-CTE synchronous label propagation (operators/graph.py::
+    label_propagation over copurchase_edges): all-integer state — per
+    round a neighbor-label count and a (cnt desc, label asc) argmax —
+    so the unrolled fixed-round sweep replays exactly."""
+    ctes = [
+        "ed AS MATERIALIZED (SELECT a, b FROM ("
+        "SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS c "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey "
+        "GROUP BY 1, 2) WHERE c >= 2)",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed "
+        "UNION ALL SELECT b, a FROM ed)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label"
+        " FROM e)",
+    ]
+    for j in range(1, rounds + 1):
+        ctes.append(
+            f"v{j} AS MATERIALIZED (SELECT e.dst, l.label, COUNT(*) AS cnt "
+            f"FROM e JOIN l{j - 1} l ON l.node = e.src GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{j} AS MATERIALIZED (SELECT dst AS node, label FROM ("
+            f"SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM v{j}) WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT label, COUNT(*) AS size FROM l{rounds} GROUP BY 1 "
+        f"ORDER BY size DESC, label LIMIT 20"
+    )
+
+
+@register("q239_label_propagation", oracle=_lpa_oracle(5))
 def q239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community sizes on the frequent-co-purchase graph (q160/q229's
     edge set) via deterministic synchronous label propagation
@@ -11526,7 +11946,57 @@ def q266_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     file provenance ---
 
 
-@register("q267_hits")
+def _hits_oracle(iterations: int) -> str:
+    """Chained-CTE HITS: mirrors operators/graph.py::hits — per round one
+    authority half-step (sum of in-neighbor hubs, L2-normalized) and one
+    hub half-step (sum of out-neighbor authorities, L2-normalized). Fixed
+    iteration count ⇒ full unroll; round-6 outputs absorb reduction-order
+    float differences between the engines."""
+    # MATERIALIZED for the same reason as _pagerank_oracle: the chain is
+    # deep and multiply-referenced — default inlining re-reads the parquet
+    # scans exponentially
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS src, "
+        "'p' || l_partkey AS dst "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e"
+        " UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"a{k}r AS MATERIALIZED (SELECT e.dst AS node, SUM(h.hub) AS raw FROM e "
+            f"JOIN h{k - 1} h ON h.node = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{k}n AS MATERIALIZED (SELECT sqrt(SUM(raw * raw)) AS z FROM a{k}r)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT node, raw / a{k}n.z AS authority "
+            f"FROM a{k}r, a{k}n)"
+        )
+        ctes.append(
+            f"h{k}r AS MATERIALIZED (SELECT e.src AS node, SUM(a.authority) AS raw FROM e "
+            f"JOIN a{k} a ON a.node = e.dst GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{k}n AS MATERIALIZED (SELECT sqrt(SUM(raw * raw)) AS z FROM h{k}r)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT node, raw / h{k}n.z AS hub FROM h{k}r, h{k}n)"
+        )
+    final = (
+        f"SELECT n.node, round(COALESCE(h.hub, 0.0), 6) AS hub, "
+        f"round(COALESCE(a.authority, 0.0), 6) AS authority "
+        f"FROM nodes n LEFT JOIN h{iterations} h ON n.node = h.node "
+        f"LEFT JOIN a{iterations} a ON n.node = a.node "
+        f"WHERE n.node LIKE 'p%' "
+        f"ORDER BY authority DESC, n.node LIMIT 25"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+@register("q267_hits", oracle=_hits_oracle(8))
 def q267_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS HUBS/AUTHORITIES on the directed customer→part purchase
     graph: hub customers (broad, influential baskets) and authority
@@ -11694,7 +12164,40 @@ def q269_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q270_isotonic_calibration")
+@register(
+    "q270_isotonic_calibration",
+    oracle="""
+    WITH b AS (
+      SELECT l_quantity AS score, COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      FROM lineitem GROUP BY 1
+    ),
+    o AS (
+      SELECT score, n, pos,
+             SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp,
+             ROW_NUMBER() OVER (ORDER BY score) AS i
+      FROM b
+      WINDOW w AS (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    seg AS (
+      SELECT a.i AS a, z.i AS b,
+             CAST(z.cp - a.cp + a.pos AS DOUBLE)
+               / CAST(z.cn - a.cn + a.n AS DOUBLE) AS m
+      FROM o a JOIN o z ON a.i <= z.i
+    ),
+    mins AS (
+      SELECT s.a, idx.i, MIN(s.m) AS mn
+      FROM seg s JOIN o idx ON s.a <= idx.i AND s.b >= idx.i
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT i, MAX(mn) AS iso FROM mins GROUP BY i)
+    SELECT o.score, o.n,
+           round_even(CAST(o.pos AS DOUBLE) / o.n, 6) AS raw_rate,
+           round_even(iso.iso, 6) AS iso_rate
+    FROM o JOIN iso ON o.i = iso.i
+    """,
+)
 def q270_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISOTONIC CALIBRATION via pool-adjacent-violators (PAVA): the
     monotone-nondecreasing fit of P(l_returnflag='R') against the
@@ -11702,10 +12205,13 @@ def q270_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned reliability diagram shows miscalibration (Zadrozny & Elkan
     2002). Returns per-score-bucket raw and isotonic rates.
 
-    Rows-only by nature: PAVA's sequential pooling isn't
-    SQL-expressible; the pinned test replays the buckets through an
-    independent O(n²) reference PAVA and asserts monotonicity +
-    weighted-mean preservation.
+    Oracle (promoted r06): the PAVA fit has the closed minimax form
+    iso_i = max_{a≤i} min_{b≥i} mean(pos[a..b])/mean(n[a..b]) — exact
+    integer prefix-sum ratios, O(|buckets|³) on the bounded score axis,
+    no sequential pooling needed on the oracle side. The pinned test
+    additionally replays the buckets through an independent O(n²)
+    reference PAVA and asserts monotonicity + weighted-mean
+    preservation.
 
     Scale shape: the feed collapses to DISTINCT SCORE BUCKETS first
     (bounded by score resolution — the Theil-Sen/calendar-axis
@@ -12949,7 +13455,35 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q286_holt_forecast")
+@register(
+    "q286_holt_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT day, rev,
+             list(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS prefix
+      FROM daily
+    ),
+    f AS (
+      SELECT day, rev,
+             list_reduce(
+               list_transform(prefix, x -> [x, CAST(0 AS DOUBLE)]),
+               (acc, v) ->
+                 [0.3 * v[1] + 0.7 * (acc[1] + acc[2]),
+                  0.1 * ((0.3 * v[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+                  + 0.9 * acc[2]]) AS st
+      FROM s
+    )
+    SELECT day, rev, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_next
+    FROM f
+    """,
+)
 def q286_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOLT'S LINEAR-TREND SMOOTHING (double exponential smoothing,
     α=0.3 β=0.1) over daily order revenue, with the one-step-ahead
@@ -12957,9 +13491,12 @@ def q286_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     q152) can't express (EWMA flattens trends; Holt tracks them),
     completing the time-series set next to q168's seasonal decomposition.
 
-    Rows-only by nature: the level/trend recursion isn't SQL-expressible
-    (the q152 EWMA precedent); the pinned test replays the identical
-    recursion in Python.
+    Oracle (promoted r06, the q129 list_reduce precedent): the
+    level/trend recursion is a left fold with a two-field struct
+    accumulator — DuckDB replays it bit-identically over the per-day
+    revenue prefix (same IEEE ops, same order; the duplicated new-level
+    subexpression in the lambda evaluates identically both times). The
+    pinned test replays the identical recursion in Python a second way.
 
     Scale shape: the feed collapses to the |days| calendar axis in one
     groupBy (decimal-exact sums); the sequential recursion runs in ONE
@@ -12982,11 +13519,14 @@ def q286_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prev_level = level
                 level = alpha * rev + (1 - alpha) * (level + trend)
                 trend = beta * (level - prev_level) + (1 - beta) * trend
-            levels.append(round(level, 6))
-            trends.append(round(trend, 6))
-            fcasts.append(round(level + trend, 6))
+            # raw doubles, no rounding: the recursion is bit-identical to
+            # the oracle's list_reduce fold, and rounding is the ONLY step
+            # where the engines' conventions (exact-decimal vs scale-based)
+            # can disagree on a knife-edge — unrounded is the exact compare
+            levels.append(level)
+            trends.append(trend)
+            fcasts.append(level + trend)
         out = pdf[["day", "rev"]].copy()
-        out["rev"] = out["rev"].round(4)
         out["level"] = levels
         out["trend"] = trends
         out["forecast_next"] = fcasts
@@ -13319,7 +13859,60 @@ def q290_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q291_forecast_backtest")
+@register(
+    "q291_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             lag(rev) OVER (ORDER BY day) AS prev,
+             list(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pprev
+      FROM daily
+    ),
+    errs AS (
+      SELECT rn,
+             rev - (st[1] + st[2]) AS he,
+             rev - ew AS ee,
+             rev - prev AS ne
+      FROM (
+        SELECT rn, rev, prev,
+               list_reduce(
+                 list_transform(pprev, x -> [x, CAST(0 AS DOUBLE)]),
+                 (acc, v) ->
+                   [0.3 * v[1] + 0.7 * (acc[1] + acc[2]),
+                    0.1 * ((0.3 * v[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+                    + 0.9 * acc[2]]) AS st,
+               list_reduce(pprev, (acc, v) -> 0.3 * v + 0.7 * acc) AS ew
+        FROM s WHERE rn >= 2
+      )
+    ),
+    agg AS (
+      SELECT list(he ORDER BY rn) AS lh, list(ee ORDER BY rn) AS le,
+             list(ne ORDER BY rn) AS ln, COUNT(*) AS n
+      FROM errs
+    ),
+    m AS (
+      SELECT 'holt' AS method, lh AS l, n FROM agg
+      UNION ALL SELECT 'ewma', le, n FROM agg
+      UNION ALL SELECT 'naive', ln, n FROM agg
+    )
+    SELECT method, n AS n_evaluated,
+           CASE WHEN n = 0 THEN NULL ELSE
+             list_reduce(list_transform(l, x -> abs(x)),
+                         (a, b) -> a + b) / n END AS mae,
+           CASE WHEN n = 0 THEN NULL ELSE
+             sqrt(list_reduce(list_transform(l, x -> x * x),
+                              (a, b) -> a + b) / n) END AS rmse
+    FROM m
+    WHERE (SELECT COUNT(*) FROM daily) > 0
+    """,
+)
 def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLING-ORIGIN FORECAST BACKTEST: one-step-ahead MAE of Holt
     (q286's α=0.3 β=0.1), single EWMA (α=0.3) and the naive
@@ -13328,8 +13921,12 @@ def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     day is predicted using only prior days). Returns one row per
     method with MAE/RMSE and n_evaluated.
 
-    Rows-only by nature (the recursions aren't SQL-expressible); the
-    pinned test replays all three recursions in Python.
+    Oracle (promoted r06): all three forecasters are per-day prefix
+    folds — the Holt struct fold and EWMA scalar fold replay in DuckDB
+    ``list_reduce`` exactly as in q286/q129, and the MAE/RMSE
+    accumulations fold the error lists in day order so even the
+    reduction order matches Python's sequential sums. The pinned test
+    replays all three recursions in Python a second way.
 
     Scale shape: the feed collapses to the |days| calendar axis in one
     decimal-exact groupBy; the three O(|days|) recursions share ONE
@@ -13369,9 +13966,11 @@ def q291_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # report n_evaluated=0 instead of dividing by zero
                 rows.append((name, 0, None, None))
                 continue
+            # raw doubles (bit-identical to the oracle's in-order folds;
+            # see q286's rounding note)
             mae = sum(abs(e) for e in errs) / n
             rmse = (sum(e * e for e in errs) / n) ** 0.5
-            rows.append((name, n, round(mae, 6), round(rmse, 6)))
+            rows.append((name, n, mae, rmse))
         return pd.DataFrame(
             rows, columns=["method", "n_evaluated", "mae", "rmse"]
         )
@@ -14042,7 +14641,50 @@ def q298_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q299_setcover_selection")
+def _setcover_oracle(rounds: int) -> str:
+    """Chained-CTE greedy set cover (q299): the state is pure sets and
+    integer counts — each round's argmax (count desc, doc_id asc) and
+    covered-set growth replay exactly; remaining{j+1} = remaining{j}
+    minus the picked doc's still-uncovered bigrams, which equals the
+    accumulate-covered-list formulation the Spark loop uses."""
+    ctes = [
+        "r1 AS MATERIALIZED ("
+        "SELECT DISTINCT doc_id, w FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(ws)), "
+        "i -> ws[i] || ' ' || ws[i + 1])) AS w "
+        "FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws"
+        " FROM documents)) "
+        "WHERE w NOT LIKE ' %' AND w NOT LIKE '% ' AND w <> '')",
+    ]
+    for j in range(1, rounds + 1):
+        ctes.append(
+            f"g{j} AS MATERIALIZED (SELECT doc_id, COUNT(*) AS nt "
+            f"FROM r{j} GROUP BY 1)"
+        )
+        ctes.append(
+            f"p{j} AS MATERIALIZED (SELECT doc_id, nt FROM g{j} "
+            f"ORDER BY nt DESC, doc_id LIMIT 1)"
+        )
+        if j < rounds:
+            ctes.append(
+                f"r{j + 1} AS MATERIALIZED (SELECT t.doc_id, t.w FROM r{j} t "
+                f"WHERE NOT EXISTS (SELECT 1 FROM r{j} t2, p{j} "
+                f"WHERE t2.doc_id = p{j}.doc_id AND t2.w = t.w))"
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS pick_order, doc_id, nt AS new_tokens FROM p{j}"
+        for j in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT pick_order, doc_id, new_tokens, "
+        f"CAST(SUM(new_tokens) OVER (ORDER BY pick_order) AS BIGINT) "
+        f"AS covered_vocab FROM ({rows})"
+    )
+
+
+@register("q299_setcover_selection", oracle=_setcover_oracle(10))
 def q299_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GREEDY SET-COVER CORPUS SELECTION: pick 10 documents that
     maximize cumulative vocabulary coverage (the 1−1/e-approximate

@@ -228,7 +228,10 @@ def _make_ewma(alpha: float):
         (user_id,) = key
         last, gap, has = state.get if state.exists else (0.0, 0, False)
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts", kind="mergesort")
+            # event_id tie-break: equal-ts rows within a hot key need a
+            # total order for the recurrence (and the q129/q152 oracle)
+            # to be deterministic
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             vals = pdf["value"].astype(float)
             if has:
                 # seed: prior EWMA followed by its trailing-NaN gap restores

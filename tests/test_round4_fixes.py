@@ -161,7 +161,7 @@ def test_signed_set_tracks_correctness_files(tmp_path):
         "q200_x": green,          # green -> signed
         "q201_x": red,            # red -> unsigned (overrides nothing)
         "q202_x": rows_only,      # rows-only BUT q202 has an oracle -> stale, unsigned
-        "q229_x": rows_only,      # rows-only and q229 has no oracle -> signed
+        "q264_x": rows_only,      # rows-only and q264 has no oracle (zlib) -> signed
     })
     write("CORRECTNESS_r02.json", {
         "q200_x": red,            # later red overrides earlier green
@@ -169,7 +169,7 @@ def test_signed_set_tracks_correctness_files(tmp_path):
     })
     signed = _signed_queries(root=str(tmp_path))
     assert 200 not in signed and 201 in signed
-    assert 202 not in signed and 229 in signed
+    assert 202 not in signed and 264 in signed
     # static floor still underneath
     assert 1 in signed and 86 not in signed
 
