@@ -4277,7 +4277,11 @@ def _pagerank_diag_select(iterations: int) -> str:
         f"round(SUM(ABS(a.rk - b.rk)), 9) AS l1_delta, "
         f"round(MAX(ABS(a.rk - b.rk)), 9) AS linf_delta, "
         f"round(SUM(a.rk), 9) AS rank_mass "
-        f"FROM r{k} a JOIN r{k - 1} b ON a.node = b.node"
+        # HAVING: a key-free aggregate over the empty join (empty-table
+        # fixture) would emit one all-NULL row per iteration where the
+        # Spark side's empty graph emits nothing (r06 empty-sweep drift)
+        f"FROM r{k} a JOIN r{k - 1} b ON a.node = b.node "
+        f"HAVING COUNT(*) > 0"
         for k in range(1, iterations + 1)
     ]
     return " UNION ALL ".join(rows)
