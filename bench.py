@@ -192,25 +192,36 @@ def main() -> None:
         else None
         for name in HEADLINE
     }
-    # Key order matters: the driver's capture of BENCH_r03 kept only the
-    # TAIL of this (long) line, truncating the head — the per-query seconds
-    # were lost and had to be re-derived from input_rows/rows_per_sec. Put
-    # the derivable diagnostics (input_rows) first as the sacrificial
-    # section and the essential fields (rows_per_sec, per-query seconds,
-    # total, sf) last so a tail capture always preserves them.
+    # The driver captures only the last ~2000 chars of stdout and tries to
+    # json-parse the capture (BENCH_r03..r05 all show parsed=None because
+    # the line, with diagnostics inlined, ran ~3.5 KB). Keep stdout to ONE
+    # line under 2000 chars — contract fields only — so the tail capture IS
+    # the complete line and parses; ship the derivable diagnostics
+    # (input_rows, rows_per_sec) to stderr instead.
     print(
-        json.dumps(
+        json.dumps({"input_rows": input_rows, "rows_per_sec": rows_per_sec}),
+        file=sys.stderr,
+    )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "unit": "sec",
+            "queries": timings,
+            "value": total,
+            "sf": float(sf),
+        }
+    )
+    if len(line) > 1900:  # stay inside the tail window: shed precision, not keys
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "unit": "sec",
-                "input_rows": input_rows,
-                "rows_per_sec": rows_per_sec,
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "value": total,
                 "sf": float(sf),
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":
