@@ -204,11 +204,29 @@ ANNOTATED = {
 }
 
 
+def _git_head() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     spark = get_spark(app_name="plans")
     qs = registry.queries()
     out = [
         "# PLANS — captured physical plans (generated by tools/capture_plans.py)",
+        "",
+        f"Generated at commit {_git_head()} (uncommitted regeneration lands in "
+        "the next commit).",
         "",
         "Evidence that the engine's plans are the plans you'd want: filters",
         "reach the scans (`PushedFilters`), projections prune (`ReadSchema`),",
