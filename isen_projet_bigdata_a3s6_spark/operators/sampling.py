@@ -60,13 +60,16 @@ def stratified_mod_sample(
     default_frac: float = 0.0,
 ) -> DataFrame:
     """Cross-engine-reproducible variant: bucket = (key · 2654435761)
-    mod 1e4 on an integer key. The arithmetic is plain BIGINT multiply+mod,
-    so any SQL engine computes the identical membership — use this when an
-    independent system must reproduce the exact sample (audits, oracles).
-    Caller guarantees key · 2654435761 fits in int64 (keys < ~3.4e9 —
-    Spark would wrap silently where other engines raise); prefer the
-    xxhash64 variant whenever cross-engine replay isn't required."""
-    bucket = F.pmod(F.col(key_col).cast("long") * F.lit(_KNUTH), F.lit(_BUCKETS))
+    mod 1e4 on an integer key. The multiply runs in DECIMAL(38,0) — exact
+    for EVERY int64 key (|key| · 2654435761 ≤ 2.4e28 ≪ 10^38), where a
+    plain BIGINT multiply overflows once keys pass ~3.4e9 (ANSI Spark
+    raises, non-ANSI engines wrap silently — either way the sample dies
+    exactly at production key ranges; caught by the sf1 upscale probe,
+    whose shard stride puts keys at ~2^40). Any SQL engine reproduces the
+    identical membership via 128-bit/decimal arithmetic (DuckDB: cast the
+    key to HUGEINT first); prefer the xxhash64 variant whenever
+    cross-engine replay isn't required."""
+    bucket = F.pmod(F.col(key_col).cast("decimal(38,0)") * F.lit(_KNUTH), F.lit(_BUCKETS))
     return df.filter(bucket < _stratum_threshold(fractions, stratum_col, default_frac))
 
 
@@ -85,7 +88,7 @@ def stratified_exact_k(
     the key space rather than being the k smallest ids."""
     from pyspark.sql import Window
 
-    bucket = F.pmod(F.col(key_col) * F.lit(_KNUTH), F.lit(_BUCKETS))
+    bucket = F.pmod(F.col(key_col).cast("decimal(38,0)") * F.lit(_KNUTH), F.lit(_BUCKETS))
     w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -2508,7 +2508,7 @@ def q88_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, event_type, value
     FROM events
-    WHERE ((event_id * 2654435761) % 10000 + 10000) % 10000 <
+    WHERE ((CAST(event_id AS HUGEINT) * 2654435761) % 10000 + 10000) % 10000 <
           CASE event_type
             WHEN 'purchase' THEN 10000
             WHEN 'click' THEN 5000
@@ -3781,7 +3781,8 @@ def q122_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, event_type, value,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY ((event_id * 2654435761) % 10000 + 10000) % 10000, event_id
+               ORDER BY ((CAST(event_id AS HUGEINT) * 2654435761) % 10000
+                         + 10000) % 10000, event_id
              ) AS rn
       FROM events
     )
@@ -4014,7 +4015,8 @@ def q129_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    ORDER BY POW(((o_orderkey * 2654435761) % 10000 + 1) / 10001.0,
+    ORDER BY POW(((CAST(o_orderkey AS HUGEINT) * 2654435761) % 10000 + 1)
+                   / 10001.0,
                  1.0 / o_totalprice) DESC, o_orderkey
     LIMIT 500
     """,
@@ -4027,9 +4029,12 @@ def q130_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition k, no global sort); identical
     IEEE pow on both engines makes the oracle exact."""
     o = load_table(spark, sf_dir, "orders")
-    u = (F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(10000)) + 1) / F.lit(
-        10001.0
-    )
+    # decimal multiply: exact for every int64 key where a long multiply
+    # overflows past keys ~3.4e9 (the oracle casts to HUGEINT identically)
+    u = (
+        F.pmod(F.col("o_orderkey").cast("decimal(38,0)") * F.lit(2654435761), F.lit(10000))
+        + 1
+    ) / F.lit(10001.0)
     priority = F.pow(u, 1.0 / F.col("o_totalprice"))
     return (
         o.select("o_orderkey", "o_totalprice", priority.alias("__p"))
@@ -5593,7 +5598,8 @@ def q166_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q167_kfold_cv_ols",
     oracle="""
     WITH f AS (
-      SELECT CAST(((l_orderkey * 2654435761) % 5 + 5) % 5 AS INT) AS fold,
+      SELECT CAST(((CAST(l_orderkey AS HUGEINT) * 2654435761) % 5 + 5) % 5
+                  AS INT) AS fold,
              -- 19,4: int128 storage so products are exact (DuckDB's int64
              -- multiply path overflows at 18,4); Spark side uses 18,4
              -- (decimal(37,8) products) — both exact, so values agree
@@ -5651,7 +5657,7 @@ def q167_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     f = li.select(
-        F.pmod(F.col("l_orderkey") * F.lit(2654435761), F.lit(5))
+        F.pmod(F.col("l_orderkey").cast("decimal(38,0)") * F.lit(2654435761), F.lit(5))
         .cast("int")
         .alias("fold"),
         dec("l_quantity", 18, 4).alias("x"),
@@ -6282,7 +6288,8 @@ def q179_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY ((doc_id * 2654435761) % 10000 + 10000) % 10000, doc_id
+               ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761) % 10000
+                         + 10000) % 10000, doc_id
              ) AS rn
       FROM documents
     )
@@ -6305,7 +6312,9 @@ def q180_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = counts.agg(
         F.ceil(F.min("n") * F.lit(0.4)).cast("long").alias("m")
     )
-    h = ((F.col("doc_id") * F.lit(2654435761)) % 10000 + 10000) % 10000
+    h = (
+        (F.col("doc_id").cast("decimal(38,0)") * F.lit(2654435761)) % 10000 + 10000
+    ) % 10000
     ranked = d.select(
         "doc_id",
         "source",
@@ -6946,9 +6955,11 @@ def q194_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CASE
-             WHEN ((doc_id * 2654435761) % 10000 + 10000) % 10000 < 8000
+             WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 10000
+                   + 10000) % 10000 < 8000
                THEN 'train'
-             WHEN ((doc_id * 2654435761) % 10000 + 10000) % 10000 < 9000
+             WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 10000
+                   + 10000) % 10000 < 9000
                THEN 'val'
              ELSE 'test'
            END AS split
@@ -6963,7 +6974,9 @@ def q195_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs to be REPRODUCIBLE across reruns and engines; pure row-parallel
     expression, no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    h = ((F.col("doc_id") * F.lit(2654435761)) % 10000 + 10000) % 10000
+    h = (
+        (F.col("doc_id").cast("decimal(38,0)") * F.lit(2654435761)) % 10000 + 10000
+    ) % 10000
     return d.select(
         "doc_id",
         F.when(h < 8000, F.lit("train"))
@@ -12877,7 +12890,7 @@ def q278_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id % 16 AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM((doc_id * 1000003 + n_chars) % 1000000007) AS BIGINT)
+           CAST(SUM((CAST(doc_id AS HUGEINT) * 1000003 + n_chars) % 1000000007) AS BIGINT)
              AS checksum
     FROM documents GROUP BY 1
     """,
@@ -12892,13 +12905,18 @@ def q279_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combining groupBy over 16 groups; the
     checksum terms stay below 1e9 each, so BIGINT sums never overflow on
-    either engine and the sum is order-independent by integer
-    exactness."""
+    either engine and the sum is order-independent by integer exactness.
+    The per-row doc_id * 1000003 runs in DECIMAL(38,0) (HUGEINT on the
+    oracle): a long multiply overflows once doc_id passes ~9.2e12, which
+    real corpus id ranges reach (caught by the sf1 upscale probe)."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy((F.col("doc_id") % 16).alias("shard")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
-        F.sum((F.col("doc_id") * 1000003 + F.col("n_chars")) % 1000000007)
+        F.sum(
+            (F.col("doc_id").cast("decimal(38,0)") * 1000003 + F.col("n_chars"))
+            % 1000000007
+        )
         .cast("long")
         .alias("checksum"),
     )
@@ -14792,7 +14810,7 @@ def q299_setcover_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, doc_id % 4 AS shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM((doc_id * 1000003 + n_chars) % 1000000007) AS BIGINT)
+           CAST(SUM((CAST(doc_id AS HUGEINT) * 1000003 + n_chars) % 1000000007) AS BIGINT)
              AS checksum
     FROM selected GROUP BY 1, 2
     """,
@@ -14845,7 +14863,10 @@ def q300_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
-        F.sum((F.col("doc_id") * 1000003 + F.col("n_chars")) % 1000000007)
+        F.sum(
+            (F.col("doc_id").cast("decimal(38,0)") * 1000003 + F.col("n_chars"))
+            % 1000000007
+        )
         .cast("long")
         .alias("checksum"),
     )

@@ -1,0 +1,81 @@
+"""Full-registry scale smoke: execute EVERY registered query at a given
+sf_dir end-to-end (noop sink), recording ok/error and wall seconds.
+
+The bench and the scale probe cover the 40 headline queries; the other 260
+registry entries only ever execute at sf0.001/sf0.01 (pytest + driver
+oracle gates), where int64 overflows, buffer blowups, and quadratic
+stages hide below tiny key ranges and row counts. Running the whole
+registry once against the sf1 upscale fixture (tools/upscale.py: keys at
+the 2^40 shard stride, 10x sf0.1 rows) is the cheapest way to surface the
+class of bug the r06 probe caught twice in the headline set alone
+(ARITHMETIC_OVERFLOW in multiplicative hashes at production key ranges —
+q89/q123/q130/q167/q180/q195 via sampling.py, q279/q300 checksums).
+
+No per-query timeout: local[32] has no safe in-process job kill; instead a
+global wall budget (--budget, default 3600 s) stops launching new queries
+once exhausted, and the report marks the rest SKIPPED. Queries run in
+registry order, so a re-run with a bigger budget extends coverage.
+
+Usage: python tools/scale_smoke.py [sf_dir] [--budget SECONDS]
+One JSON line to stdout: {"metric": "scale_smoke", "sf_dir": ...,
+"ok": N, "errors": {...}, "skipped": [...], "slowest": {...}}.
+Human progress to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from isen_projet_bigdata_a3s6_spark import queries as registry  # noqa: E402
+from isen_projet_bigdata_a3s6_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/tmp/a3s6_scale/sf1"
+    budget = 3600.0
+    for a in sys.argv[1:]:
+        if a.startswith("--budget"):
+            budget = float(a.split("=", 1)[1]) if "=" in a else budget
+    spark = get_spark(app_name="scale_smoke")
+    qs = registry.queries()
+    t_start = time.perf_counter()
+    ok, errors, skipped, times = 0, {}, [], {}
+    for i, name in enumerate(sorted(qs)):
+        if time.perf_counter() - t_start > budget:
+            skipped = sorted(qs)[i:]
+            break
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 2)
+            times[name] = dt
+            ok += 1
+            print(f"[{i + 1}/{len(qs)}] {name}: ok {dt}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — smoke must survive anything
+            dt = round(time.perf_counter() - t0, 2)
+            msg = str(exc).split("\n", 1)[0][:200]
+            errors[name] = msg
+            print(f"[{i + 1}/{len(qs)}] {name}: ERROR {dt}s {msg}", file=sys.stderr)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "scale_smoke",
+        "sf_dir": sf_dir,
+        "ok": ok,
+        "n_errors": len(errors),
+        "errors": errors,
+        "n_skipped": len(skipped),
+        "skipped": skipped[:20],
+        "slowest": slowest,
+        "total_sec": round(time.perf_counter() - t_start, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
