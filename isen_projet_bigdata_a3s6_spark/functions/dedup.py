@@ -238,26 +238,50 @@ def ngram_jaccard_pairs(
     band_grams: int = 2,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing at least
-    one of their ``band_grams`` rarest shingles (a cheap blocking key that
-    bounds the join). Returns (id_a, id_b, jaccard) with exact Jaccard.
+    one of their ``band_grams`` RAREST shingles (ascending global document
+    frequency, lexicographic tiebreak — deterministic and SQL-replayable).
+    Returns (id_a, id_b, jaccard) with exact Jaccard.
     At corpus scale swap the blocking key for MinHash bands
-    (:func:`minhash_dedup_pairs`) — this exact variant is the verifier."""
+    (:func:`minhash_dedup_pairs`) — this exact variant is the verifier.
+
+    Rarity matters, not order: the original lexicographically-SMALLEST
+    blocking key concentrated most documents onto one bucket (the minimal
+    5-gram of real text is almost always the same punctuation/space
+    sequence), and each candidate row carries BOTH full gram arrays — at
+    the sf1 upscale smoke that one hot bucket spilled past the disk
+    (~quadratic pairs × ~10 KB payload). A rarest-shingle key gives
+    bucket sizes equal to the key's document frequency — small by
+    construction."""
     grams = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(char_ngrams(text_col, ngram)).alias("__g"),
     ).filter(F.size("__g") > 0)
-    # block on the lexicographically-smallest shingles (deterministic)
-    keyed = grams.select(
-        "__id", "__g", F.explode(F.slice(F.array_sort("__g"), 1, band_grams)).alias("__k")
+    exploded = grams.select("__id", F.explode("__g").alias("__k"))
+    dfreq = exploded.groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
+    block = (
+        exploded.join(dfreq, "__k")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("__id").orderBy(F.asc("__df"), F.asc("__k"))
+            ),
+        )
+        .filter(F.col("__rn") <= band_grams)
+        .select("__id", "__k")
     )
-    a = keyed.select(F.col("__k"), F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
-    b = keyed.select(F.col("__k"), F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    # ids only through the blocking join and the distinct; the gram arrays
+    # (kilobytes per document) reattach via two id-equi-joins on the
+    # deduped candidate set — same payload discipline as the LSH family
+    a = block.select("__k", F.col("__id").alias("id_a"))
+    b = block.select("__k", F.col("__id").alias("id_b"))
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
     union = F.size(F.array_union("__ga", "__gb")).cast("double")
     return (
         a.join(b, "__k")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(grams.select(F.col("__id").alias("id_a"), F.col("__g").alias("__ga")), "id_a")
+        .join(grams.select(F.col("__id").alias("id_b"), F.col("__g").alias("__gb")), "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -273,6 +297,7 @@ def embedding_dedup_pairs(
     bands: int = 4,
     dim: int | None = None,
     exact: bool = False,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
     cosine ≥ threshold.
@@ -282,7 +307,17 @@ def embedding_dedup_pairs(
     ``exact=False`` (default) generates candidates via SRP-LSH banding
     (same hyperplane family as similarity.lsh_topk) and scores only
     bucket-colliding pairs — the 100 TB path.
-    """
+
+    ``target_bucket`` makes the band width CORPUS-ADAPTIVE: bits per band
+    become max(num_bits // bands, ⌈log2(n / target_bucket)⌉), capped at
+    64 // bands (the packed-int64 signature width). Fixed-width bands do
+    not scale — bucket count is constant, so bucket SIZE grows linearly
+    with the corpus and candidate pairs grow QUADRATICALLY (the sf1
+    upscale smoke: 20k vectors through 2-bit bands = 4 buckets/band ≈
+    100M candidates, disk-exhausted). Adaptive width keeps expected
+    bucket size ≈ target_bucket at every corpus size; the recall cost per
+    added bit is the standard SRP trade-off ((1 − θ/π) per bit) and
+    belongs to the caller's (bands, threshold) design."""
     from .similarity import _hyperplanes, cosine, srp_signature
 
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
@@ -301,13 +336,18 @@ def embedding_dedup_pairs(
                     [], f"id_a {id_type}, id_b {id_type}, cos_sim double"
                 )
             dim = int(first["d"])
-        planes = _hyperplanes(dim, num_bits)
         bits_per_band = num_bits // bands
+        if target_bucket is not None:
+            import math
+
+            n = df.count()
+            needed = max(1, math.ceil(math.log2(max(n, 1) / target_bucket))) if n > target_bucket else 1
+            bits_per_band = min(max(bits_per_band, needed), 64 // bands)
+        planes = _hyperplanes(dim, bands * bits_per_band)
         mask = (1 << bits_per_band) - 1
         sig = base.withColumn("__sig", srp_signature(F.col("__v"), planes))
         banded = sig.select(
             "__id",
-            "__v",
             F.explode(
                 F.array(
                     *[
@@ -321,13 +361,20 @@ def embedding_dedup_pairs(
                     ]
                 )
             ).alias("__b"),
-        ).select("__id", "__v", "__b.band", "__b.bb")
-        a = banded.select("band", "bb", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-        b = banded.select("band", "bb", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        ).select("__id", "__b.band", "__b.bb")
+        # ids ONLY through the band join and the distinct: the hot shuffle
+        # moves 16-byte pair rows, not kilobyte vector payloads (carrying
+        # both vectors through every banded collision multiplied the sf1
+        # smoke's shuffle ~60x and exhausted the disk). Vectors reattach
+        # via two id-equi-joins on the deduped candidate set.
+        a = banded.select("band", "bb", F.col("__id").alias("id_a"))
+        b = banded.select("band", "bb", F.col("__id").alias("id_b"))
         cand = (
             a.join(b, ["band", "bb"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            .join(base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a")
+            .join(base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b")
         )
     return (
         cand.withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
@@ -762,6 +809,23 @@ def containment_prefix_pairs(
             & (
                 F.col("pb.sz")
                 >= F.lit(threshold) * F.col("pa.sz") - F.lit(1e-9)
+            )
+            # ppjoin positional filter (Xiao et al., WWW'08): both docs
+            # list tokens in the SAME global (df, token) order, so a match
+            # at ranks (i, j) bounds overlap ≤ min(|a|−i, |b|−j) + 1. For
+            # the FIRST common token the bound is ≥ the true overlap, so
+            # requiring it ≥ ⌈t·|a|⌉ keeps every qualifying pair
+            # (complete) while killing the hot-token explosion: a frequent
+            # shingle sits at rank ≈ |b| in every container, giving
+            # |b|−j ≈ 0 — exactly the rows that made the full-index side
+            # spill ~74 GB at the sf1 upscale smoke before this filter.
+            & (
+                F.least(
+                    F.col("pa.sz") - F.col("pa.rn"),
+                    F.col("pb.sz") - F.col("pb.rn"),
+                )
+                + 1
+                >= F.ceil(F.lit(threshold) * F.col("pa.sz"))
             ),
         )
         .select(

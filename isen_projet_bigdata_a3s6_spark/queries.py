@@ -26,6 +26,7 @@ _ORACLE: dict[str, str] = {}
 
 
 from .scratch import scratch_dir as _scratch_dir  # shared per-session scratch
+from .scratch import stage_parquet_files
 
 
 def register(name: str, oracle: str | None = None):
@@ -1148,7 +1149,14 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> substr(t, CAST(i AS INT), 5)))) AS g
       FROM norm WHERE len(t) >= 5
     ),
-    keyed AS (SELECT doc_id, unnest(g[1:2]) AS k FROM grams),
+    exploded AS (SELECT doc_id, unnest(g) AS k FROM grams),
+    dfreq AS (SELECT k, COUNT(*) AS df FROM exploded GROUP BY 1),
+    ranked AS (
+      SELECT e.doc_id, e.k,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.k) AS rn
+      FROM exploded e JOIN dfreq d ON e.k = d.k
+    ),
+    keyed AS (SELECT doc_id, k FROM ranked WHERE rn <= 2),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
@@ -1988,7 +1996,7 @@ def q71_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = read_parquet_ns_safe(spark, path)
     raw_schema = spark.read.parquet(path).schema
     stage_dir = _scratch_dir(spark, "stream_slide")
-    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stage_parquet_files(path, stage_dir)
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     for f in batch.schema.fields:
         if str(raw_schema[f.name].dataType) != str(f.dataType):
@@ -2041,7 +2049,13 @@ def q73_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import embedding_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    kept = embedding_dedup(e, "embedding", "vec_id", threshold=0.35, num_bits=16, bands=8)
+    # target_bucket engages corpus-adaptive band width past ~2^bits·target
+    # rows (identical signatures at the driver SFs; at the sf1 fixture it
+    # is the difference between ~100M candidates and a bounded set)
+    kept = embedding_dedup(
+        e, "embedding", "vec_id", threshold=0.35, num_bits=16, bands=8,
+        target_bucket=256,
+    )
     return kept.select("vec_id", "label")
 
 
@@ -3959,7 +3973,9 @@ def q128_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     path = _scratch_dir(spark, "zorder") + "/lineitem_z"
-    write_zordered(li, path, "l_partkey", "l_suppkey", bits=21)
+    # normalize: bucket-index interleave works for any id domain (raw-value
+    # mode's 21-bit guard fires once partkeys pass 2^21 — real id ranges)
+    write_zordered(li, path, "l_partkey", "l_suppkey", bits=21, normalize=True)
     back = spark.read.parquet(path).filter(
         F.col("l_partkey").between(100, 199) & F.col("l_suppkey").between(10, 29)
     )
@@ -8366,7 +8382,7 @@ def q217_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = read_parquet_ns_safe(spark, path)
     raw_schema = spark.read.parquet(path).schema
     stage_dir = _scratch_dir(spark, "stream_static")
-    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stage_parquet_files(path, stage_dir)
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     for f in batch.schema.fields:
         if str(raw_schema[f.name].dataType) != str(f.dataType):
@@ -13720,7 +13736,7 @@ def q288_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv, label AS true_label
-      FROM embeddings WHERE vec_id >= 480
+      FROM embeddings WHERE vec_id >= 480 AND vec_id < 500
     ),
     scored AS (
       SELECT q.query_id, q.true_label, e.vec_id, e.label,
@@ -13772,7 +13788,11 @@ def q289_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import cosine
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") >= 480).select(
+    # both split bounds explicit: the query set is a FIXED id window, not
+    # an open tail — `>= 480` alone grows with the corpus (at the sf1
+    # upscale fixture every key-shifted copy passed it: ~18k broadcast
+    # queries, 155 s) and silently breaks the bounded-query contract
+    q = e.where(F.col("vec_id").between(480, 499)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("true_label"),
@@ -14518,12 +14538,15 @@ def q297_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ties break on supplier id — the q41 doctrine that keeps libm
     trig ULP differences from flipping the winner between engines.
 
-    Scale shape: the supplier side broadcasts (dimension-sized); the
-    per-customer argmin is a partitioned window over |suppliers| scored
-    rows. At planet scale both sides big → the q16 grid dispatch
-    applies (bucket by geohash cell, join neighbor cells); noted not
-    hidden."""
-    from pyspark.sql import Window
+    Scale shape: size-based dispatch via
+    :func:`operators.joins.haversine_knn_1nn_auto` — the q16 discipline
+    applied to the spherical metric. Below the work threshold the
+    supplier side broadcasts (the dimension-sized regime); above it the
+    EXACT grid path buckets by cell and joins neighbor rings (at the sf1
+    probe the broadcast cross was 150k×10k = 1.5e9 scored rows, 283 s —
+    the auto grid path is the plan you'd want at planet scale, and its
+    rounded-global-ordering guarantee keeps the result identical)."""
+    from .operators.joins import haversine_knn_1nn_auto
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -14535,24 +14558,18 @@ def q297_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-5.0 + (F.col("s_suppkey") * 13 % 1000) * 0.01).alias("slon"),
         (41.0 + (F.col("s_suppkey") * 31 % 1000) * 0.009).alias("slat"),
     )
-    dphi = F.radians(F.col("slat") - F.col("clat")) / 2
-    dlam = F.radians(F.col("slon") - F.col("clon")) / 2
-    h = (
-        F.pow(F.sin(dphi), 2)
-        + F.cos(F.radians("clat")) * F.cos(F.radians("slat")) * F.pow(F.sin(dlam), 2)
+    out = haversine_knn_1nn_auto(
+        c,
+        s,
+        probe_id="c_custkey",
+        probe_latlon=("clat", "clon"),
+        known_latlon=("slat", "slon"),
+        payload_cols=["s_suppkey"],
+        dist_col="d_km",
+        tiebreak="s_suppkey",
+        round_to=6,
     )
-    scored = c.join(F.broadcast(s)).select(
-        "c_custkey",
-        "s_suppkey",
-        F.round(2 * 6371.0088 * F.asin(F.sqrt(h)), 6).alias("d_km"),
-    )
-    ranked = scored.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("c_custkey").orderBy("d_km", "s_suppkey")
-        ),
-    )
-    return ranked.where(F.col("rn") == 1).select(
+    return out.select(
         "c_custkey", F.col("s_suppkey").alias("nearest_supp"), "d_km"
     )
 

@@ -72,3 +72,29 @@ def scratch_lease(spark: SparkSession, tag: str):
     finally:
         if fresh:
             _LIVE_TAGS.discard(key)
+
+
+def stage_parquet_files(parquet_path: str, stage_dir: str) -> int:
+    """Symlink a parquet table's data file(s) into ``stage_dir`` (flat) and
+    return the file count. Handles BOTH table shapes: a single parquet file
+    (the driver fixtures) links directly; a Spark-written DIRECTORY — every
+    real deployment — links each part-file individually, because the
+    FileStreamSource does not recurse through a symlinked directory (it
+    streamed ZERO files and produced an uninferrable empty sink; caught by
+    the sf1 upscale smoke on every streaming query). Raises on a directory
+    with no data files so the caller fails loudly instead of streaming
+    nothing."""
+    if os.path.isdir(parquet_path):
+        n = 0
+        for name in sorted(os.listdir(parquet_path)):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                os.symlink(
+                    os.path.join(parquet_path, name),
+                    os.path.join(stage_dir, f"{n:05d}_{name}"),
+                )
+                n += 1
+        if n == 0:
+            raise ValueError(f"stage_parquet_files: no parquet data files under {parquet_path}")
+        return n
+    os.symlink(parquet_path, os.path.join(stage_dir, os.path.basename(parquet_path)))
+    return 1

@@ -127,16 +127,54 @@ def write_zordered(
     col_b: str,
     bits: int = 16,
     mode: str = "overwrite",
+    normalize: bool = False,
 ) -> None:
     """Write parquet files range-clustered + sorted on the 2-D Morton key
     of (col_a, col_b): the multi-dimensional analog of
     :func:`write_clustered` — a reader filtering on EITHER or BOTH columns
     skips most row groups via footer min/max stats, where a 1-D sort only
-    helps its leading column. Raises if values exceed ``bits`` bits (the
-    interleave would alias distinct values)."""
+    helps its leading column.
+
+    ``normalize=False`` (raw mode) interleaves the values themselves and
+    raises if any exceeds ``bits`` bits (the interleave would alias
+    distinct values) — only usable when the caller KNOWS the domain.
+    ``normalize=True`` is the scale-true mode: one min/max aggregate per
+    column maps each dimension onto 2^bits equal-width range buckets and
+    interleaves the bucket indices — works for EVERY int64 domain (the raw
+    mode's guard fires at production id ranges, e.g. partkeys past 2^21;
+    caught by the sf1 upscale smoke). Bucket aliasing is harmless here:
+    the z-key exists only to ORDER the written row stream and is dropped
+    before the write, so coarser buckets mean coarser clustering, never
+    data change. The delta/step arithmetic runs in DECIMAL(38,0) so
+    min-to-max spans wider than int64 can't overflow."""
     from pyspark.sql import functions as F
 
     limit = 1 << bits
+    if normalize:
+        mns = df.agg(
+            F.min(col_a).alias("na"), F.max(col_a).alias("xa"),
+            F.min(col_b).alias("nb"), F.max(col_b).alias("xb"),
+        ).first()
+        if mns is None or mns["na"] is None:
+            df.write.mode(mode).parquet(path)  # empty frame: nothing to order
+            return
+        def bucket(col: str, mn: int, mx: int):
+            step = (int(mx) - int(mn)) // limit + 1  # python bigint: exact
+            return F.floor(
+                (F.col(col).cast("decimal(38,0)") - F.lit(int(mn))) / F.lit(step)
+            ).cast("long")
+        za = bucket(col_a, mns["na"], mns["xa"])
+        zb = bucket(col_b, mns["nb"], mns["xb"])
+        out = (
+            df.withColumn("__za", za)
+            .withColumn("__zb", zb)
+            .withColumn("__z", zorder_key2("__za", "__zb", bits))
+            .repartitionByRange("__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__za", "__zb")
+        )
+        out.write.mode(mode).parquet(path)
+        return
     bad = df.filter(
         (F.col(col_a) < 0) | (F.col(col_a) >= limit)
         | (F.col(col_b) < 0) | (F.col(col_b) >= limit)

@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..scratch import scratch_dir
+from ..scratch import scratch_dir, stage_parquet_files
 
 
 def _staged_stream(spark: SparkSession, parquet_path: str, prefix: str):
@@ -32,7 +32,7 @@ def _staged_stream(spark: SparkSession, parquet_path: str, prefix: str):
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
     stage = scratch_dir(spark, prefix.rstrip("_"))
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stage_parquet_files(parquet_path, stage)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:
         if str(raw_schema[f.name].dataType) != str(f.dataType):

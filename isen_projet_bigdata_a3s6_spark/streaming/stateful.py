@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..scratch import scratch_dir
+from ..scratch import scratch_dir, stage_parquet_files
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double, last_ts timestamp"
@@ -65,7 +65,7 @@ def streaming_user_profiles(
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
     stage = scratch_dir(spark, "stateful_src")
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stage_parquet_files(parquet_path, stage)
     stream = spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(stage)
     for f in batch.schema.fields:
         if str(raw_schema[f.name].dataType) != str(f.dataType):
@@ -176,7 +176,7 @@ def streaming_rate_limit(
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
     stage = scratch_dir(spark, "ratelimit_src")
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stage_parquet_files(parquet_path, stage)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:
         if str(raw_schema[f.name].dataType) != str(f.dataType):

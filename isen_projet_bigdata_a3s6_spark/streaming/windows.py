@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..scratch import scratch_dir
+from ..scratch import scratch_dir, stage_parquet_files
 
 from ..functions.scalar import dec_sum
 
@@ -98,7 +98,7 @@ def streaming_tumbling_counts(
 
     # FileStreamSource wants a directory; stage the single file via symlink
     stage_dir = scratch_dir(spark, "stream_src")
-    os.symlink(parquet_path, os.path.join(stage_dir, os.path.basename(parquet_path)))
+    stage_parquet_files(parquet_path, stage_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
@@ -155,21 +155,7 @@ def streaming_tumbling_to_file_sink(
     offsets to sink commits, the sink is append-only parquet partitionable
     by window date, and no state ever lives on the driver.
     """
-    import os
-    import tempfile
-
-    from ..sources.readers import read_parquet_ns_safe
-
-    batch = read_parquet_ns_safe(spark, parquet_path)
-    raw_schema = spark.read.parquet(parquet_path).schema
-    stage = scratch_dir(spark, "stream_fsink_src")
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    for f in batch.schema.fields:
-        if str(raw_schema[f.name].dataType) != str(f.dataType):
-            stream = stream.withColumn(
-                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
-            )
+    stream = _stage_stream(spark, parquet_path, "stream_fsink_src_")
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, duration).alias("w"), *keys)
@@ -190,7 +176,9 @@ def streaming_tumbling_to_file_sink(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(sink_dir)
+    # explicit schema: an append sink that saw zero batches has no footer
+    # to infer from (the empty-sweep convention for partitioned layouts)
+    return spark.read.schema(agg.schema).parquet(sink_dir)
 
 
 def streaming_session_windows(
@@ -216,7 +204,7 @@ def streaming_session_windows(
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
     stage = scratch_dir(spark, "stream_sess_src")
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stage_parquet_files(parquet_path, stage)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:
         if str(raw_schema[f.name].dataType) != str(f.dataType):
@@ -250,10 +238,16 @@ def streaming_session_windows(
 def _stage_stream(
     spark: SparkSession, parquet_path: str, prefix: str
 ) -> DataFrame:
-    """Stage a single parquet file as a file-source stream: FileStreamSource
-    wants a directory (symlink the file in), and nanos-timestamp columns get
-    the same exact-integer-division conversion the batch reader applies (so
-    stream and batch see identical event times)."""
+    """Stage a parquet table as a file-source stream: FileStreamSource wants
+    a flat directory of data files, and nanos-timestamp columns get the same
+    exact-integer-division conversion the batch reader applies (so stream
+    and batch see identical event times).
+
+    Handles BOTH table shapes: a single parquet file (the driver fixtures)
+    is symlinked in directly; a Spark-written DIRECTORY (every real
+    deployment — caught by the sf1 upscale smoke, where a directory table
+    streamed zero files because the source does not recurse through a
+    symlinked dir) has each part-file symlinked in individually."""
     import os
     import tempfile
 
@@ -262,7 +256,7 @@ def _stage_stream(
     batch = read_parquet_ns_safe(spark, parquet_path)
     raw_schema = spark.read.parquet(parquet_path).schema
     stage = scratch_dir(spark, prefix.rstrip("_"))
-    os.symlink(parquet_path, os.path.join(stage, os.path.basename(parquet_path)))
+    stage_parquet_files(parquet_path, stage)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     for f in batch.schema.fields:
         if str(raw_schema[f.name].dataType) != str(f.dataType):
@@ -350,4 +344,6 @@ def streaming_dedup_keys(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(sink_dir)
+    # explicit schema: an append sink that saw zero batches has no footer
+    # to infer from (the empty-sweep convention for partitioned layouts)
+    return spark.read.schema(deduped.schema).parquet(sink_dir)

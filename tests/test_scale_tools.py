@@ -94,3 +94,39 @@ def test_split_and_fold_queries_survive_huge_keys(spark, tmp_path):
     out = {r.doc_id: r.h for r in df.select("doc_id", h.cast("long").alias("h")).collect()}
     for k in keys:
         assert out[k] == (k * 2654435761) % 10_000
+
+
+def test_streaming_stages_directory_tables(spark, tmp_path):
+    """Every real deployment's table is a Spark-written DIRECTORY, not the
+    driver fixtures' single file: the file-stream staging must link the
+    part-files in (a symlinked directory streams ZERO files — the sf1
+    smoke's q192 failure) and the sink read-back must survive with an
+    explicit schema."""
+    from isen_projet_bigdata_a3s6_spark.streaming.windows import (
+        streaming_dedup_keys,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"u{i % 3}", "click") for i in range(30)],
+        "event_id long, user_id string, event_type string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).expr(
+        "timestamp_micros(1700000000000000 + event_id * 1000000)"
+    ))
+    d = str(tmp_path / "events_dir.parquet")
+    src.repartition(4).write.parquet(d)  # multi-file directory table
+    out = streaming_dedup_keys(spark, d, keys=["user_id", "event_type"])
+    got = {(r.user_id, r.event_type) for r in out.collect()}
+    assert got == {(f"u{i}", "click") for i in range(3)}
+
+
+def test_stage_parquet_files_rejects_empty_dir(tmp_path):
+    from isen_projet_bigdata_a3s6_spark.scratch import stage_parquet_files
+
+    src = tmp_path / "empty_table.parquet"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no parquet data files"):
+        stage_parquet_files(str(src), str(stage))

@@ -51,6 +51,16 @@ def main() -> None:
             skipped = sorted(qs)[i:]
             break
         spark.catalog.clearCache()
+        # prompt the ContextCleaner: shuffle files of UNREFERENCED frames
+        # are only deleted after a driver GC notices the references died.
+        # Without this, one sanctioned cartesian baseline (q72: 4e8 pairs
+        # at sf1) leaves ~70 GB of map outputs on disk and the next two
+        # spill-heavy queries die with SPILL_OUT_OF_MEMORY / no-space —
+        # observed on the first full sf1 run (q40/q73 collateral failures).
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         try:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
