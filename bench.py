@@ -118,9 +118,70 @@ _INPUT_TABLE = {
 }
 
 
+def _spark_jvms() -> list[tuple[int, bool]]:
+    """Every live Spark JVM on the box as (pid, is_ours): a java process
+    whose cmdline mentions spark, tagged by whether its parent chain
+    reaches THIS python process (our own driver JVM is a direct child).
+
+    Exists because the r06 driver capture was uniformly +15-30% against
+    the same-commit solo probe — a leftover JVM from a prior run was
+    stealing cores, and nothing in the bench output made that
+    machine-distinguishable from a real regression. NOTES documented the
+    signature after the fact; this makes bench.py detect it up front."""
+    me = os.getpid()
+
+    def ppid(pid: int) -> int:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                return int(f.read().rsplit(")", 1)[1].split()[1])
+        except Exception:
+            return 0
+
+    out: list[tuple[int, bool]] = []
+    try:
+        entries = os.listdir("/proc")
+    except Exception:
+        return out
+    for d in entries:
+        if not d.isdigit():
+            continue
+        pid = int(d)
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+        except Exception:
+            continue
+        if "java" not in cmd or "spark" not in cmd.lower():
+            continue
+        p, ours = pid, False
+        for _ in range(32):  # ancestry walk, bounded against /proc races
+            if p == me:
+                ours = True
+                break
+            p = ppid(p)
+            if p <= 1:
+                break
+        out.append((pid, ours))
+    return out
+
+
+def _foreign_spark_jvms() -> int:
+    return sum(1 for _, ours in _spark_jvms() if not ours)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # preflight BEFORE our own JVM exists: any spark java process now is a
+    # contender (a concurrent pytest/driver sweep, or a leftover session)
+    foreign_pre = _foreign_spark_jvms()
+    if foreign_pre:
+        print(
+            f"bench: WARNING {foreign_pre} foreign Spark JVM(s) running — "
+            "timings will read 15-30% inflated (r06 contention signature); "
+            'the output line carries "contended": true',
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="bench")
     qs = registry.queries()
 
@@ -184,6 +245,10 @@ def main() -> None:
         except Exception:
             table_rows[tbl] = -1
 
+    # re-check after the timed loop: a contender that STARTED mid-run also
+    # inflates the tail queries, so either probe marks the run contended
+    contended = bool(foreign_pre or _foreign_spark_jvms())
+
     total = round(sum(timings.values()), 3)
     input_rows = {name: table_rows.get(_INPUT_TABLE.get(name, ""), -1) for name in HEADLINE}
     rows_per_sec = {
@@ -209,6 +274,7 @@ def main() -> None:
             "queries": timings,
             "value": total,
             "sf": float(sf),
+            "contended": contended,
         }
     )
     if len(line) > 1900:  # stay inside the tail window: shed precision, not keys
@@ -219,6 +285,7 @@ def main() -> None:
                 "queries": {k: round(v, 2) for k, v in timings.items()},
                 "value": total,
                 "sf": float(sf),
+                "contended": contended,
             }
         )
     print(line)

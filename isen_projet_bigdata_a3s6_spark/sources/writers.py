@@ -155,8 +155,11 @@ def write_zordered(
             F.min(col_a).alias("na"), F.max(col_a).alias("xa"),
             F.min(col_b).alias("nb"), F.max(col_b).alias("xb"),
         ).first()
-        if mns is None or mns["na"] is None:
-            df.write.mode(mode).parquet(path)  # empty frame: nothing to order
+        if mns is None or mns["na"] is None or mns["nb"] is None:
+            # empty frame, or a coordinate column that is ALL NULL (min/max
+            # of an all-NULL col is None — int(None) would raise): no usable
+            # z domain, degrade to the plain unordered write
+            df.write.mode(mode).parquet(path)
             return
         def bucket(col: str, mn: int, mx: int):
             step = (int(mx) - int(mn)) // limit + 1  # python bigint: exact
@@ -168,7 +171,13 @@ def write_zordered(
         out = (
             df.withColumn("__za", za)
             .withColumn("__zb", zb)
-            .withColumn("__z", zorder_key2("__za", "__zb", bits))
+            # rows with a NULL coordinate get an explicit z-key of -1 (below
+            # every real Morton key, which is ≥ 0): they cluster together in
+            # the FIRST range partition instead of riding Spark's implicit
+            # nulls-first ordering — deterministic, documented placement
+            .withColumn(
+                "__z", F.coalesce(zorder_key2("__za", "__zb", bits), F.lit(-1))
+            )
             .repartitionByRange("__z")
             .sortWithinPartitions("__z")
             .drop("__z", "__za", "__zb")

@@ -35,13 +35,40 @@ from isen_projet_bigdata_a3s6_spark import queries as registry  # noqa: E402
 from isen_projet_bigdata_a3s6_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/tmp/a3s6_scale/sf1"
+def parse_argv(argv: list[str]) -> tuple[str, float]:
+    """(sf_dir, budget) from CLI args; hand-rolled so BOTH documented
+    forms parse: --budget=N and --budget N. (The old split-on-= loop
+    silently ignored the space form and the bare number landed in
+    positionals, where it could become sf_dir.) Unknown flags and extra
+    positionals are hard errors, never silently absorbed."""
+    positional: list[str] = []
     budget = 3600.0
-    for a in sys.argv[1:]:
-        if a.startswith("--budget"):
-            budget = float(a.split("=", 1)[1]) if "=" in a else budget
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--budget":
+            if i + 1 >= len(argv):
+                raise SystemExit("scale_smoke: --budget requires a value")
+            budget = float(argv[i + 1])
+            i += 2
+        elif a.startswith("--budget="):
+            budget = float(a.split("=", 1)[1])
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"scale_smoke: unrecognized flag {a!r}")
+        else:
+            positional.append(a)
+            i += 1
+    if len(positional) > 1:
+        raise SystemExit(
+            f"scale_smoke: unexpected positional arguments {positional[1:]!r}"
+        )
+    sf_dir = positional[0] if positional else "/tmp/a3s6_scale/sf1"
+    return sf_dir, budget
+
+
+def main() -> None:
+    sf_dir, budget = parse_argv(sys.argv[1:])
     spark = get_spark(app_name="scale_smoke")
     qs = registry.queries()
     t_start = time.perf_counter()
