@@ -208,6 +208,12 @@ def main() -> None:
     # round-1 q38 signature-cache leak, and any operator-internal lazy
     # persist).
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
+    # mid-run contention samples: the pre/post probes alone have a blind
+    # window — a foreign JVM that starts AND exits entirely within the
+    # timed loop inflates mid-run timings while both endpoint probes read
+    # clean. One cheap /proc scan per headline query closes most of it.
+    foreign_mid = False
     for name in HEADLINE:
         fn = qs[name]
         # 3 standard reps; queries still above 3 s get up to 2 extra reps —
@@ -233,9 +239,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            rep_times.setdefault(name, []).append(dt)
             rep += 1
             if rep == 3 and timings[name] > 3.0:
                 reps = 5
+        foreign_mid = foreign_mid or bool(_foreign_spark_jvms())
 
     # input-row counts per primary table (parquet footer metadata — cheap)
     table_rows: dict[str, int] = {}
@@ -245,9 +253,9 @@ def main() -> None:
         except Exception:
             table_rows[tbl] = -1
 
-    # re-check after the timed loop: a contender that STARTED mid-run also
-    # inflates the tail queries, so either probe marks the run contended
-    contended = bool(foreign_pre or _foreign_spark_jvms())
+    # re-check after the timed loop; OR in the per-query mid-run samples so
+    # a contender that lived only inside the loop still marks the run
+    contended = bool(foreign_pre or foreign_mid or _foreign_spark_jvms())
 
     total = round(sum(timings.values()), 3)
     input_rows = {name: table_rows.get(_INPUT_TABLE.get(name, ""), -1) for name in HEADLINE}
@@ -267,27 +275,40 @@ def main() -> None:
         json.dumps({"input_rows": input_rows, "rows_per_sec": rows_per_sec}),
         file=sys.stderr,
     )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "unit": "sec",
-            "queries": timings,
-            "value": total,
-            "sf": float(sf),
-            "contended": contended,
-        }
+    # per-query relative rep spread (max−min)/min: how noisy THIS capture
+    # was, so a round-over-round delta can be judged against the measured
+    # same-run variance instead of guessed. Full per-query vectors go to
+    # stderr; stdout carries two compact percentiles (the 2 KB tail budget
+    # can't fit 40 more floats).
+    spreads = {
+        n: round((max(v) - min(v)) / min(v), 3) if min(v) > 0 else 0.0
+        for n, v in rep_times.items()
+    }
+    print(
+        json.dumps({"rep_times": rep_times, "rep_spread": spreads}),
+        file=sys.stderr,
     )
-    if len(line) > 1900:  # stay inside the tail window: shed precision, not keys
-        line = json.dumps(
+    sp = sorted(spreads.values())
+    spread_p50 = round(sp[len(sp) // 2], 3) if sp else 0.0
+    spread_p90 = round(sp[int(len(sp) * 0.9)], 3) if sp else 0.0
+    def _line(q: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries": q,
                 "value": total,
                 "sf": float(sf),
                 "contended": contended,
+                "best_of": 3,
+                "spread_p50": spread_p50,
+                "spread_p90": spread_p90,
             }
         )
+
+    line = _line(timings)
+    if len(line) > 1900:  # stay inside the tail window: shed precision, not keys
+        line = _line({k: round(v, 2) for k, v in timings.items()})
     print(line)
 
 

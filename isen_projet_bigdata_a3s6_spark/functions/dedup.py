@@ -660,23 +660,27 @@ def jaccard_prefix_pairs(
     # (windows, document frequencies, broadcasts) executes twice. ~prefix
     # rows × 28 B, far smaller than the token cache.
     prefix = ranked.filter(
-        # 1e-9 slack inside the ceil errs toward a LONGER prefix: 0.85*40
-        # evaluates to 34.000000000000004 in doubles, and a bare ceil would
-        # read 35, silently shortening the prefix and dropping a qualifying
-        # pair whose only shared token sits at the boundary rank
+        # RELATIVE slack (1e-9·sz) inside the ceil errs toward a LONGER
+        # prefix: 0.85*40 evaluates to 34.000000000000004 in doubles, and a
+        # bare ceil would read 35, silently shortening the prefix and
+        # dropping a qualifying pair whose only shared token sits at the
+        # boundary rank. The slack scales with the product's magnitude so
+        # half-an-ULP of t·sz can never exceed it even at tens of millions
+        # of distinct tokens (an absolute 1e-9 stops covering near
+        # t·sz ≈ 1e7); keep-side safe — the exact verify discards extras.
         F.col("rn")
         <= F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
         + 1
     ).persist()
-    # required overlap for J ≥ t: i ≥ t·(|a|+|b|)/(1+t); the 1e-9 slack
-    # makes every comparison err toward KEEPING, so float rounding can
-    # never cost completeness
+    # required overlap for J ≥ t: i ≥ t·(|a|+|b|)/(1+t); the RELATIVE
+    # 1e-9·(sa+sb) slack makes every comparison err toward KEEPING at any
+    # document size, so float rounding can never cost completeness
     alpha = (
         F.lit(threshold)
         * (F.col("p1.sz") + F.col("p2.sz"))
         / F.lit(1.0 + threshold)
-        - F.lit(1e-9)
+        - F.lit(1e-9) * (F.col("p1.sz") + F.col("p2.sz"))
     )
     # candidate pairs. The positional predicate is applied TWICE:
     #
@@ -721,9 +725,9 @@ def jaccard_prefix_pairs(
         )
         .agg(first)
         # positional filter: overlap ≤ 1 + min(sa−pa, sb−pb); required
-        # overlap for J ≥ t is t·(sa+sb)/(1+t). The 1e-9 slack makes the
-        # float comparison err toward KEEPING, so completeness is never
-        # lost to rounding.
+        # overlap for J ≥ t is t·(sa+sb)/(1+t). The RELATIVE 1e-9·(sa+sb)
+        # slack makes the float comparison err toward KEEPING at any
+        # document size, so completeness is never lost to rounding.
         .filter(
             F.lit(1)
             + F.least(
@@ -731,7 +735,7 @@ def jaccard_prefix_pairs(
             )
             >= F.lit(threshold) * (F.col("sa") + F.col("sb"))
             / F.lit(1.0 + threshold)
-            - F.lit(1e-9)
+            - F.lit(1e-9) * (F.col("sa") + F.col("sb"))
         )
         .select("id_a", "id_b", "sa", "sb")
     )
@@ -804,13 +808,15 @@ def containment_prefix_pairs(
     # both the prefix filter and the full-index join side read this frame
     ranked = ranked.persist()
     prefix_a = ranked.filter(
-        # 1e-9 slack inside the ceil errs toward a LONGER prefix: 0.85*40
-        # evaluates to 34.000000000000004 in doubles, and a bare ceil would
-        # read 35, silently shortening the prefix and dropping a qualifying
-        # pair whose only shared token sits at the boundary rank
+        # RELATIVE slack (1e-9·sz) inside the ceil errs toward a LONGER
+        # prefix: 0.85*40 evaluates to 34.000000000000004 in doubles, and a
+        # bare ceil would read 35, silently shortening the prefix and
+        # dropping a qualifying pair whose only shared token sits at the
+        # boundary rank; scales with magnitude so half-an-ULP of t·sz can
+        # never exceed it (absolute 1e-9 stops covering near t·sz ≈ 1e7)
         F.col("rn")
         <= F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
         + 1
     )
     cand = (
@@ -820,9 +826,11 @@ def containment_prefix_pairs(
             (F.col("pa.token") == F.col("pb.token"))
             & (F.col("pa.id") != F.col("pb.id"))
             # container lower bound: overlap ≥ ⌈t·|a|⌉ needs |b| ≥ that
+            # (relative 1e-9·|a| keep-side slack, magnitude-safe)
             & (
                 F.col("pb.sz")
-                >= F.lit(threshold) * F.col("pa.sz") - F.lit(1e-9)
+                >= F.lit(threshold) * F.col("pa.sz")
+                - F.lit(1e-9) * F.col("pa.sz")
             )
             # ppjoin positional filter (Xiao et al., WWW'08): both docs
             # list tokens in the SAME global (df, token) order, so a match
@@ -839,10 +847,14 @@ def containment_prefix_pairs(
                     F.col("pb.sz") - F.col("pb.rn"),
                 )
                 + 1
-                # keep-side 1e-9 slack, same convention as the jaccard
-                # positional filter above: ceil(0.85*40) must read 34,
-                # not the 35 the bare double product would give
-                >= F.ceil(F.lit(threshold) * F.col("pa.sz") - F.lit(1e-9))
+                # keep-side RELATIVE 1e-9·|a| slack, same convention as
+                # the jaccard positional filter above: ceil(0.85*40) must
+                # read 34, not the 35 the bare double product would give;
+                # relative so coverage holds at any document size
+                >= F.ceil(
+                    F.lit(threshold) * F.col("pa.sz")
+                    - F.lit(1e-9) * F.col("pa.sz")
+                )
             ),
         )
         .select(

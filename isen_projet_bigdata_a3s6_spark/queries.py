@@ -12500,8 +12500,11 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SPARSITY, not |players|². (The r06 shape materialized a DENSE
     |players|² Python list-of-lists and a pure-Python O(k²)-per-
     iteration loop: 502 s at sf1's 10k-supplier roster. The rework
-    runs the same 100 fixed-point iterations to last-ulp-identical
-    scores — the sf1 smoke now clears it in single-digit seconds.)
+    runs the same 100 fixed-point iterations; bincount scatter-adds
+    change the float summation ORDER vs the ordered Python sum, so
+    scores are numerically equivalent to the 1e-4 parity the pinned
+    test asserts, not bit-identical — the sf1 smoke now clears it in
+    tens of seconds.)
     Exact price ties produce no match (documented)."""
     import numpy as np
     li = load_table(spark, sf_dir, "lineitem")

@@ -44,15 +44,26 @@ def parse_argv(argv: list[str]) -> tuple[str, float]:
     positional: list[str] = []
     budget = 3600.0
     i = 0
+
+    def _parse_budget(raw: str) -> float:
+        # clean SystemExit instead of a raw float() traceback — the
+        # docstring promises hard errors for EVERY malformed form
+        try:
+            return float(raw)
+        except ValueError:
+            raise SystemExit(
+                f"scale_smoke: --budget requires a number, got {raw!r}"
+            ) from None
+
     while i < len(argv):
         a = argv[i]
         if a == "--budget":
             if i + 1 >= len(argv):
                 raise SystemExit("scale_smoke: --budget requires a value")
-            budget = float(argv[i + 1])
+            budget = _parse_budget(argv[i + 1])
             i += 2
         elif a.startswith("--budget="):
-            budget = float(a.split("=", 1)[1])
+            budget = _parse_budget(a.split("=", 1)[1])
             i += 1
         elif a.startswith("--"):
             raise SystemExit(f"scale_smoke: unrecognized flag {a!r}")
