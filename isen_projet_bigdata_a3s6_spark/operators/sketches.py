@@ -89,16 +89,56 @@ def heavy_hitters(
     )
 
 
+_CMS_PRIME = 2_147_483_647  # 2^31 − 1: (key%P)·a + b stays < 2^62 in int64
+
+
+def _affine_params(seed: int, i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash row i of the 2-universal affine
+    family h_i(x) = ((x mod P)·a_i + b_i mod P) mod width — the textbook
+    CMS hash (Cormode & Muthukrishnan '05 analyse exactly this family).
+    LCG-mixed from the seed; a ∈ [1, P−1] (a=0 would collapse the row)."""
+    a = (1_103_515_245 * (seed + i) + 12_345) % (_CMS_PRIME - 1) + 1
+    b = (69_069 * (seed + i) + 1_013_904_223) % _CMS_PRIME
+    return a, b
+
+
+def _cms_slot(key_col: str, i: int, width: int, seed: int, hash_family: str):
+    if hash_family == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(width))
+    if hash_family == "affine":
+        a, b = _affine_params(seed, i)
+        return F.pmod(
+            F.pmod(
+                F.pmod(F.col(key_col).cast("long"), F.lit(_CMS_PRIME)) * F.lit(a)
+                + F.lit(b),
+                F.lit(_CMS_PRIME),
+            ),
+            F.lit(width),
+        )
+    raise ValueError(f"cms: unknown hash_family {hash_family!r}")
+
+
 def cms_build(
-    df: DataFrame, key_col: str, width: int = 2048, depth: int = 4, seed: int = 42
+    df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Count-min sketch as a DataFrame ``(depth, slot, cnt)`` — the
     mergeable point-query counterpart to :func:`heavy_hitters`: the whole
     build is ONE explode→groupBy (shuffle output ≤ depth·width rows
     regardless of input size), and sketches from different partitions/days
     merge by summing cnt. Guarantees (per CMS): estimate ≥ true count, and
-    ≤ true + (e/width)·N with prob 1−(1/e)^depth. Hash rows are
-    ``xxhash64(key, seed+i)`` — deterministic, retry-stable."""
+    ≤ true + (e/width)·N with prob 1−(1/e)^depth.
+
+    ``hash_family``: ``"xxhash64"`` (default — any key type, rows are
+    ``xxhash64(key, seed+i)``, deterministic and retry-stable) or
+    ``"affine"`` (INTEGER keys only): the 2-universal
+    ``((key mod P)·a_i + b_i mod P) mod width`` family the original CMS
+    analysis assumes — chosen so an external SQL engine can replay the
+    sketch bit-for-bit (:func:`cms_oracle_sql`), which xxhash64 cannot."""
     if width < 2 or depth < 1:
         raise ValueError("cms_build: need width >= 2, depth >= 1")
     rows = df.select(
@@ -107,9 +147,9 @@ def cms_build(
                 *[
                     F.struct(
                         F.lit(i).alias("depth"),
-                        F.pmod(
-                            F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(width)
-                        ).alias("slot"),
+                        _cms_slot(key_col, i, width, seed, hash_family).alias(
+                            "slot"
+                        ),
                     )
                     for i in range(depth)
                 ]
@@ -126,11 +166,13 @@ def cms_estimate(
     width: int = 2048,
     depth: int = 4,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Point-query a CMS for each key in ``keys``: recompute the key's
     (depth, slot) coordinates, join against the (tiny, broadcast) sketch,
     and take the min across depths. Missing slots count 0. Returns
-    ``(key_col, est)``. Width/depth/seed must match the build."""
+    ``(key_col, est)``. Width/depth/seed/hash_family must match the
+    build."""
     coords = keys.select(key_col).distinct().select(
         key_col,
         F.explode(
@@ -138,9 +180,9 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(i).alias("depth"),
-                        F.pmod(
-                            F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(width)
-                        ).alias("slot"),
+                        _cms_slot(key_col, i, width, seed, hash_family).alias(
+                            "slot"
+                        ),
                     )
                     for i in range(depth)
                 ]
@@ -151,6 +193,45 @@ def cms_estimate(
         key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
+
+
+def cms_oracle_sql(
+    table: str,
+    key: str,
+    key_filter: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 42,
+) -> str:
+    """ANSI-SQL replay of ``cms_build(hash_family='affine')`` +
+    ``cms_estimate`` for an INTEGER key: the affine slots are plain
+    modular arithmetic, so DuckDB reproduces the sketch — and therefore
+    the point estimates — exactly. (The xxhash64 family has no DuckDB
+    twin; this is why the affine family exists.) Assumes non-negative
+    keys, where SQL ``%`` equals Spark ``pmod``."""
+    rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in ((i, _affine_params(seed, i)) for i in range(depth))
+    )
+    P = _CMS_PRIME
+    return f"""
+    WITH params(d, a, b) AS (VALUES {rows}),
+    cms AS (
+      SELECT p.d, (((t.{key} % {P}) * p.a + p.b) % {P}) % {width} AS slot,
+             COUNT(*) AS cnt
+      FROM {table} t CROSS JOIN params p
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT {key} FROM {table} WHERE {key_filter}),
+    coords AS (
+      SELECT k.{key}, p.d,
+             (((k.{key} % {P}) * p.a + p.b) % {P}) % {width} AS slot
+      FROM keys k CROSS JOIN params p
+    )
+    SELECT c.{key} AS {key}, MIN(COALESCE(s.cnt, 0)) AS est
+    FROM coords c LEFT JOIN cms s ON c.d = s.d AND c.slot = s.slot
+    GROUP BY 1
+    """
 
 
 def _bloom_positions(col: str, num_bits: int, num_hashes: int, seed: int):

@@ -127,6 +127,20 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     return res
 
 
+def retarget_oracle_sql(sql: str, sf_dir: str) -> str:
+    """Point an oracle at a different fixture directory.
+
+    Provenance oracles (q271) reference the parquet FILES directly via
+    ``read_parquet(..., filename=true)`` — views can't carry the filename
+    virtual column. The registered string hardcodes the driver's sf0.01
+    path (the driver runs oracle SQL verbatim, always at sf0.01); every
+    LOCAL harness (check_query, the degenerate/empty/skew sweeps) must
+    retarget it to the fixture it is actually checking, or the oracle
+    reads the real sf0.01 data while Spark reads the fixture — the r08
+    skew-sweep drift."""
+    return sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
+
+
 def check_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     from .queries import oracle_sql, queries
 
@@ -137,7 +151,7 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
         ok = len(spark_pdf) >= 0
         return CompareResult(name + " (rows-only)", ok, len(spark_pdf), -1)
     con = duckdb_conn(sf_dir)
-    oracle_pdf = con.execute(sql).fetchdf()
+    oracle_pdf = con.execute(retarget_oracle_sql(sql, sf_dir)).fetchdf()
     con.close()
     return compare_frames(name, spark_pdf, oracle_pdf)
 

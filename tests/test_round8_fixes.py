@@ -19,6 +19,7 @@ import sys
 from fractions import Fraction
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(
     0,
@@ -162,6 +163,72 @@ def test_bench_midrun_probe_and_spread_fields():
     assert "foreign_pre or foreign_mid or _foreign_spark_jvms()" in src
     for field in ('"best_of"', '"spread_p50"', '"spread_p90"'):
         assert field in src, f"bench output line missing {field}"
+
+
+def test_affine_cms_upper_and_lower_bounds(spark):
+    """The affine hash family must keep the CMS guarantees: every point
+    estimate ≥ its true count (one-sided), and ≤ true + N/width with
+    margin (the e/width bound holds per-row w.h.p.; depth=4 mins make a
+    violation at this width astronomically unlikely on 6k rows)."""
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from isen_projet_bigdata_a3s6_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    cms = cms_build(li, "l_partkey", width=1024, depth=4, hash_family="affine")
+    keys = li.filter("l_partkey < 50").select("l_partkey")
+    est = {
+        r["l_partkey"]: r["est"]
+        for r in cms_estimate(
+            cms, keys, "l_partkey", width=1024, depth=4, hash_family="affine"
+        ).collect()
+    }
+    exact = {
+        r["l_partkey"]: r["n"]
+        for r in li.filter("l_partkey < 50")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = li.count()
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k], f"CMS under-counted key {k}"
+        assert e <= exact[k] + n_total / 1024 * 8, f"CMS blew the bound at {k}"
+
+
+def test_affine_params_deterministic_and_in_range():
+    from isen_projet_bigdata_a3s6_spark.operators.sketches import (
+        _CMS_PRIME,
+        _affine_params,
+    )
+
+    seen = set()
+    for i in range(16):
+        a, b = _affine_params(42, i)
+        assert 1 <= a < _CMS_PRIME
+        assert 0 <= b < _CMS_PRIME
+        assert _affine_params(42, i) == (a, b)
+        seen.add((a, b))
+    assert len(seen) == 16, "hash rows must differ per depth"
+
+
+def test_r08_oracle_promotions_registered():
+    """q151/q271/q280 moved from rows-only to oracle-paired this round —
+    pin the registration so a refactor can't silently drop them back."""
+    from isen_projet_bigdata_a3s6_spark import queries
+
+    osql = queries.oracle_sql()
+    for name in (
+        "q151_cms_estimate",
+        "q271_file_provenance",
+        "q280_grid_dbscan",
+    ):
+        assert name in osql, f"{name} lost its oracle"
+    assert "filename=true" in osql["q271_file_provenance"]
+    assert "WITH RECURSIVE" in osql["q280_grid_dbscan"]
 
 
 def test_q274_docstring_matches_pinned_tolerance():

@@ -225,8 +225,9 @@ def main() -> None:
     out = [
         "# PLANS — captured physical plans (generated by tools/capture_plans.py)",
         "",
-        f"Generated at commit {_git_head()} (uncommitted regeneration lands in "
-        "the next commit).",
+        f"Generated from the code state of commit {_git_head()}; this file "
+        "lands in the immediately-following docs-only commit, which changes "
+        "no query code and therefore no plan.",
         "",
         "Evidence that the engine's plans are the plans you'd want: filters",
         "reach the scans (`PushedFilters`), projections prune (`ReadSchema`),",

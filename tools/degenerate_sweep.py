@@ -221,7 +221,11 @@ def skew_sweep(spark, names, skew_dir: str, base_dir: str, slow_ratio: float) ->
     blowup beyond ``slow_ratio`` is advisory-flagged for a plan look)."""
     import time
 
-    from isen_projet_bigdata_a3s6_spark.oracle_check import compare_frames, duckdb_conn
+    from isen_projet_bigdata_a3s6_spark.oracle_check import (
+        compare_frames,
+        duckdb_conn,
+        retarget_oracle_sql,
+    )
     from isen_projet_bigdata_a3s6_spark.queries import oracle_sql, queries
 
     qfns, oracles = queries(), oracle_sql()
@@ -241,7 +245,7 @@ def skew_sweep(spark, names, skew_dir: str, base_dir: str, slow_ratio: float) ->
             if sql is not None:
                 try:
                     con = duckdb_conn(skew_dir)
-                    con.execute(sql).fetchdf()
+                    con.execute(retarget_oracle_sql(sql, skew_dir)).fetchdf()
                     con.close()
                 except Exception as oe:
                     oracle_err = oe
@@ -263,7 +267,7 @@ def skew_sweep(spark, names, skew_dir: str, base_dir: str, slow_ratio: float) ->
         if sql is not None:
             try:
                 con = duckdb_conn(skew_dir)
-                oracle_pdf = con.execute(sql).fetchdf()
+                oracle_pdf = con.execute(retarget_oracle_sql(sql, skew_dir)).fetchdf()
                 con.close()
                 r = compare_frames(name, spark_pdf, oracle_pdf)
             except Exception as oe:
@@ -326,7 +330,11 @@ def main() -> int:
         sf_dir = build_degenerate_dir(args.base)
         print(f"degenerate tables at {sf_dir}", flush=True)
 
-    from isen_projet_bigdata_a3s6_spark.oracle_check import check_query, duckdb_conn
+    from isen_projet_bigdata_a3s6_spark.oracle_check import (
+        check_query,
+        duckdb_conn,
+        retarget_oracle_sql,
+    )
     from isen_projet_bigdata_a3s6_spark.queries import oracle_sql, queries
     from isen_projet_bigdata_a3s6_spark.session import get_spark
 
@@ -354,7 +362,7 @@ def main() -> int:
             if sql is not None:
                 try:
                     con = duckdb_conn(sf_dir)
-                    con.execute(sql).fetchdf()
+                    con.execute(retarget_oracle_sql(sql, sf_dir)).fetchdf()
                     con.close()
                 except Exception as oe:
                     oracle_err = oe
