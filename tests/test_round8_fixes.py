@@ -231,6 +231,22 @@ def test_r08_oracle_promotions_registered():
     assert "WITH RECURSIVE" in osql["q280_grid_dbscan"]
 
 
+def test_scale_trend_argv_contract():
+    from scale_trend import parse_argv
+
+    small, large, names, budget = parse_argv(
+        ["/a/sf1", "/b/sf3", "q136_pagerank,q267_hits", "--budget", "900"]
+    )
+    assert (small, large, budget) == ("/a/sf1", "/b/sf3", 900.0)
+    assert names == ["q136_pagerank", "q267_hits"]
+    with pytest.raises(SystemExit):
+        parse_argv(["/a", "/b"])  # missing names
+    with pytest.raises(SystemExit):
+        parse_argv(["/a", "/b", "not_a_query"])  # unknown query name
+    with pytest.raises(SystemExit):
+        parse_argv(["/a", "/b", "q136_pagerank", "--budget", "abc"])
+
+
 def test_q274_docstring_matches_pinned_tolerance():
     from isen_projet_bigdata_a3s6_spark import queries
 
