@@ -31,25 +31,69 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 
+# seed for the md5_affine minhash family's per-row affine constants —
+# distinct from the CMS seed so the two sketches never share hash rows
+_MINHASH_AFFINE_SEED = 1_000_003
+
+
+def _md5_base_hash(col) -> "F.Column":
+    """60-bit shingle base hash BOTH engines can compute identically:
+    first 15 hex chars of md5 → integer. Spark: conv(substr(md5,1,15),
+    16,10); DuckDB: CAST('0x'||substr(md5,1,15) AS BIGINT). Parity pinned
+    in tests (incl. unicode + empty string)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 64,
     ngram: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature) via the scale shape: explode shingles → one narrow
     (id, gram) stream → groupBy(id) with ``num_hashes`` min-aggregates
     (map-side combined, one shuffle on id). A single per-row array
     expression with N seeds would duplicate the shingle subtree N times and
     fall out of codegen — this form keeps every stage compiled and scales
-    to arbitrary corpus size."""
+    to arbitrary corpus size.
+
+    ``hash_family``: ``"xxhash64"`` (default, fastest) or ``"md5_affine"``
+    — md5-derived 60-bit base hash + the 2-universal affine family
+    (operators/sketches.py::_affine_params), every step of which plain SQL
+    reproduces bit-for-bit, so a DuckDB oracle can replay the exact
+    signatures, bands, candidates, and estimates (q38). The min-over-
+    shingles of a 2-universal affine map is the ORIGINAL MinHash
+    construction (Broder '97 uses exactly min of a random linear
+    permutation); xxhash64 stays the default because md5 costs ~2-3× per
+    shingle."""
+    from ..operators.sketches import _CMS_PRIME, _affine_params
+
     par = df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(par).select(
         F.col(id_col).alias("__id"),
         # no array_distinct: duplicate shingles can't change a MIN aggregate
         F.explode(char_ngrams(text_col, ngram)).alias("__g"),
     )
+    if hash_family == "md5_affine":
+        hashed = grams.select("__id", _md5_base_hash("__g").alias("__h"))
+        P = _CMS_PRIME
+        mins = []
+        for i in range(num_hashes):
+            a, b = _affine_params(_MINHASH_AFFINE_SEED, i)
+            # (h%P)·a + b < 2^62: safe in int64 (same bound as the CMS)
+            mins.append(
+                F.min(
+                    F.pmod(
+                        F.pmod(F.col("__h"), F.lit(P)) * F.lit(a) + F.lit(b),
+                        F.lit(P),
+                    )
+                )
+            )
+        return hashed.groupBy("__id").agg(F.array(*mins).alias("__sig"))
+    if hash_family != "xxhash64":
+        raise ValueError(f"minhash: unknown hash_family {hash_family!r}")
     # hash the shingle STRING once, then derive the num_hashes families by
     # re-hashing the 8-byte digest with the family index as seed: each
     # family is still an independent full-width hash (seeded through the
@@ -76,6 +120,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     ngram: int = 5,
     threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate PAIRS: signature → band buckets →
     self-join within buckets → verify estimated Jaccard ≥ threshold.
@@ -88,10 +133,26 @@ def minhash_dedup_pairs(
     nothing executes at construction time); its footprint is |docs| ×
     num_hashes longs, released by ``spark.catalog.clearCache()`` (bench
     clears between runs) or cache LRU eviction.
+
+    ``hash_family="md5_affine"`` makes the whole pipeline SQL-replayable
+    (see :func:`minhash_signatures`); in that mode the band key is the
+    band's signature TUPLE itself, not an xxhash64 of it — a band-hash
+    collision would admit a candidate pair an external tuple-equality
+    replay never generates, and that pair can pass the estimate filter
+    (16 matches spread 2-per-band fully collision-admitted), so exact
+    replay requires collision-free band keys. Spark joins on array<long>
+    equality natively; the key is rows_per_band longs instead of one —
+    negligible next to the signature shuffle it rides.
     """
     rows_per_band = num_hashes // bands
     # lazy cache: consumed by both band-join branches and both verify joins
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, ngram, hash_family
+    ).persist()
+
+    def _band_key(b: int):
+        sl = F.slice("__sig", b * rows_per_band + 1, rows_per_band)
+        return sl if hash_family == "md5_affine" else F.xxhash64(sl)
 
     banded = sig.select(
         "__id",
@@ -101,9 +162,7 @@ def minhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("__sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
+                        _band_key(b).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -145,6 +204,83 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def minhash_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 5,
+    threshold: float = 0.8,
+) -> str:
+    """ANSI-SQL replay of ``minhash_dedup_pairs(hash_family='md5_affine')``:
+    identical normalization (the q40-oracle idioms), identical 60-bit md5
+    base hash, identical affine rows, tuple-equality banding, identical
+    estimate arithmetic (m / num_hashes is exact — the divisor is a power
+    of two at every registered config). LSH is "approximate" w.r.t. TRUE
+    Jaccard, but the candidate set and estimates are a pure deterministic
+    function of the data once the hash family is fixed — which is exactly
+    what this family makes externally computable."""
+    from ..operators.sketches import _CMS_PRIME, _affine_params
+
+    P = _CMS_PRIME
+    rpb = num_hashes // bands
+    rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in (
+            (i, _affine_params(_MINHASH_AFFINE_SEED, i))
+            for i in range(num_hashes)
+        )
+    )
+    return f"""
+    WITH params(i, a, b) AS (VALUES {rows}),
+    norm AS (
+      SELECT {id_col} AS id,
+             regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g') AS t
+      FROM {table}
+    ),
+    grams AS (
+      -- scalar range + list_transform + unnest (the q40-oracle idiom:
+      -- DuckDB's range() table function rejects lateral column bounds)
+      SELECT id,
+             unnest(list_transform(range(1, len(t) - {ngram - 2}),
+                                   i -> substr(t, CAST(i AS INT), {ngram})))
+               AS g
+      FROM norm
+    ),
+    hashed AS (
+      SELECT id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM grams
+    ),
+    sig AS (
+      SELECT id, p.i, MIN(((h % {P}) * p.a + p.b) % {P}) AS s
+      FROM hashed CROSS JOIN params p
+      GROUP BY 1, 2
+    ),
+    bandk AS (
+      SELECT id, i // {rpb} AS band, list(s ORDER BY i) AS key
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bandk a JOIN bandk b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    m AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS mm
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(mm AS DOUBLE) / {float(num_hashes)} AS jaccard_est
+    FROM m
+    WHERE CAST(mm AS DOUBLE) / {float(num_hashes)} >= {threshold}
+    """
 
 
 def minhash_dedup(

@@ -1118,12 +1118,39 @@ def q37_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # minhash/simhash/ngram-jaccard near-dup: deterministic but hash-based —
 # not expressible in DuckDB SQL → rows-only oracle checks
-@register("q38_minhash_pairs")
+@register(
+    "q38_minhash_pairs",
+    # Oracle (promoted r08): with the md5_affine hash family every stage —
+    # normalization, shingle hash, affine minhash rows, tuple-equality
+    # banding, match-count estimate — is deterministic arithmetic DuckDB
+    # replays bit-for-bit. LSH stays "approximate" w.r.t. true Jaccard;
+    # the PIPELINE is an exact function of the data, and that function is
+    # what the oracle recomputes. xxhash64 remains the package default
+    # family (faster); the P/R self-eval q206 grades that family.
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.dedup", fromlist=["x"]
+    ).minhash_oracle_sql(
+        "documents", "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+    ),
+)
 def q38_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents (headline). Since r08
+    this runs the md5_affine family so the DuckDB oracle can replay the
+    full pipeline (functions/dedup.py::minhash_oracle_sql); expect a
+    modestly higher absolute bench time than the xxhash64 rounds (md5
+    per shingle) — a documented lineage break, not a regression."""
     from .functions.dedup import minhash_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5)
+    return minhash_dedup_pairs(
+        d,
+        "text",
+        "doc_id",
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5_affine",
+    )
 
 
 @register("q39_simhash_pairs")

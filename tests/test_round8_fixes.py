@@ -216,12 +216,14 @@ def test_affine_params_deterministic_and_in_range():
 
 
 def test_r08_oracle_promotions_registered():
-    """q151/q271/q280 moved from rows-only to oracle-paired this round —
-    pin the registration so a refactor can't silently drop them back."""
+    """q38/q151/q271/q280 moved from rows-only to oracle-paired this
+    round — pin the registration so a refactor can't silently drop them
+    back."""
     from isen_projet_bigdata_a3s6_spark import queries
 
     osql = queries.oracle_sql()
     for name in (
+        "q38_minhash_pairs",
         "q151_cms_estimate",
         "q271_file_provenance",
         "q280_grid_dbscan",
@@ -229,6 +231,62 @@ def test_r08_oracle_promotions_registered():
         assert name in osql, f"{name} lost its oracle"
     assert "filename=true" in osql["q271_file_provenance"]
     assert "WITH RECURSIVE" in osql["q280_grid_dbscan"]
+    assert "md5" in osql["q38_minhash_pairs"]
+
+
+def test_md5_base_hash_cross_engine_parity(spark):
+    """The md5_affine minhash family stands on one premise: Spark's
+    conv(substr(md5(s),1,15),16,10) equals DuckDB's
+    CAST('0x'||substr(md5(s),1,15) AS BIGINT) for any string. Pin it on
+    unicode, whitespace, emoji, and the empty string."""
+    import duckdb
+
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import _md5_base_hash
+
+    samples = ["hello", "héllo wörld", "a b  c", " x ", "😀emoji", "", "π≈3"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        "s", _md5_base_hash("s").alias("h")
+    )
+    got = {r["s"]: r["h"] for r in df.collect()}
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?),1,15)) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert got[s] == want, f"hash mismatch for {s!r}"
+
+
+def test_minhash_md5_affine_same_shape_as_default(spark):
+    """The md5_affine family must keep minhash semantics: identical pair
+    KEYS come out for a corpus of exact duplicates (est 1.0 regardless of
+    family), and signatures are deterministic across invocations."""
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import (
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a completely different document about spark sql"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for fam in ("xxhash64", "md5_affine"):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard_est"]
+            for r in minhash_dedup_pairs(
+                df, "text", "doc_id", num_hashes=32, bands=8,
+                threshold=0.5, hash_family=fam,
+            ).collect()
+        }
+        assert pairs == {(1, 2): 1.0}, f"family {fam}: {pairs}"
+    s1 = minhash_signatures(
+        df, "text", "doc_id", 32, 5, "md5_affine"
+    ).collect()
+    s2 = minhash_signatures(
+        df, "text", "doc_id", 32, 5, "md5_affine"
+    ).collect()
+    assert sorted(map(str, s1)) == sorted(map(str, s2))
 
 
 def test_scale_trend_argv_contract():
