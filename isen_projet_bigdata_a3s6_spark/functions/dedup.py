@@ -295,17 +295,34 @@ def minhash_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, ngram: int = 3, bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 3,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) via the scale shape: explode shingles → per-bit
     conditional-sum votes in ONE groupBy (map-side combined) → sign → bit.
     64 simple agg expressions over a narrow (id, hash) stream stay inside
-    codegen (a per-row 64-fold array expression would not)."""
+    codegen (a per-row 64-fold array expression would not).
+
+    ``hash_family="md5_affine"`` uses the shared 60-bit md5 base hash
+    (:func:`_md5_base_hash`) and forces ``bits=60`` (all positive — no
+    sign-bit special case), making the whole signature SQL-replayable
+    (q39's oracle); xxhash64 stays the default."""
+    if hash_family == "md5_affine":
+        bits = 60
+        shingle_hash = _md5_base_hash("__g")
+    elif hash_family == "xxhash64":
+        shingle_hash = F.xxhash64("__g")
+    else:
+        raise ValueError(f"simhash: unknown hash_family {hash_family!r}")
     par = df.sparkSession.sparkContext.defaultParallelism
     grams = df.repartition(par).select(
         F.col(id_col).alias("__id"),
         F.explode(char_ngrams(text_col, ngram)).alias("__g"),
-    ).select("__id", F.xxhash64("__g").alias("__h"))
+    ).select("__id", shingle_hash.alias("__h"))
     votes = grams.groupBy("__id").agg(
         *[
             F.sum(
@@ -330,13 +347,22 @@ def simhash_signatures(
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, ngram: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    ngram: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: 4-block decomposition (any pair within
-    Hamming distance ≤3 of a 64-bit hash agrees exactly on ≥1 of 4
-    16-bit blocks) → equi-join per block → verify Hamming distance.
-    Returns (id_a, id_b, hamming)."""
-    sh = simhash_signatures(df, text_col, id_col, ngram)
+    Hamming distance ≤3 agrees exactly on ≥1 of 4 blocks, pigeonhole) →
+    equi-join per block → verify Hamming distance.
+    Returns (id_a, id_b, hamming). Blocks are 16 bits over the 64-bit
+    xxhash64 signature, 15 bits over the 60-bit md5_affine one (same
+    pigeonhole guarantee — 4 disjoint blocks cover every bit)."""
+    sh = simhash_signatures(df, text_col, id_col, ngram, hash_family=hash_family)
+    blk_bits = 15 if hash_family == "md5_affine" else 16
+    blk_mask = (1 << blk_bits) - 1
     blocks = sh.select(
         "__id",
         "__sh",
@@ -345,7 +371,9 @@ def simhash_dedup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("__sh", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                        F.shiftrightunsigned("__sh", i * blk_bits)
+                        .bitwiseAND(F.lit(blk_mask))
+                        .alias("bv"),
                     )
                     for i in range(4)
                 ]
@@ -363,6 +391,62 @@ def simhash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    ngram: int = 3,
+) -> str:
+    """ANSI-SQL replay of ``simhash_dedup_pairs(hash_family='md5_affine')``:
+    identical normalization and shingles, the shared 60-bit md5 base hash,
+    per-bit majority votes, 4×15-bit block candidate join, bit_count
+    Hamming verify — every step integer arithmetic both engines share."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT {id_col} AS id,
+             regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g') AS t
+      FROM {table}
+    ),
+    grams AS (
+      SELECT id,
+             unnest(list_transform(range(1, len(t) - {ngram - 2}),
+                                   i -> substr(t, CAST(i AS INT), {ngram})))
+               AS g
+      FROM norm
+    ),
+    hashed AS (
+      SELECT id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM grams
+    ),
+    votes AS (
+      SELECT id,
+               {votes}
+      FROM hashed GROUP BY id
+    ),
+    sig AS (SELECT id, ({sig_expr}) AS sh FROM votes),
+    blocks AS (
+      SELECT id, sh, b.blk, (sh >> (b.blk * 15)) & 32767 AS bv
+      FROM sig, (VALUES (0), (1), (2), (3)) b(blk)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sha, b.sh AS shb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bv = b.bv AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+    """
 
 
 def ngram_jaccard_pairs(

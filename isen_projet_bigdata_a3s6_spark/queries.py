@@ -1153,12 +1153,25 @@ def q38_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q39_simhash_pairs")
+@register(
+    "q39_simhash_pairs",
+    # Oracle (promoted r08, with q38): the md5_affine family makes the
+    # 60-bit simhash — votes, signature, 4×15-bit blocks, Hamming verify —
+    # pure integer arithmetic DuckDB replays bit-for-bit.
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.dedup", fromlist=["x"]
+    ).simhash_oracle_sql("documents", "doc_id", "text", max_hamming=3),
+)
 def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over documents. Since r08 on the 60-bit
+    md5_affine family so the DuckDB oracle replays the full pipeline
+    (functions/dedup.py::simhash_oracle_sql)."""
     from .functions.dedup import simhash_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(d, "text", "doc_id", max_hamming=3)
+    return simhash_dedup_pairs(
+        d, "text", "doc_id", max_hamming=3, hash_family="md5_affine"
+    )
 
 
 @register(

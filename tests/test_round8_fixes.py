@@ -224,6 +224,7 @@ def test_r08_oracle_promotions_registered():
     osql = queries.oracle_sql()
     for name in (
         "q38_minhash_pairs",
+        "q39_simhash_pairs",
         "q151_cms_estimate",
         "q271_file_provenance",
         "q280_grid_dbscan",
@@ -232,6 +233,33 @@ def test_r08_oracle_promotions_registered():
     assert "filename=true" in osql["q271_file_provenance"]
     assert "WITH RECURSIVE" in osql["q280_grid_dbscan"]
     assert "md5" in osql["q38_minhash_pairs"]
+    assert "bit_count" in osql["q39_simhash_pairs"]
+
+
+def test_simhash_md5_affine_semantics(spark):
+    """The 60-bit md5_affine simhash must keep simhash semantics: exact
+    duplicates at Hamming 0, near-dups (one word changed) within the
+    max_hamming=3 gate or correctly outside it, and an unrelated doc
+    never paired at distance ≤3."""
+    from isen_projet_bigdata_a3s6_spark.functions.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = [
+        (1, base),
+        (2, base),
+        (3, "completely unrelated text about database engines and sql"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup_pairs(
+            df, "text", "doc_id", max_hamming=3, hash_family="md5_affine"
+        ).collect()
+    }
+    assert got.get((1, 2)) == 0, f"exact dup not at hamming 0: {got}"
+    assert (1, 3) not in got and (2, 3) not in got
 
 
 def test_md5_base_hash_cross_engine_parity(spark):
