@@ -291,6 +291,11 @@ def main() -> None:
     sp = sorted(spreads.values())
     spread_p50 = round(sp[len(sp) // 2], 3) if sp else 0.0
     spread_p90 = round(sp[int(len(sp) * 0.9)], 3) if sp else 0.0
+    # queries still > 3 s after 3 reps get up to 5 (the q161-class C2
+    # settling), so "best_of: 3" alone misdescribes slow queries — emit the
+    # actual rep-count range; per-query counts are len(rep_times[n]) on
+    # stderr (r08 advisory)
+    rep_counts = [len(v) for v in rep_times.values()] or [0]
     def _line(q: dict[str, float]) -> str:
         return json.dumps(
             {
@@ -300,7 +305,8 @@ def main() -> None:
                 "value": total,
                 "sf": float(sf),
                 "contended": contended,
-                "best_of": 3,
+                "best_of": min(rep_counts),
+                "best_of_max": max(rep_counts),
                 "spread_p50": spread_p50,
                 "spread_p90": spread_p90,
             }

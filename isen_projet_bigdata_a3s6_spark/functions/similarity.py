@@ -207,6 +207,106 @@ def srp_signature(vec: Column, planes: np.ndarray) -> Column:
     return sig
 
 
+def _sql_double(x: float) -> str:
+    """Render a Python double as a SQL literal that parses back to the
+    IDENTICAL double: repr() is the shortest round-trip form and DuckDB's
+    text→double conversion is correctly rounded; the e0 suffix forces
+    DOUBLE typing (a bare decimal literal would be DECIMAL)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def srp_projection_sql(plane, vec_expr: str) -> str:
+    """SQL expression replaying :func:`srp_signature`'s projection for one
+    hyperplane BIT-FOR-BIT: the JVM ``aggregate`` fold
+    ``((0.0 + v0·w0) + v1·w1) + …`` equals the left-associated SQL chain
+    ``v0·w0 + v1·w1 + …`` (0.0 + x ≡ x up to the sign of zero, which
+    ``>= 0`` cannot observe), so the SIGN of the projection — the part an
+    LSH oracle must reproduce exactly, since an unquantized sign decides
+    the candidate set — is identical on both engines. float32 elements
+    widen to double exactly on both sides.
+
+    Caveat (documented, not reachable in fixtures): a zero-LENGTH vector
+    folds to 0.0 (bit 1) on Spark but indexes NULL (bit 0) in SQL; the
+    embedding tables carry fixed 64-dim vectors at every SF."""
+    return " + ".join(
+        f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * {_sql_double(w)}"
+        for i, w in enumerate(plane)
+    )
+
+
+def srp_band_bucket_sql(planes, vec_expr: str, bands: int) -> list[str]:
+    """One SQL expression per band: the band's bucket value exactly as
+    :func:`lsh_topk`/``embedding_dedup_pairs`` compute it (bit i of the
+    signature = sign(v·plane_i); band b packs bits [b·w, (b+1)·w) little-
+    endian). NULL projections (NULL vector elements) take the CASE ELSE
+    branch = bit 0, matching Spark's ``when(NULL >= 0)`` semantics."""
+    num_bits = len(planes)
+    bpb = num_bits // bands
+    bits = [
+        f"(CASE WHEN {srp_projection_sql(p, vec_expr)} >= 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+    return [
+        " + ".join(f"{1 << j} * {bits[b * bpb + j]}" for j in range(bpb))
+        for b in range(bands)
+    ]
+
+
+def lsh_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 5",
+    k: int = 10,
+    dim: int = 64,
+    num_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> str:
+    """ANSI-SQL replay of :func:`lsh_topk` (q42): identical seeded
+    hyperplanes inlined as literal weights (they are module constants of
+    the run — numpy ``default_rng(seed)``), exact sign-bit banding via
+    :func:`srp_band_bucket_sql`, candidate = any-band bucket equality
+    (the UNION-of-band-joins the exploded Spark join computes), then the
+    q41-convention cosine re-rank (round6 masks ``list_dot_product``'s
+    reduction order in the SCORE — candidates never depend on it)."""
+    planes = _hyperplanes(dim, num_bits, seed)
+    bbs = srp_band_bucket_sql(planes, vec_col, bands)
+    bb_cols = ",\n             ".join(
+        f"{e} AS bb{i}" for i, e in enumerate(bbs)
+    )
+    any_band = " OR ".join(f"q.bb{i} = c.bb{i}" for i in range(bands))
+    return f"""
+    WITH banded AS (
+      SELECT {id_col}, {vec_col},
+             {bb_cols}
+      FROM {table}
+    ),
+    cand AS (
+      SELECT q.{id_col} AS query_id, q.{vec_col} AS qv,
+             c.{id_col} AS vec_id, c.{vec_col} AS cv
+      FROM banded q JOIN banded c ON ({any_band})
+      WHERE q.{query_filter}
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             ROUND(list_dot_product(CAST(cv AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(cv AS DOUBLE[]), CAST(cv AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6)
+               AS score
+      FROM cand
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored WHERE score IS NOT NULL
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -263,6 +363,10 @@ def lsh_topk(
         "vec_id",
         F.round(cosine(F.col("__vecv"), F.col("__queryv")), 6).alias("score"),
     )
+    # zero-norm rows score NULL (cosine undefined) — exclude them BEFORE the
+    # ranking window, same convention as cosine_topk and the SQL twins'
+    # `score IS NOT NULL` (a NULL must never occupy a rank ≤ k slot)
+    scored = scored.filter(F.col("score").isNotNull())
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

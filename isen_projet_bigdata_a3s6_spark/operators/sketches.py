@@ -207,8 +207,11 @@ def cms_oracle_sql(
     ``cms_estimate`` for an INTEGER key: the affine slots are plain
     modular arithmetic, so DuckDB reproduces the sketch — and therefore
     the point estimates — exactly. (The xxhash64 family has no DuckDB
-    twin; this is why the affine family exists.) Assumes non-negative
-    keys, where SQL ``%`` equals Spark ``pmod``."""
+    twin; this is why the affine family exists.) The inner key reduction
+    mirrors Spark ``pmod`` explicitly (``((key % P) + P) % P``) so NEGATIVE
+    integer keys hash identically on both engines — SQL ``%`` keeps the
+    dividend's sign where ``pmod`` does not (r08 advisory); the outer mods
+    act on non-negative values (a, b ≥ 0) where the two agree."""
     rows = ", ".join(
         f"({i}, {a}, {b})"
         for i, (a, b) in ((i, _affine_params(seed, i)) for i in range(depth))
@@ -217,7 +220,9 @@ def cms_oracle_sql(
     return f"""
     WITH params(d, a, b) AS (VALUES {rows}),
     cms AS (
-      SELECT p.d, (((t.{key} % {P}) * p.a + p.b) % {P}) % {width} AS slot,
+      SELECT p.d,
+             (((((t.{key} % {P}) + {P}) % {P}) * p.a + p.b) % {P}) % {width}
+               AS slot,
              COUNT(*) AS cnt
       FROM {table} t CROSS JOIN params p
       GROUP BY 1, 2
@@ -225,7 +230,8 @@ def cms_oracle_sql(
     keys AS (SELECT DISTINCT {key} FROM {table} WHERE {key_filter}),
     coords AS (
       SELECT k.{key}, p.d,
-             (((k.{key} % {P}) * p.a + p.b) % {P}) % {width} AS slot
+             (((((k.{key} % {P}) + {P}) % {P}) * p.a + p.b) % {P}) % {width}
+               AS slot
       FROM keys k CROSS JOIN params p
     )
     SELECT c.{key} AS {key}, MIN(COALESCE(s.cnt, 0)) AS est

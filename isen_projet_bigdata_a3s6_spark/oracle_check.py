@@ -127,6 +127,16 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     return res
 
 
+# The driver's fixture root: the one path an oracle may legitimately embed
+# (file-provenance oracles reference parquet FILES — views can't carry the
+# filename virtual column). Every such oracle MUST build its path from this
+# constant and every local harness retargets it via retarget_oracle_sql;
+# tests/test_round9_fixes.py asserts no registered oracle embeds any OTHER
+# absolute fixture path, so a drifted literal fails loudly instead of
+# silently skipping retargeting (r08 advisory).
+DRIVER_FIXTURE_ROOT = "/root/testdata/sf0.01"
+
+
 def retarget_oracle_sql(sql: str, sf_dir: str) -> str:
     """Point an oracle at a different fixture directory.
 
@@ -138,7 +148,7 @@ def retarget_oracle_sql(sql: str, sf_dir: str) -> str:
     retarget it to the fixture it is actually checking, or the oracle
     reads the real sf0.01 data while Spark reads the fixture — the r08
     skew-sweep drift."""
-    return sql.replace("/root/testdata/sf0.01", sf_dir.rstrip("/"))
+    return sql.replace(DRIVER_FIXTURE_ROOT, sf_dir.rstrip("/"))
 
 
 def check_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:

@@ -25,6 +25,7 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
 
+from .oracle_check import DRIVER_FIXTURE_ROOT
 from .scratch import scratch_dir as _scratch_dir  # shared per-session scratch
 from .scratch import stage_parquet_files
 
@@ -55,6 +56,24 @@ def register(name: str, oracle: str | None = None):
 # un-signs it so the next capped sweep re-checks it first.
 _R01_SIGNED = set(range(1, 150)) - {86, 133, 139}
 
+# Queries whose CODE (or registered oracle) changed AFTER their last driver
+# signature: {query number: last round whose records are stale}. A query
+# listed here is treated as unsigned while its newest driver record is from
+# a round <= the recorded value, so the unsigned-first emission fronts it
+# into the next capped sweep window for a re-sign on current code — the
+# r08 verdict's "evidence debt" class (a green record that describes older
+# code). Entries retire automatically once a LATER round signs the query;
+# stale entries are added whenever a change lands after a signature.
+#
+# r09 inventory: q128/q161/q192/q270/q287 changed in r06-r08 after their
+# last sign (VERDICT r08 item 2); q38/q39/q151 had their ORACLE text touched
+# in r09 (normalization character class, pmod mirror — no output change at
+# driver SFs, re-verified locally, but the record predates the text).
+_STALE_AS_OF: dict[int, int] = {
+    128: 8, 161: 8, 192: 8, 270: 8, 287: 8,
+    38: 8, 39: 8, 151: 8,
+}
+
 _SIGNED_CACHE: set[int] | None = None
 
 
@@ -81,11 +100,16 @@ def _signed_queries(root: str | None = None) -> set[int]:
     import json
     import os
 
+    import re
+
     has_oracle = {_qnum(n) for n in _ORACLE}
     signed = set(_R01_SIGNED)
+    latest_round: dict[int, int] = {}
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -97,6 +121,7 @@ def _signed_queries(root: str | None = None) -> set[int]:
             num = _qnum(name)
             if not num or not isinstance(row, dict):
                 continue
+            latest_round[num] = max(latest_round.get(num, 0), rnd)
             green = (
                 row.get("rows_match") is True
                 and row.get("schema_match") is True
@@ -111,6 +136,12 @@ def _signed_queries(root: str | None = None) -> set[int]:
                 signed.add(num)
             else:
                 signed.discard(num)
+    # stale-signature fronting: a record of OLDER code does not certify the
+    # current code — treat the query as unsigned until a round NEWER than
+    # the staleness watermark re-signs it (see _STALE_AS_OF)
+    for num, stale_round in _STALE_AS_OF.items():
+        if latest_round.get(num, 0) <= stale_round:
+            signed.discard(num)
     if cacheable:
         _SIGNED_CACHE = signed
     return signed
@@ -1116,8 +1147,10 @@ def q37_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# minhash/simhash/ngram-jaccard near-dup: deterministic but hash-based —
-# not expressible in DuckDB SQL → rows-only oracle checks
+# minhash/simhash/ngram-jaccard near-dup: q40 is hash-free (oracle since
+# r06); q38/q39 run the md5_affine family so their full pipelines replay
+# in SQL (oracles since r08) — the xxhash64 default family remains for
+# non-oracle paths (q78/q189)
 @register(
     "q38_minhash_pairs",
     # Oracle (promoted r08): with the md5_affine hash family every stage —
@@ -1252,8 +1285,29 @@ def q41_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, q, k=10, query_id="query_id")
 
 
-@register("q42_ann_lsh")
+@register(
+    "q42_ann_lsh",
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.similarity",
+        fromlist=["lsh_topk_oracle_sql"],
+    ).lsh_topk_oracle_sql(
+        table="embeddings",
+        query_filter="vec_id < 5",
+        k=10,
+        dim=64,
+        num_bits=16,
+        bands=4,
+    ),
+)
 def q42_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (similarity.lsh_topk). Oracle (promoted
+    r09, closing the r08 verdict's top item): the seeded hyperplanes are
+    literal constants, so DuckDB replays the exact sign-bit band buckets
+    (functions/similarity.py::lsh_topk_oracle_sql — the projection is the
+    same left-fold chain bit-for-bit) and the same any-band candidate set,
+    then re-ranks with the q41 cosine convention. LSH is "approximate"
+    w.r.t. true neighbors, but a FIXED hash family makes the output a pure
+    deterministic function of the data — exactly what the oracle checks."""
     from .functions.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1264,16 +1318,45 @@ def q42_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M4/M7/M8: Spark ML — multiple OLS w/ inference, logistic + confusion
-# matrix (rows-only: model fitting isn't SQL-expressible)
+# M4/M7/M8: multiple OLS w/ inference, logistic + confusion matrix
 # ---------------------------------------------------------------------------
-@register("q43_multiple_ols")
+_Q43_DUMMIES = [("l_returnflag", "N"), ("l_returnflag", "R")]  # ref level 'A'
+
+
+@register(
+    "q43_multiple_ols",
+    # Oracle (promoted r09, closing the r08 verdict's M4 rows-only item):
+    # the closed-form path makes every statistic an exact function of
+    # order-independent decimal moments + a FIXED float operation sequence
+    # both engines replay bit-for-bit (stats/regression.py::
+    # multiple_ols_oracle_sql / gauss_jordan_sql_ctes) — stronger than the
+    # residual-orthogonality invariant the verdict sketched: the full
+    # coefficient/t table hashes.
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.stats.regression", fromlist=["x"]
+    ).multiple_ols_oracle_sql(
+        "lineitem",
+        "l_extendedprice",
+        ["l_quantity", "l_discount"],
+        _Q43_DUMMIES,
+    ),
+)
 def q43_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .ml.pipeline import fit_multiple_ols
+    """M4 multiple OLS + inference (reference summary(lm),
+    R_groupe4.R:845-847). Since r09 the driver query runs the CLOSED-FORM
+    path — one exact-decimal aggregation pass over the fact table, then a
+    k×k Gauss-Jordan on the driver (stats/regression.py::
+    multiple_ols_closed_form; ml.fit_multiple_ols remains the Spark-ML API
+    twin, parity-pinned in tests/test_round9_ml.py). Dummy coding is
+    R-style (alphabetical levels, first = reference — 'A'), matching the
+    reference's factor handling rather than StringIndexer's frequency
+    order. One scan, one 1-row collect: the 100 TB shape for GLM-class
+    fits with small k."""
+    from .stats.regression import multiple_ols_closed_form
 
     li = load_table(spark, sf_dir, "lineitem")
-    _, summary = fit_multiple_ols(
-        li, "l_extendedprice", ["l_quantity", "l_discount"], ["l_returnflag"]
+    summary = multiple_ols_closed_form(
+        li, "l_extendedprice", ["l_quantity", "l_discount"], _Q43_DUMMIES
     )
     return summary.select(
         "feature",
@@ -1282,15 +1365,52 @@ def q43_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q44_logistic_confusion")
-def q44_logistic_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.scalar import binary_label
-    from .ml.pipeline import confusion_matrix, fit_logistic
+_Q44_DUMMIES = [  # ref level '1-URGENT' (R-style alphabetical treatment coding)
+    ("o_orderpriority", "2-HIGH"),
+    ("o_orderpriority", "3-MEDIUM"),
+    ("o_orderpriority", "4-NOT SPECIFIED"),
+    ("o_orderpriority", "5-LOW"),
+]
 
-    o = load_table(spark, sf_dir, "orders")
-    o = o.withColumn("is_closed", binary_label("o_orderstatus", ["F"]).cast("double"))
-    _, scored = fit_logistic(o, "is_closed", ["o_totalprice"], ["o_orderpriority"])
-    return confusion_matrix(scored, "is_closed")
+
+@register(
+    "q44_logistic_confusion",
+    # Oracle (promoted r09, closing the r08 verdict's M7/M8 rows-only
+    # item): fixed-round distributed IRLS whose rounds the DuckDB twin
+    # unrolls as materialized CTEs; the ~1e-13 cross-engine float-sum
+    # noise is absorbed by per-feature coefficient quantization, and the
+    # confusion matrix of the QUANTIZED model hashes exactly
+    # (ml/irls.py::logistic_confusion_oracle_sql).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.ml.irls", fromlist=["x"]
+    ).logistic_confusion_oracle_sql(
+        "orders",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+        ["o_totalprice"],
+        _Q44_DUMMIES,
+    ),
+)
+def q44_logistic_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 logistic + M8 confusion matrix (reference glm(binomial) +
+    table(label, pred), R_groupe4.R:1002-1011). Since r09 the driver
+    query runs the deterministic fixed-round IRLS path (ml/irls.py —
+    one aggregate pass per Newton round, driver solves the 6×6 system;
+    ml.pipeline.fit_logistic remains the Spark-ML API twin,
+    coefficient-parity pinned in tests/test_round9_ml.py). The reported
+    confusion matrix is that of the per-feature-quantized coefficients
+    (12 decimals on the numeric slope, 8 elsewhere — ~1e-7-relative to
+    the exact MLE, and exactly replayable cross-engine)."""
+    from .ml.irls import logistic_confusion_closed
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+    )
+    o = o.withColumn(
+        "is_closed", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0)
+    )
+    return logistic_confusion_closed(
+        o, "is_closed", ["o_totalprice"], _Q44_DUMMIES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2084,7 +2204,27 @@ def q72_embedding_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(e, "embedding", "vec_id", threshold=0.35, exact=True)
 
 
-@register("q73_embedding_dedup_lsh")
+@register(
+    "q73_embedding_dedup_lsh",
+    # Oracle (promoted r09): the SRP hyperplanes are seeded constants, so
+    # DuckDB replays the exact sign-bit band buckets, the any-band
+    # candidate set, and the round6 cosine verify
+    # (functions/dedup.py::embedding_dedup_lsh_oracle_sql). bits_per_band=2
+    # is what the adaptive rule resolves to for every corpus ≤ 1024
+    # vectors — all driver SFs and sweep fixtures (see the function
+    # docstring); at larger fixtures the band width widens by design and
+    # the replay regime ends.
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.dedup", fromlist=["x"]
+    ).embedding_dedup_lsh_oracle_sql(
+        table="embeddings",
+        keep_cols="vec_id, label",
+        threshold=0.35,
+        bands=8,
+        bits_per_band=2,
+        dim=64,
+    ),
+)
 def q73_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.dedup import embedding_dedup
 
@@ -7722,25 +7862,36 @@ def q205_cube_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q206_minhash_eval")
+@register(
+    "q206_minhash_eval",
+    # Oracle (promoted r09 — the COVERAGE.md cell that said *(oracle)*
+    # since r05 is finally true): with the md5_affine family the pred side
+    # replays bit-for-bit and the truth side is exact set algebra; see
+    # functions/dedup.py::minhash_eval_oracle_sql.
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.dedup", fromlist=["x"]
+    ).minhash_eval_oracle_sql(
+        "documents", "doc_id", "text", "doc_id < 150", threshold=0.8
+    ),
+)
 def q206_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH SELF-EVALUATION (the dedup twin of q172's ANN recall):
     on a bounded slice of the corpus (doc_id < 150 ⇒ ≤ 11k pairs), compute
-    exact all-pairs char-5-gram Jaccard as ground truth and score the
-    production q38 MinHash pipeline (64 hashes, 16 bands, est ≥ 0.8)
-    against truth ≥ 0.8: precision / recall / F1 in one row. This is the
-    tune-before-trust loop for the banding parameters — run it on a sample
-    BEFORE a 100 TB dedup pass; the all-pairs truth is intentionally
-    bounded to the sample (labeled oracle baseline, never the scale path).
-    Not SQL-expressible (xxhash64 signatures) ⇒ rows-only driver check;
-    the thresholds/invariants are pinned in tests/test_wave9.py."""
+    exact all-pairs char-5-gram Jaccard as ground truth and score the q38
+    MinHash pipeline (64 hashes, 16 bands, est ≥ 0.8) against truth ≥ 0.8:
+    precision / recall / F1 in one row. This is the tune-before-trust loop
+    for the banding parameters — run it on a sample BEFORE a 100 TB dedup
+    pass; the all-pairs truth is intentionally bounded to the sample
+    (labeled oracle baseline, never the scale path). Runs the md5_affine
+    family since r09 so the DuckDB oracle can replay the pred side
+    end-to-end; invariants stay pinned in tests/test_wave9.py."""
     from .functions.dedup import minhash_dedup_pairs
     from .functions.text import char_ngrams
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    pred = minhash_dedup_pairs(d, "text", "doc_id", threshold=0.8).select(
-        "id_a", "id_b"
-    )
+    pred = minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=0.8, hash_family="md5_affine"
+    ).select("id_a", "id_b")
     g = d.select(
         F.col("doc_id").alias("__id"),
         F.array_distinct(char_ngrams("text", 5)).alias("__g"),
@@ -7758,12 +7909,28 @@ def q206_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = pred.join(truth, ["id_a", "id_b"]).count()
     n_pred = pred.count()
     n_truth = truth.count()
-    prec = tp / n_pred if n_pred else 1.0
-    rec = tp / n_truth if n_truth else 1.0
-    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
-    return spark.createDataFrame(
-        [(n_pred, n_truth, tp, round(prec, 6), round(rec, 6), round(f1, 6))],
-        "n_pred bigint, n_truth bigint, tp bigint, precision double, recall double, f1 double",
+    # final arithmetic as Spark EXPRESSIONS (F.round, not Python round —
+    # Python rounds half-even, the engines round half-away) on raw IEEE
+    # divisions the oracle mirrors term-for-term
+    base = spark.createDataFrame(
+        [(n_pred, n_truth, tp)], "n_pred bigint, n_truth bigint, tp bigint"
+    )
+    p_raw = F.when(F.col("n_pred") == 0, F.lit(1.0)).otherwise(
+        F.col("tp") / F.col("n_pred")
+    )
+    r_raw = F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+        F.col("tp") / F.col("n_truth")
+    )
+    f1_raw = F.when(p_raw + r_raw == 0.0, F.lit(0.0)).otherwise(
+        F.lit(2.0) * p_raw * r_raw / (p_raw + r_raw)
+    )
+    return base.select(
+        "n_pred",
+        "n_truth",
+        "tp",
+        F.round(p_raw, 6).alias("precision"),
+        F.round(r_raw, 6).alias("recall"),
+        F.round(f1_raw, 6).alias("f1"),
     )
 
 
@@ -12359,13 +12526,13 @@ def q270_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver's sf0.01 fixture (the driver runs oracle SQL verbatim,
     # always at sf0.01); the local gate retargets the path to the SF
     # under check (oracle_check.check_query).
-    oracle="""
+    oracle=f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            COUNT(*) AS n_rows,
            MIN(l_orderkey) AS min_orderkey,
            MAX(l_orderkey) AS max_orderkey,
            COUNT(DISTINCT l_partkey) AS n_parts
-    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+    FROM read_parquet('{DRIVER_FIXTURE_ROOT}/lineitem.parquet',
                       filename=true)
     GROUP BY 1
     """,
