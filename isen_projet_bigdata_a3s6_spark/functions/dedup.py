@@ -358,6 +358,78 @@ def minhash_eval_oracle_sql(
     """
 
 
+def _minhash_cc_ctes(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    ngram: int = 5,
+) -> str:
+    """Shared CTE block for the transitive-dedup oracles (q78/q189):
+    md5_affine MinHash pairs (nested :func:`minhash_oracle_sql`) +
+    recursive-CTE connected components — the q280 precedent generalized:
+    "iterative CC has no SQL twin" is false for bounded graphs, and the
+    near-dup pair graph at any verification SF is bounded by construction.
+    Yields CTEs ``pairs``/``edges``/``reach``/``labels`` where labels =
+    (id, component = min reachable id), exactly
+    :func:`connected_components`'s fixpoint."""
+    inner = minhash_oracle_sql(
+        table, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, ngram=ngram, threshold=threshold,
+    )
+    return f"""pairs AS (SELECT id_a, id_b FROM ({inner}) mp),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS comp FROM edges
+      UNION
+      SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    labels AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY 1)"""
+
+
+def transitive_dedup_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """ANSI-SQL replay of q78 (md5_affine MinHash pairs → connected
+    components → cluster sizes). See :func:`_minhash_cc_ctes`."""
+    ctes = _minhash_cc_ctes(table, id_col, text_col, num_hashes, bands, threshold)
+    return f"""
+    WITH RECURSIVE {ctes}
+    SELECT component, COUNT(*) AS cluster_size FROM labels GROUP BY 1
+    """
+
+
+def neardup_clusters_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> str:
+    """ANSI-SQL replay of q189 (md5_affine MinHash pairs → connected
+    components → lowest-id canonical pick per cluster)."""
+    ctes = _minhash_cc_ctes(table, id_col, text_col, num_hashes, bands, threshold)
+    return f"""
+    WITH RECURSIVE {ctes}
+    SELECT component AS cluster, id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component ORDER BY id) = 1
+             AS is_canonical
+    FROM labels
+    """
+
+
 def minhash_dedup(
     df: DataFrame, text_col: str, id_col: str, **kwargs
 ) -> DataFrame:
@@ -1148,7 +1220,21 @@ def containment_prefix_pairs(
     Plan shape mirrors jaccard_prefix_pairs: hashed shingles, lazy
     persists on the shared token stream, explicit numPartitions
     repartitions on the CPU-bound stages, no broadcast hints on the
-    verify joins."""
+    verify joins.
+
+    Evaluated and REVERTED (r09, the r08 verdict's growth item):
+    length-BANDING the container index — join key (token, g) with
+    g_b = floor(log2((sz−rn+1)/t)) on container rows and the prefix side
+    exploded over its eligible bands. Measured at the sf1 fixture: the
+    band predicate eliminated ZERO matched rows (65,416,745 with and
+    without — the at-join-time positional filter already subsumes it on
+    this corpus, where hot shingles' deep ranks are pruned per row
+    anyway) while the prefix explode (×2.3) and the extra g_max pass made
+    the query 66.4 s → 229 s end-to-end. The growth driver is the
+    df-product volume of the matched stream itself, which banding cannot
+    reduce below what the positional filter already achieves; at corpus
+    scale the deploy answer is domain/source partitioning or an LSH
+    prescreen, with this exact join as the within-partition verifier."""
     if not 0 < threshold <= 1:
         raise ValueError("containment_prefix_pairs: threshold must be in (0, 1]")
     if ngram is None:
@@ -1156,40 +1242,8 @@ def containment_prefix_pairs(
     else:
         toks = F.array_distinct(char_ngrams(text_col, n=ngram))
     tok, ranked, nparts = _hashed_ranked_tokens(df, id_col, toks)
-    # LENGTH-BAND the container index (r09, the r08 verdict's q287 growth
-    # item): a container row (token at rank rn of a size-sz list) can only
-    # ever witness pairs whose contained size satisfies the positional
-    # bound ceil(t·|a|) ≤ sz − rn + 1, i.e. |a| ≤ amax = (sz − rn + 1 +
-    # slack)/t — so tag each container row with g_b = floor(log2(amax))
-    # and make the band part of the EQUI-JOIN key: the contained side
-    # (the small prefix frame) explodes to bands [g_a, g_max] and meets
-    # only container rows of a compatible length band. A hot shingle sits
-    # at rank ≈ sz in every container (rarest-first order), so its rows
-    # carry g_b ≈ log2(1/t) ≈ 0 and no longer meet every contained row
-    # that shares the token — candidate enumeration tracks the matched
-    # length band instead of the full index. COMPLETE because the band
-    # predicate is a pure relaxation of the positional filter already
-    # applied below (filter passes ⇒ |a| ≤ amax ⇒ g_a ≤ g_b); the 1e-3
-    # additive slack dominates every rounding slack in play, erring
-    # keep-side.
-    amax = (
-        F.col("sz").cast("double") - F.col("rn") + F.lit(1.0) + F.lit(1e-3)
-    ) / F.lit(threshold)
-    ranked = ranked.withColumn(
-        "gb", F.floor(F.log2(F.greatest(amax, F.lit(0.5)))).cast("int")
-    )
-    # both the prefix filter and the banded-index join side read this frame
+    # both the prefix filter and the full-index join side read this frame
     ranked = ranked.persist()
-    # g_max: one scalar aggregate (driver-bounded) — the largest band any
-    # container row carries; empty corpus → no pairs
-    gmax_row = ranked.agg(F.max("gb").alias("g")).collect()[0]
-    if gmax_row["g"] is None:
-        ranked.unpersist()
-        id_type = df.schema[id_col].dataType.simpleString()
-        return df.sparkSession.createDataFrame(
-            [], f"id_a {id_type}, id_b {id_type}, containment double"
-        )
-    g_max = int(gmax_row["g"])
     prefix_a = ranked.filter(
         # RELATIVE slack (1e-9·sz) inside the ceil errs toward a LONGER
         # prefix: 0.85*40 evaluates to 34.000000000000004 in doubles, and a
@@ -1201,30 +1255,12 @@ def containment_prefix_pairs(
         <= F.col("sz")
         - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
         + 1
-    ).withColumn(
-        # explode the SMALL side over its eligible bands [g_a, g_max];
-        # band count shrinks as |a| grows, so the explode factor is
-        # largest exactly where rows are cheapest. g_a > g_max means no
-        # container row can ever satisfy the positional bound for this
-        # contained size — emit no bands (a bare sequence() would DESCEND)
-        "gb",
-        F.explode(
-            F.when(
-                F.floor(F.log2(F.col("sz").cast("double"))).cast("int")
-                <= F.lit(g_max),
-                F.sequence(
-                    F.floor(F.log2(F.col("sz").cast("double"))).cast("int"),
-                    F.lit(g_max),
-                ),
-            ).otherwise(F.expr("array()").cast("array<int>"))
-        ),
     )
     cand = (
         prefix_a.alias("pa")
         .join(
             ranked.alias("pb"),
             (F.col("pa.token") == F.col("pb.token"))
-            & (F.col("pa.gb") == F.col("pb.gb"))
             & (F.col("pa.id") != F.col("pb.id"))
             # container lower bound: overlap ≥ ⌈t·|a|⌉ needs |b| ≥ that
             # (relative 1e-9·|a| keep-side slack, magnitude-safe)

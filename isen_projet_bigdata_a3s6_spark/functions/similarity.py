@@ -307,6 +307,124 @@ def lsh_topk_oracle_sql(
     """
 
 
+def _exact_topk_ctes(
+    table: str, id_col: str, vec_col: str, query_filter: str, k: int
+) -> str:
+    """CTE block for the q41-convention exact cosine top-k (ground-truth
+    side of the recall self-evals): q/escore/eranked/exact."""
+    return f"""q AS (SELECT {id_col} AS query_id, {vec_col} AS qv
+         FROM {table} WHERE {query_filter}),
+    escore AS (
+      SELECT q.query_id, e.{id_col} AS vec_id,
+             ROUND(list_dot_product(CAST(e.{vec_col} AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.{vec_col} AS DOUBLE[]), CAST(e.{vec_col} AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6)
+               AS score
+      FROM {table} e CROSS JOIN q
+    ),
+    eranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM escore WHERE score IS NOT NULL
+    ),
+    exact AS (SELECT query_id, vec_id FROM eranked WHERE rank <= {k})"""
+
+
+def _recall_tail_sql(approx_cte: str) -> str:
+    """Final recall@k arithmetic shared by q172/q193: per-query ground-truth
+    size, hit count against ``approx_cte``, coalesced IEEE division —
+    mirrors the Spark expression tree term-for-term."""
+    return f"""ek AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY 1),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS hit
+      FROM exact e JOIN {approx_cte} a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT ek.query_id,
+           COALESCE(h.hit, 0) / CAST(ek.k AS DOUBLE) AS recall_at_10
+    FROM ek LEFT JOIN hits h ON h.query_id = ek.query_id"""
+
+
+def ann_recall_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 5",
+    k: int = 10,
+    dim: int = 64,
+    num_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> str:
+    """ANSI-SQL replay of q172 (recall@k of the SRP-LSH path vs exact
+    ground truth): both sides are deterministic functions of the data once
+    the hyperplane family is fixed — the approx side nests
+    :func:`lsh_topk_oracle_sql`, the exact side is the q41 convention."""
+    lsh = lsh_topk_oracle_sql(
+        table, id_col, vec_col, query_filter, k, dim, num_bits, bands, seed
+    )
+    return f"""
+    WITH approx AS (SELECT query_id, vec_id FROM ({lsh}) ap),
+    {_exact_topk_ctes(table, id_col, vec_col, query_filter, k)},
+    {_recall_tail_sql('approx')}
+    """
+
+
+def quantized_recall_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 5",
+    k: int = 10,
+) -> str:
+    """ANSI-SQL replay of q193 (recall@k of exact search over the
+    int8-quantized corpus vs float ground truth): quantize/dequantize
+    exactly as the q187 oracle does (unrounded scale inside the round,
+    round6 scale in the dequantize — mirroring quantize_int8's output
+    contract), then the q41-convention top-k on the dequantized corpus."""
+    deq_elem = (
+        "CAST(CAST(GREATEST(-127, LEAST(127,"
+        " CAST(ROUND(CAST(x AS DOUBLE) / (am / 127.0)) AS INT)))"
+        " AS DOUBLE) * ROUND(am / 127.0, 6) AS FLOAT)"
+    )
+    return f"""
+    WITH {_exact_topk_ctes(table, id_col, vec_col, query_filter, k)},
+    t AS (
+      SELECT {id_col},
+             {vec_col},
+             CAST(list_max(list_transform({vec_col}, x -> abs(x))) AS DOUBLE)
+               AS am
+      FROM {table}
+    ),
+    deq AS (
+      SELECT {id_col} AS vec_id,
+             CASE WHEN am > 0
+                  THEN list_transform({vec_col}, x -> {deq_elem})
+                  ELSE list_transform({vec_col}, x -> CAST(0.0 AS FLOAT)) END
+               AS dv
+      FROM t
+    ),
+    qscore AS (
+      SELECT q.query_id, d.vec_id,
+             ROUND(list_dot_product(CAST(d.dv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(d.dv AS DOUBLE[]), CAST(d.dv AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))), 6)
+               AS score
+      FROM deq d CROSS JOIN q
+    ),
+    qranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM qscore WHERE score IS NOT NULL
+    ),
+    quant AS (SELECT query_id, vec_id FROM qranked WHERE rank <= {k}),
+    {_recall_tail_sql('quant')}
+    """
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2350,14 +2350,31 @@ def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q78_transitive_dedup")
+@register(
+    "q78_transitive_dedup",
+    # Oracle (promoted r09): md5_affine pairs (the q38 replay) + the q280
+    # recursive-CTE precedent for connected components on a bounded pair
+    # graph — the old "iterative CC has no SQL twin" rationale retired.
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.dedup", fromlist=["x"]
+    ).transitive_dedup_oracle_sql(
+        "documents", "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+    ),
+)
 def q78_transitive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering over MinHash near-dup pairs →
-    transitive duplicate groups (rows-only: iterative algorithm)."""
+    transitive duplicate groups. Runs the md5_affine family since r09 so
+    the DuckDB oracle replays pairs AND components end-to-end
+    (functions/dedup.py::transitive_dedup_oracle_sql); the engine side
+    stays the pointer-jumping label propagation — the scalable path the
+    recursive-CTE twin only verifies."""
     from .functions.dedup import connected_components, minhash_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(d, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5)
+    pairs = minhash_dedup_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5,
+        hash_family="md5_affine",
+    )
     comp = connected_components(pairs)
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
 
@@ -6156,14 +6173,27 @@ def q171_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN recall self-evaluation, grouped winsorize, surrogate keys, corpus
 # curation funnel
 # ---------------------------------------------------------------------------
-@register("q172_ann_recall")
+@register(
+    "q172_ann_recall",
+    # Oracle (promoted r09): follows q42's promotion for free — both the
+    # approx and exact sides are deterministic data functions, so the
+    # self-eval recall is too (functions/similarity.py::
+    # ann_recall_oracle_sql).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.similarity", fromlist=["x"]
+    ).ann_recall_oracle_sql(
+        table="embeddings", query_filter="vec_id < 5",
+        k=10, dim=64, num_bits=16, bands=4,
+    ),
+)
 def q172_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the SRP-LSH ANN path (q42) against the exact
     brute-force ground truth (q41), per query — the self-evaluation loop a
     production ANN deployment runs on a sampled query set to tune
     bits/bands before trusting the index at full scale. Join on
-    (query, neighbor), count hits / k. LSH inside ⇒ rows-only; the unit
-    tests already pin lsh recall floors independently."""
+    (query, neighbor), count hits / k. Oracle-paired since r09 (the q42
+    sign-bit replay makes the approx side externally computable); the
+    unit tests keep pinning recall floors independently."""
     from .functions.similarity import cosine_topk, lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6904,21 +6934,32 @@ def q188_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q189_neardup_clusters")
+@register(
+    "q189_neardup_clusters",
+    # Oracle (promoted r09): same replay chain as q78 at this query's
+    # (64, 16, 0.7) config, plus the canonical-pick window.
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.dedup", fromlist=["x"]
+    ).neardup_clusters_oracle_sql(
+        "documents", "doc_id", "text", num_hashes=64, bands=16, threshold=0.7
+    ),
+)
 def q189_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-duplicate CLUSTERING — the composition a real corpus
     cleaner runs: MinHash-LSH candidate pairs (q38) → connected components
     (q78's pointer-jumping label propagation) → one canonical representative
     per cluster (lowest doc id; production would rank by quality score).
     Emits (cluster, doc_id, is_canonical) for every doc in a non-trivial
-    cluster. Iterative label propagation ⇒ rows-only; each constituent is
-    independently oracle-checked by its own query."""
+    cluster. md5_affine family since r09 ⇒ the full composition replays in
+    SQL (functions/dedup.py::neardup_clusters_oracle_sql)."""
     from pyspark.sql import Window as W
 
     from .functions.dedup import connected_components, minhash_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(d, "text", "doc_id", threshold=0.7)
+    pairs = minhash_dedup_pairs(
+        d, "text", "doc_id", threshold=0.7, hash_family="md5_affine"
+    )
     comp = connected_components(pairs.select("id_a", "id_b"))  # (id, component)
     id_col, comp_col = comp.columns[0], comp.columns[1]
     w = W.partitionBy(comp_col).orderBy(F.asc(id_col))
@@ -7075,14 +7116,25 @@ def q192_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q193_quantized_ann_recall")
+@register(
+    "q193_quantized_ann_recall",
+    # Oracle (promoted r09): the q187 quantization replay + the q41 exact
+    # re-rank compose into a full replay of this eval
+    # (functions/similarity.py::quantized_recall_oracle_sql).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.similarity", fromlist=["x"]
+    ).quantized_recall_oracle_sql(
+        table="embeddings", query_filter="vec_id < 5", k=10
+    ),
+)
 def q193_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of exact cosine search over the INT8-QUANTIZED corpus
     (q187's representation) against float ground truth (q41) — the
     evaluation that decides whether the 4× memory cut is free at serving
     time. Dequantize (scale·q) inside codegen and run the same exact
-    top-k; join on (query, neighbor), hits / k. Float recurrence over a
-    lossy representation ⇒ rows-only; the unit test pins a recall floor."""
+    top-k; join on (query, neighbor), hits / k. Oracle-paired since r09
+    (the q187 quantization replay + q41 re-rank compose); the unit test
+    keeps pinning the recall floor."""
     from .functions.similarity import cosine_topk, quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
