@@ -153,26 +153,30 @@ def logistic_confusion_closed(
     )
 
 
-def logistic_confusion_oracle_sql(
+def _irls_ctes(
     table: str,
     label_sql: str,
     numeric: list[str],
     dummies: list[tuple[str, str]],
-    iters: int = 8,
-) -> str:
-    """ANSI-SQL twin of :func:`logistic_confusion_closed`: the IRLS rounds
-    unroll into MATERIALIZED CTEs (default inlining would re-expand the
-    whole chain per reference — the q229/PageRank unroll lesson), each
-    round = score CTE (same z/p/w expression text) → moment aggregate →
-    the shared Gauss-Jordan CTE chain → coefficient-update CTE with the
-    same left-fold order. Quantization and margin scoring mirror the
-    Spark side term-for-term."""
+    iters: int,
+    fit_where: str | None = None,
+) -> tuple[list[str], int]:
+    """Shared CTE chain for the IRLS oracles (q44/q80/q81): ``clean``
+    (the fit rows) → ``iters`` unrolled Newton rounds (score → moment
+    aggregate → the shared Gauss-Jordan chain → update) → ``bq`` (the
+    per-feature-quantized coefficients). MATERIALIZED throughout (default
+    inlining would re-expand the whole chain per reference — the
+    q229/PageRank unroll lesson). ``fit_where`` restricts the TRAINING
+    rows (q80's split) on top of the NOT NULL guards. Returns
+    (ctes, k)."""
     feats = _ols_design(numeric, dummies)
     k = len(feats)
     cat_cols = sorted({c for c, _ in dummies})
     notnull = " AND ".join(
         f"{c} IS NOT NULL" for c in [*dict.fromkeys([*_label_cols(label_sql), *numeric, *cat_cols])]
     )
+    if fit_where:
+        notnull = f"{notnull} AND ({fit_where})"
     xcols = ", ".join(
         f"CAST({feats[i][2]} AS DOUBLE) AS __x{i}" for i in range(k)
     )
@@ -226,6 +230,110 @@ def logistic_confusion_oracle_sql(
         f"ROUND(beta_{i}, {decs[i]}) AS q_{i}" for i in range(k)
     )
     ctes.append(f"bq AS MATERIALIZED (SELECT {bq} FROM it{iters})")
+    return ctes, k
+
+
+def logistic_eval_closed(
+    train: DataFrame,
+    test: DataFrame,
+    label: str,
+    numeric: list[str],
+    dummies: list[tuple[str, str]],
+    iters: int = 8,
+) -> DataFrame:
+    """q80's engine path: fixed-round IRLS on the TRAIN split, quantized
+    coefficients, margin-scored TEST split, then the
+    ml.evaluation.classification_metrics bundle (same expression tree) —
+    every count exact, ratios IEEE divisions, round4 display."""
+    from .evaluation import classification_metrics
+
+    spark = train.sparkSession
+    schema = "accuracy double, precision double, recall double, f1 double, n long"
+    beta = logistic_irls_fit(train, label, numeric, dummies, iters)
+    if beta is None:
+        return spark.createDataFrame([], schema)
+    bq = quantize_beta(beta, len(numeric))
+    feats = _ols_design(numeric, dummies)
+    k = len(feats)
+    cat_cols = sorted({c for c, _ in dummies})
+    clean_t = test.dropna(subset=[label, *numeric, *cat_cols])
+    scored = clean_t.select(
+        F.col(label).cast("long").alias("label"),
+        *[feats[i][1]().cast("double").alias(f"__x{i}") for i in range(k)],
+    )
+    margin = _z_chain(bq, k)
+    scored = scored.withColumn(
+        "prediction",
+        F.when(margin > 0.0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    m = classification_metrics(scored, "label")
+    return m.filter(F.col("n") > 0).select(
+        F.round("accuracy", 4).alias("accuracy"),
+        F.round("precision", 4).alias("precision"),
+        F.round("recall", 4).alias("recall"),
+        F.round("f1", 4).alias("f1"),
+        "n",
+    )
+
+
+def logistic_summary_closed(
+    df: DataFrame,
+    label: str,
+    numeric: list[str],
+    dummies: list[tuple[str, str]],
+    iters: int = 8,
+) -> DataFrame:
+    """q81's engine path: fixed-round IRLS, then ONE more Hessian pass at
+    the QUANTIZED coefficients and the shared Gauss-Jordan inverse for the
+    observed-information standard errors (summary(glm)'s table); z = βq/se
+    round2. Emits (feature, coefficient, z_value) — the coefficient column
+    IS the quantized value (deterministic, no further display rounding:
+    the totalprice slope is ~1e-8, which a blanket round6 would erase)."""
+    spark = df.sparkSession
+    schema = "feature string, coefficient double, z_value double"
+    beta = logistic_irls_fit(df, label, numeric, dummies, iters)
+    if beta is None:
+        return spark.createDataFrame([], schema)
+    bq = quantize_beta(beta, len(numeric))
+    feats = _ols_design(numeric, dummies)
+    k = len(feats)
+    cat_cols = sorted({c for c, _ in dummies})
+    clean = df.dropna(subset=[label, *numeric, *cat_cols])
+    proj = clean.select(
+        *[feats[i][1]().cast("double").alias(f"__x{i}") for i in range(k)],
+    )
+    z = _z_chain(bq, k)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    w = p * (F.lit(1.0) - p)
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(w * F.col(f"__x{i}") * F.col(f"__x{j}")).alias(f"h_{i}_{j}")
+            )
+    row = proj.agg(*aggs).collect()[0]
+    h = [[row[f"h_{min(i, j)}_{max(i, j)}"] for j in range(k)] for i in range(k)]
+    inv = gauss_jordan_inverse(h)
+    # z rounded via F.round (engine half-away semantics, matching SQL
+    # ROUND — Python round is half-even)
+    out = [(feats[i][0], bq[i], bq[i] / inv[i][i] ** 0.5) for i in range(k)]
+    raw = spark.createDataFrame(out, "feature string, coefficient double, z_raw double")
+    return raw.select(
+        "feature", "coefficient", F.round("z_raw", 2).alias("z_value")
+    )
+
+
+def logistic_confusion_oracle_sql(
+    table: str,
+    label_sql: str,
+    numeric: list[str],
+    dummies: list[tuple[str, str]],
+    iters: int = 8,
+) -> str:
+    """ANSI-SQL twin of :func:`logistic_confusion_closed`: the shared IRLS
+    chain (:func:`_irls_ctes`), then the margin scoring and long-form
+    confusion counts mirroring the Spark side term-for-term."""
+    ctes, k = _irls_ctes(table, label_sql, numeric, dummies, iters)
     margin = " + ".join(f"b.q_{i} * c.__x{i}" for i in range(k))
     ctes.append(
         "scored AS (SELECT CAST(c.__y AS BIGINT) AS label,"
@@ -238,6 +346,108 @@ def logistic_confusion_oracle_sql(
         + "\n    SELECT label, CAST(prediction AS BIGINT) AS prediction,"
         " COUNT(*) AS n FROM scored GROUP BY 1, 2"
     )
+
+
+def logistic_eval_oracle_sql(
+    table: str,
+    label_sql: str,
+    numeric: list[str],
+    dummies: list[tuple[str, str]],
+    train_where: str,
+    test_where: str,
+    iters: int = 8,
+) -> str:
+    """ANSI-SQL twin of :func:`logistic_eval_closed` (q80): the IRLS chain
+    fits on the TRAIN split, the quantized model scores the TEST split,
+    and accuracy/precision/recall/F1 mirror ml.evaluation.
+    classification_metrics (tp / NULLIF sums, same expression tree)."""
+    ctes, k = _irls_ctes(table, label_sql, numeric, dummies, iters, fit_where=train_where)
+    feats = _ols_design(numeric, dummies)
+    cat_cols = sorted({c for c, _ in dummies})
+    notnull = " AND ".join(
+        f"{c} IS NOT NULL"
+        for c in [*dict.fromkeys([*_label_cols(label_sql), *numeric, *cat_cols])]
+    )
+    xcols = ", ".join(f"CAST({feats[i][2]} AS DOUBLE) AS __x{i}" for i in range(k))
+    ctes.append(
+        f"test AS MATERIALIZED (SELECT CAST({label_sql} AS DOUBLE) AS __y, {xcols}"
+        f" FROM {table} WHERE {notnull} AND ({test_where}))"
+    )
+    margin = " + ".join(f"b.q_{i} * c.__x{i}" for i in range(k))
+    ctes.append(
+        "scored AS (SELECT CAST(c.__y AS BIGINT) AS y,"
+        f" CASE WHEN ({margin}) > 0.0e0 THEN 1 ELSE 0 END AS p"
+        " FROM test c CROSS JOIN bq b)"
+    )
+    ctes.append(
+        "cm AS (SELECT COUNT(*) AS n,"
+        " SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp,"
+        " SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS fp,"
+        " SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS fn,"
+        " SUM(CASE WHEN y = p THEN 1 ELSE 0 END) AS correct"
+        " FROM scored)"
+    )
+    ctes.append(
+        "m AS (SELECT n,"
+        " CAST(correct AS DOUBLE) / n AS acc_raw,"
+        " CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS prec_raw,"
+        " CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS rec_raw"
+        " FROM cm)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT ROUND(acc_raw, 4) AS accuracy,"
+        " ROUND(prec_raw, 4) AS \"precision\","
+        " ROUND(rec_raw, 4) AS recall,"
+        " ROUND(2.0e0 * prec_raw * rec_raw"
+        "       / NULLIF(prec_raw + rec_raw, 0.0e0), 4) AS f1,"
+        " CAST(n AS BIGINT) AS n"
+        " FROM m WHERE n > 0"
+    )
+
+
+def logistic_summary_oracle_sql(
+    table: str,
+    label_sql: str,
+    numeric: list[str],
+    dummies: list[tuple[str, str]],
+    iters: int = 8,
+) -> str:
+    """ANSI-SQL twin of :func:`logistic_summary_closed` (q81): the IRLS
+    chain, then ONE more Hessian pass at the QUANTIZED coefficients and
+    the shared Gauss-Jordan inverse for the observed-information standard
+    errors; z = βq / se, round2 (the float-sum engine noise in the final
+    Hessian is ~1e-13 relative — far inside the display rounding)."""
+    ctes, k = _irls_ctes(table, label_sql, numeric, dummies, iters)
+    from ..stats.regression import gauss_jordan_sql_ctes
+
+    zq = " + ".join(f"b.q_{i} * c.__x{i}" for i in range(k))
+    ctes.append(
+        f"sfin AS MATERIALIZED (SELECT c.*, 1.0e0 / (1.0e0 + exp(-({zq}))) AS p"
+        " FROM clean c CROSS JOIN bq b)"
+    )
+    hmoms = []
+    for i in range(k):
+        for j in range(i, k):
+            hmoms.append(
+                f"SUM(p * (1.0e0 - p) * __x{i} * __x{j}) AS h_{i}_{j}"
+            )
+    ctes.append(f"hfin AS MATERIALIZED (SELECT {', '.join(hmoms)} FROM sfin)")
+    mat_cells = ", ".join(
+        f"h_{min(i, j)}_{max(i, j)} AS m_{i}_{j}" for i in range(k) for j in range(k)
+    )
+    ctes.append(f"matf AS MATERIALIZED (SELECT {mat_cells} FROM hfin)")
+    gj, ginv = gauss_jordan_sql_ctes(k, "matf", prefix="fin")
+    ctes.append(gj)
+    feats = _ols_design(numeric, dummies)
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT '{feats[i][0]}' AS feature, q_{i} AS coefficient,"
+        f" ROUND(q_{i} / sqrt(fininv_{i}_{i}), 2) AS z_value"
+        f" FROM bq CROSS JOIN {ginv}"
+        for i in range(k)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
 
 
 def _label_cols(label_sql: str) -> list[str]:

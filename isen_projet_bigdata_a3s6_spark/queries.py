@@ -2052,67 +2052,122 @@ def q68_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clustering + IVF-style ANN over embeddings (extension; rows-only —
 # iterative fitting isn't SQL-expressible)
 # ---------------------------------------------------------------------------
-@register("q69_kmeans_clusters")
+def _q69_oracle() -> str:
+    from .ml.kmeans import kmeans_lloyd_ctes
+
+    ctes, _, asg = kmeans_lloyd_ctes("embeddings", "vec_id", "embedding", k=3, iters=10)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT {asg}.cell AS prediction, COUNT(*) AS n,"
+        " COUNT(DISTINCT e.label) AS n_labels"
+        f" FROM {asg} JOIN embeddings e ON e.vec_id = {asg}.vid GROUP BY 1"
+    )
+
+
+@register("q69_kmeans_clusters", oracle=_q69_oracle())
 def q69_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans over the embedding column: cluster sizes + intra-cluster
-    cosine stats. Deterministic seed."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """KMeans over the embedding column: cluster sizes + label purity.
+    Since r09 the driver query runs the deterministic fixed-round Lloyd
+    (ml/kmeans.py — lowest-id init, bit-identical assignment folds,
+    round9-decimal exact means), so the DuckDB oracle replays the whole
+    clustering end-to-end; Spark ML's k-means|| remains the production
+    init (API parity pinned in tests/test_round9_kmeans.py via inertia
+    comparison). One aggregate pass per round, k·(dim+1) driver cells —
+    the scalable Lloyd shape."""
+    from .ml.kmeans import kmeans_lloyd
 
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    if vecs.isEmpty():
+    res = kmeans_lloyd(e, "embedding", "vec_id", k=3, iters=10)
+    if res is None:
         # empty-in/empty-out: no clusters on a no-data day
         return spark.createDataFrame([], "prediction int, n long, n_labels long")
-    km = KMeans(k=3, seed=42, maxIter=20, featuresCol="features")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs)
-    return assigned.groupBy("prediction").agg(
+    assigned, _ = res
+    return assigned.groupBy(F.col("cell").alias("prediction")).agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("label").alias("n_labels"),
     )
 
 
-@register("q70_ann_ivf")
+def _q70_oracle() -> str:
+    from .ml.kmeans import kmeans_lloyd_ctes
+
+    ctes, cent, asg = kmeans_lloyd_ctes(
+        "embeddings", "vec_id", "embedding", k=8, iters=10
+    )
+    ldp = "list_dot_product"
+    ctes.append(
+        "q AS (SELECT vid AS query_id, CAST(v AS DOUBLE[]) AS qv"
+        " FROM vecs WHERE vid < 5)"
+    )
+    ctes.append(
+        "qsim AS (SELECT q.query_id, q.qv, cc.cell,"
+        f" ROUND({ldp}(q.qv, cc.c)"
+        f" / (sqrt({ldp}(q.qv, q.qv)) * sqrt({ldp}(cc.c, cc.c))), 6) AS csim"
+        f" FROM q CROSS JOIN {cent} cc)"
+    )
+    ctes.append(
+        "qcells AS (SELECT query_id, qv, cell FROM ("
+        "SELECT query_id, qv, cell,"
+        " ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY csim DESC, cell) AS crank"
+        " FROM qsim WHERE csim IS NOT NULL) x WHERE crank <= 2)"
+    )
+    ctes.append(
+        "scored AS (SELECT qc.query_id, a.vid AS vec_id,"
+        f" ROUND({ldp}(CAST(a.v AS DOUBLE[]), qc.qv)"
+        f" / (sqrt({ldp}(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])))"
+        f" * sqrt({ldp}(qc.qv, qc.qv))), 6) AS score"
+        f" FROM qcells qc JOIN {asg} a ON a.cell = qc.cell)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT query_id, vec_id, score, rank FROM ("
+        "SELECT query_id, vec_id, score,"
+        " ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY score DESC, vec_id) AS rank"
+        " FROM scored WHERE score IS NOT NULL) r WHERE rank <= 10"
+    )
+
+
+@register("q70_ann_ivf", oracle=_q70_oracle())
 def q70_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer → probe the nearest ``nprobe``
     cell lists per query → exact cosine re-rank inside probed cells. The
     standard big-corpus layout: the inverted lists are the partition key, so
-    each query touches |corpus|·nprobe/k rows instead of the full corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    each query touches |corpus|·nprobe/k rows instead of the full corpus.
+    Since r09 the quantizer is the deterministic fixed-round Lloyd
+    (ml/kmeans.py), so the DuckDB oracle replays index build, probe
+    ranking (round6 + cell tiebreak) and re-rank end-to-end; zero-norm
+    rows score NULL and are excluded on both engines (the lsh_topk
+    convention)."""
     from pyspark.sql import Window as W
 
     from .functions.similarity import cosine
+    from .ml.kmeans import kmeans_lloyd
 
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-    ).withColumn("features", array_to_vector("emb"))
-    if vecs.isEmpty():
+    res = kmeans_lloyd(e, "embedding", "vec_id", k=8, iters=10)
+    if res is None:
         # empty-in/empty-out: no index, no neighbors on a no-data day
         return spark.createDataFrame(
             [], "query_id long, vec_id long, score double, rank int"
         )
-    km = KMeans(k=8, seed=42, maxIter=10, featuresCol="features")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select(
-        "vec_id", "emb", F.col("prediction").alias("cell")
+    assigned, cents = res
+    assigned = assigned.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "cell"
     )
-    # queries: first 5 vectors; probe nprobe=2 nearest centroids
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cdf = e.sparkSession.createDataFrame(centroids, "cell int, cvec array<double>")
+    cdf = e.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cvec array<double>"
+    )
     q = assigned.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qv")
     )
     qcells = (
         q.join(F.broadcast(cdf), how="cross")
-        .withColumn("csim", cosine(F.col("qv"), F.col("cvec")))
+        .withColumn("csim", F.round(cosine(F.col("qv"), F.col("cvec")), 6))
+        .filter(F.col("csim").isNotNull())
         .withColumn(
             "crank",
             F.row_number().over(
@@ -2127,7 +2182,7 @@ def q70_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         F.round(cosine(F.col("emb"), F.col("qv")), 6).alias("score"),
-    )
+    ).filter(F.col("score").isNotNull())
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
 
@@ -2406,56 +2461,90 @@ def q79_train_test_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q80_logistic_eval")
+@register(
+    "q80_logistic_eval",
+    # Oracle (promoted r09): fixed-round IRLS on the Knuth-hash train
+    # split (the q89-family replayable hash — xxhash64 has no DuckDB
+    # twin), quantized-model scoring on the test split, evaluator metrics
+    # from exact counts (ml/irls.py::logistic_eval_oracle_sql).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.ml.irls", fromlist=["x"]
+    ).logistic_eval_oracle_sql(
+        "orders",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+        ["o_totalprice"],
+        [
+            ("o_orderpriority", "2-HIGH"),
+            ("o_orderpriority", "3-MEDIUM"),
+            ("o_orderpriority", "4-NOT SPECIFIED"),
+            ("o_orderpriority", "5-LOW"),
+        ],
+        train_where=__import__(
+            "isen_projet_bigdata_a3s6_spark.ml.evaluation", fromlist=["x"]
+        ).knuth_split_sql("o_orderkey", 0.2)[0],
+        test_where=__import__(
+            "isen_projet_bigdata_a3s6_spark.ml.evaluation", fromlist=["x"]
+        ).knuth_split_sql("o_orderkey", 0.2)[1],
+    ),
+)
 def q80_logistic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-split train/test logistic evaluation: accuracy/precision/recall/
-    F1 on held-out data (rows-only: iterative fit). Metric math is pinned to
-    Spark ML evaluators in tests."""
+    """Hash-split train/test logistic evaluation: accuracy/precision/
+    recall/F1 on held-out data. Since r09 the split is the replayable
+    Knuth-decimal hash (ml.evaluation.knuth_split) and the fit is the
+    deterministic fixed-round IRLS (ml/irls.py), so the whole evaluation
+    hashes against DuckDB; metric math stays pinned to Spark ML
+    evaluators in tests (classification_metrics is the shared bundle)."""
     from .functions.scalar import binary_label
-    from .ml.evaluation import classification_metrics, hash_split
-    from .ml.pipeline import fit_logistic
+    from .ml.evaluation import knuth_split
+    from .ml.irls import logistic_eval_closed
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+    )
     o = o.withColumn("is_closed", binary_label("o_orderstatus", ["F"]).cast("double"))
-    train, test = hash_split(o, ["o_orderkey"], test_frac=0.2)
-    model, _ = fit_logistic(train, "is_closed", ["o_totalprice"], ["o_orderpriority"])
-    if model is None:
-        # empty training split (no-data day): no model, no metrics
-        return spark.createDataFrame(
-            [],
-            "accuracy double, precision double, recall double, f1 double, n long",
-        )
-    from pyspark.ml.functions import vector_to_array
-
-    scored = model.transform(test).withColumn(
-        "prediction",
-        F.when(vector_to_array("probability")[1] > 0.5, 1.0).otherwise(0.0),
-    )
-    m = classification_metrics(scored, "is_closed")
-    return m.select(
-        F.round("accuracy", 4).alias("accuracy"),
-        F.round("precision", 4).alias("precision"),
-        F.round("recall", 4).alias("recall"),
-        F.round("f1", 4).alias("f1"),
-        "n",
+    train, test = knuth_split(o, "o_orderkey", test_frac=0.2)
+    return logistic_eval_closed(
+        train, test, "is_closed", ["o_totalprice"], _Q44_DUMMIES
     )
 
 
-@register("q81_glm_summary")
+@register(
+    "q81_glm_summary",
+    # Oracle (promoted r09): the IRLS chain + one Hessian pass at the
+    # quantized coefficients for the observed-information std errors
+    # (ml/irls.py::logistic_summary_oracle_sql).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.ml.irls", fromlist=["x"]
+    ).logistic_summary_oracle_sql(
+        "orders",
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END",
+        ["o_totalprice"],
+        [
+            ("o_orderpriority", "2-HIGH"),
+            ("o_orderpriority", "3-MEDIUM"),
+            ("o_orderpriority", "4-NOT SPECIFIED"),
+            ("o_orderpriority", "5-LOW"),
+        ],
+    ),
+)
 def q81_glm_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binomial GLM coefficient table (coef, std-error, z, p) via IRLS — the
-    reference's summary(glm) output (rows-only: iterative fit; coefficients
-    and std-errors pinned vs a numpy IRLS in tests)."""
+    """Binomial GLM coefficient table — the reference's summary(glm)
+    output (R_groupe4.R:1002-1011 family). Since r09 the driver query runs
+    the deterministic fixed-round IRLS (ml/irls.py::
+    logistic_summary_closed): coefficient column = the per-feature
+    QUANTIZED estimate (a blanket round6 would erase the ~1e-8 totalprice
+    slope), z = βq / sqrt(diag (X'WX)⁻¹) at the quantized fit, round2.
+    ml.evaluation.fit_glm_binomial remains the API surface, numpy-pinned
+    in tests; R-style alphabetical dummy coding as q43/q44."""
     from .functions.scalar import binary_label
-    from .ml.evaluation import fit_glm_binomial
+    from .ml.irls import logistic_summary_closed
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+    )
     o = o.withColumn("is_closed", binary_label("o_orderstatus", ["F"]).cast("double"))
-    _, summary = fit_glm_binomial(o, "is_closed", ["o_totalprice"], ["o_orderpriority"])
-    return summary.select(
-        "feature",
-        F.round("coefficient", 6).alias("coefficient"),
-        F.round("z_value", 2).alias("z_value"),
+    return logistic_summary_closed(
+        o, "is_closed", ["o_totalprice"], _Q44_DUMMIES
     )
 
 
@@ -7990,7 +8079,93 @@ def q206_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wave 10: product-quantization ANN, corpus statistics (Zipf, lexical
 # richness), language-ID evaluation, small-file compaction
 # ---------------------------------------------------------------------------
-@register("q207_pq_ann")
+def _q207_oracle() -> str:
+    from .ml.kmeans import kmeans_lloyd_ctes
+
+    M, K, DSUB = 8, 16, 8
+    ctes = ["tr AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 2 = 0)"]
+    cents = []
+    for m in range(M):
+        lo, hi = m * DSUB + 1, (m + 1) * DSUB
+        c, cent, _ = kmeans_lloyd_ctes(
+            "tr", "vec_id", f"embedding[{lo}:{hi}]",
+            k=K, iters=10, dim=DSUB, prefix=f"b{m}",
+        )
+        ctes.extend(c)
+        cents.append(cent)
+    ctes.append(
+        "allv AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+    )
+
+    def subsq(vec_expr: str, m: int) -> str:
+        # Σ over the m-th 8-dim subvector of (x − c)², same left fold
+        return (
+            f"list_reduce(list_transform(range(1, {DSUB + 1}), i ->"
+            f" ({vec_expr}[{m * DSUB} + i] - c.c[i])"
+            f" * ({vec_expr}[{m * DSUB} + i] - c.c[i])), (a, b) -> a + b)"
+        )
+
+    for m in range(M):
+        ctes.append(
+            f"enc{m} AS MATERIALIZED (SELECT vid, cell AS c{m} FROM ("
+            f"SELECT a.vec_id AS vid, c.cell,"
+            f" ROW_NUMBER() OVER (PARTITION BY a.vec_id"
+            f" ORDER BY {subsq('a.emb', m)}, c.cell) AS rn"
+            f" FROM allv a CROSS JOIN {cents[m]} c) x WHERE rn = 1)"
+        )
+    enc_join = " ".join(f"JOIN enc{m} USING (vid)" for m in range(1, M))
+    ctes.append(
+        "enc AS MATERIALIZED (SELECT vid, "
+        + ", ".join(f"c{m}" for m in range(M))
+        + f" FROM enc0 {enc_join})"
+    )
+    ctes.append(
+        "q AS MATERIALIZED (SELECT vec_id AS qid, emb AS qv"
+        " FROM allv WHERE vec_id < 5)"
+    )
+    for m in range(M):
+        ctes.append(
+            f"lut{m} AS MATERIALIZED (SELECT q.qid, c.cell,"
+            f" {subsq('q.qv', m)} AS d"
+            f" FROM q CROSS JOIN {cents[m]} c)"
+        )
+    adc_sum = " + ".join(f"l{m}.d" for m in range(M))
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.qid = q.qid AND l{m}.cell = e.c{m}"
+        for m in range(M)
+    )
+    ctes.append(
+        f"adc AS (SELECT q.qid, e.vid, ROUND({adc_sum}, 6) AS adc_dist"
+        f" FROM q CROSS JOIN enc e {lut_joins})"
+    )
+    ctes.append(
+        "short AS (SELECT qid, vid, adc_dist FROM ("
+        "SELECT qid, vid, adc_dist,"
+        " ROW_NUMBER() OVER (PARTITION BY qid"
+        " ORDER BY adc_dist, vid) AS rn FROM adc) x WHERE rn <= 50)"
+    )
+    exact = (
+        "list_reduce(list_transform(range(1, 65), i ->"
+        " (q.qv[i] - a.emb[i]) * (q.qv[i] - a.emb[i])), (x, y) -> x + y)"
+    )
+    ctes.append(
+        f"ex AS (SELECT s.qid AS query_id, s.vid AS neighbor_id, s.adc_dist,"
+        f" ROUND({exact}, 6) AS l2_dist"
+        " FROM short s JOIN q ON q.qid = s.qid"
+        " JOIN allv a ON a.vec_id = s.vid)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT query_id, neighbor_id, adc_dist, l2_dist FROM ("
+        "SELECT query_id, neighbor_id, adc_dist, l2_dist,"
+        " ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY l2_dist, neighbor_id) AS rk FROM ex) x WHERE rk <= 10"
+    )
+
+
+@register("q207_pq_ann", oracle=_q207_oracle())
 def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-Quantization ANN (Jégou et al., PAMI 2011): split each
     64-dim vector into 8 subvectors, train a 16-centroid KMeans codebook
@@ -8008,14 +8183,11 @@ def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions inside codegen; the ADC pass returns a 5× SHORTLIST that
     an exact-distance pass re-ranks (the standard two-stage PQ serving
     pipeline — full-precision math touches only the shortlist, never the
-    corpus). KMeans float reductions are not SQL-expressible ⇒ rows-only
-    driver check; recall@10 vs exact search is pinned in
-    tests/test_wave10.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from .functions.similarity import cosine
-
+    corpus). Since r09 the codebooks train with the deterministic
+    fixed-round Lloyd (ml/kmeans.py), so the ENTIRE pipeline — 8
+    codebooks, 4-bit encoding, per-query LUTs, ADC shortlist, exact
+    re-rank — replays in DuckDB (_q207_oracle); recall@10 vs exact
+    search stays pinned in tests/test_wave10.py."""
     M, K, DSUB = 8, 16, 8  # subspaces, centroids per codebook, dims each
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
@@ -8026,15 +8198,18 @@ def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, score double, rank int"
         )
-    # per-subspace codebooks, trained on a deterministic sample
+    # per-subspace codebooks, trained on a deterministic sample with the
+    # replayable fixed-round Lloyd (lowest-id init per subspace)
+    from .ml.kmeans import kmeans_lloyd
+
     train = vecs.filter(F.col("vec_id") % 2 == 0)
     codebooks: list[list[list[float]]] = []
     for m in range(M):
         sub = train.select(
-            array_to_vector(F.slice("emb", m * DSUB + 1, DSUB)).alias("features")
+            "vec_id", F.slice("emb", m * DSUB + 1, DSUB).alias("sub")
         )
-        model = KMeans(k=K, seed=7 + m, maxIter=10).fit(sub)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        res = kmeans_lloyd(sub, "sub", "vec_id", k=K, iters=10, dim=DSUB)
+        codebooks.append(res[1])
 
     # broadcast codebooks as one literal array<array<array<double>>>
     cb = F.array(
@@ -12764,7 +12939,75 @@ def q273_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q274_bradley_terry")
+def _q274_oracle(iters: int = 100) -> str:
+    """DuckDB replay of the quantized Bradley-Terry MM fit: the win
+    matrix is exact integer/decimal algebra (cross-multiplied price
+    comparison — no division anywhere), and each of the ``iters`` MM
+    rounds re-quantizes the ratings to 8 decimals, so the ~1e-15
+    relative difference between numpy's bincount scatter order and SQL's
+    SUM order can never reach the next round (boundary gap 5e-9, noise
+    1e-15). Unrolled as materialized CTEs like the IRLS/Lloyd oracles."""
+    ctes = [
+        """unit AS MATERIALIZED (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS se,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sq
+      FROM lineitem GROUP BY 1, 2)""",
+        """matrix AS MATERIALIZED (
+      SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS n,
+             SUM(CASE WHEN a.se * b.sq < b.se * a.sq THEN 1 ELSE 0 END) AS wins1
+      FROM unit a JOIN unit b ON a.pk = b.pk AND a.sk < b.sk
+      WHERE a.se * b.sq != b.se * a.sq
+      GROUP BY 1, 2)""",
+        """players AS MATERIALIZED (
+      SELECT sid, SUM(w) AS w, SUM(n) AS g FROM (
+        SELECT s1 AS sid, wins1 AS w, n FROM matrix
+        UNION ALL
+        SELECT s2 AS sid, n - wins1 AS w, n FROM matrix) u
+      GROUP BY 1)""",
+        "kcnt AS MATERIALIZED (SELECT COUNT(*) AS k FROM players)",
+        "r0 AS MATERIALIZED (SELECT sid, CAST(1.0 AS DOUBLE) AS p FROM players)",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"r{t - 1}"
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT m.s1, m.s2, CAST(m.n AS DOUBLE) / (ra.p + rb.p) AS contrib
+      FROM matrix m JOIN {prev} ra ON ra.sid = m.s1
+                    JOIN {prev} rb ON rb.sid = m.s2)"""
+        )
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+      SELECT sid, SUM(contrib) AS denom FROM (
+        SELECT s1 AS sid, contrib FROM c{t}
+        UNION ALL
+        SELECT s2 AS sid, contrib FROM c{t}) u
+      GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""n{t} AS MATERIALIZED (
+      SELECT pl.sid,
+             CASE WHEN d.denom > 0 THEN CAST(pl.w AS DOUBLE) / d.denom
+                  ELSE r.p END AS np
+      FROM players pl JOIN {prev} r ON r.sid = pl.sid
+      LEFT JOIN d{t} d ON d.sid = pl.sid)"""
+        )
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+      SELECT sid, ROUND(np * (CAST(k AS DOUBLE) / tot), 8) AS p
+      FROM n{t} CROSS JOIN kcnt
+      CROSS JOIN (SELECT SUM(np) AS tot FROM n{t}) s)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""\n    SELECT pl.sid AS supplier, CAST(pl.g AS BIGINT) AS games,
+           CAST(pl.w AS BIGINT) AS wins, r.p AS bt_score
+    FROM players pl JOIN r{iters} r ON r.sid = pl.sid"""
+    )
+
+
+@register("q274_bradley_terry", oracle=_q274_oracle())
 def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRADLEY-TERRY SKILL RATING (the Arena-leaderboard model): every
     part supplied by ≥2 suppliers stages pairwise "matches" won by the
@@ -12774,9 +13017,15 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings. Returns every supplier's games, wins, and normalized BT
     score.
 
-    Rows-only by nature (iterative MM fit; no SQL twin) — the pinned
-    test replays the SAME win matrix through an independent Python MM
-    loop and checks score parity (1e-4) and ranking.
+    Oracle-paired since r09: the win matrix is exact algebra (the price
+    comparison is CROSS-MULTIPLIED — se1·sq2 < se2·sq1 on exact decimal
+    sums, removing the old rounded-decimal-division hazard), and each MM
+    round re-QUANTIZES the ratings to 8 decimals, so numpy's bincount
+    summation order and DuckDB's SUM order (~1e-15 apart) always
+    collapse to the same value before the next round — the q44-IRLS
+    doctrine applied to a 100-round driver-side fit. The pinned test
+    still replays the win matrix through an independent Python MM loop
+    (1e-4 parity).
 
     Scale shape: unit prices collapse per (part, supplier) in one
     groupBy; matches come from a self-equi-join ON THE PART KEY (Σ
@@ -12801,30 +13050,37 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(28,4)"))
-                / F.sum(F.col("l_quantity").cast("decimal(28,4)"))
-            )
-            .cast("double")
-            .alias("price")
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("se"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .alias("sq"),
         )
     )
     u2 = unit.select(
         F.col("l_partkey").alias("pk"),
         F.col("l_suppkey").alias("s2"),
-        F.col("price").alias("p2"),
+        F.col("se").alias("se2"),
+        F.col("sq").alias("sq2"),
     )
+    # exact cross-multiplied price comparison: se1/sq1 < se2/sq2 ⟺
+    # se1·sq2 < se2·sq1 (quantities positive) — DECIMAL(18,4) products
+    # stay exact in both engines, no division anywhere
     games = (
         unit.withColumnRenamed("l_partkey", "pk")
         .withColumnRenamed("l_suppkey", "s1")
-        .withColumnRenamed("price", "p1")
+        .withColumnRenamed("se", "se1")
+        .withColumnRenamed("sq", "sq1")
         .join(u2, "pk")
         .where(F.col("s1") < F.col("s2"))
-        .where(F.col("p1") != F.col("p2"))
+        .where(F.col("se1") * F.col("sq2") != F.col("se2") * F.col("sq1"))
         .select(
             "s1",
             "s2",
-            F.when(F.col("p1") < F.col("p2"), 1).otherwise(0).alias("w1"),
+            F.when(
+                F.col("se1") * F.col("sq2") < F.col("se2") * F.col("sq1"), 1
+            ).otherwise(0).alias("w1"),
         )
     )
     matrix = games.groupBy("s1", "s2").agg(
@@ -12859,9 +13115,13 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             jj, weights=contrib, minlength=k
         )
         newp = np.where(denom > 0, w / np.where(denom > 0, denom, 1.0), p)
-        p = newp * (k / newp.sum())
+        # per-round 8-decimal quantization: the oracle's SQL SUM order and
+        # bincount's scatter order differ at ~1e-15 relative — quantizing
+        # BOTH to the 5e-9-gap grid makes every round's input identical
+        # across engines (the q44-IRLS doctrine)
+        p = np.round(newp * (k / newp.sum()), 8)
     spark_rows = [
-        (int(players[i]), int(g[i]), int(w[i]), round(float(p[i]), 6))
+        (int(players[i]), int(g[i]), int(w[i]), float(p[i]))
         for i in range(k)
     ]
     return spark.createDataFrame(
