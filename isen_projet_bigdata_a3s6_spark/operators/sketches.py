@@ -437,3 +437,239 @@ def bloom_might_contain(
         .filter(cond)
         .drop("bloom")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-replayable HyperLogLog (Flajolet et al., AofA 2007) — the md5_affine
+# doctrine applied to cardinality sketches. Spark's approx_count_distinct /
+# hll_sketch_agg are engine-internal (their registers can't be replayed by
+# another engine), so the driver could only ever rows-check them. This
+# variant IS replayable: the 60-bit md5 base hash (functions/dedup.py
+# convention) splits into a 10-bit bucket + 50-bit suffix; rho is integer
+# bit-length arithmetic (length(bin(w)) — no float logs); registers merge by
+# MAX (order-independent, the mergeable-sketch property); the register sum
+# folds as EXACT BIGINTs (sum of 2^(51-rho) ≤ 1024·2^51 = 2^61 < 2^63); the
+# only float ops are one constant division and, in the linear-counting
+# branch, one ln — both absorbed by round4 (ulp noise ~1e-13 against a 5e-5
+# boundary; the IRLS quantization doctrine).
+#
+# 100 TB shape: the register frame is ≤ m rows per (group, epoch) — persist
+# daily registers once, answer any coarser window by groupBy-MAX, never
+# rescan raw data. Map-side partial MAX keeps the shuffle at m rows per
+# group per partition.
+# ---------------------------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers → SE ≈ 1.04/sqrt(m) ≈ 3.25%
+_HLL_SUFFIX_BITS = 60 - HLL_P  # 50
+_HLL_RHO_MAX = _HLL_SUFFIX_BITS + 1  # 51
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha·m²·2^51 precomputed in Python and embedded as the SAME literal on
+# both engines: E_raw = const / double(S) is then one division, bit-equal.
+_HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)
+_HLL_LC_CUT = 2.5 * HLL_M  # linear-counting switchover (exact both sides)
+
+
+def _dlit(x: float) -> str:
+    """Emit a Python float as a SQL DOUBLE literal that strtod parses back
+    to the exact same bits. repr round-trips; bare integers get e0 so
+    DuckDB types them DOUBLE (its DECIMAL→DOUBLE path is not correctly
+    rounded — r09 q42 lesson)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "." in s or "inf" in s) else s + "e0"
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL registers for ``key_col`` (NULL keys excluded, matching
+    COUNT(DISTINCT)): one groupBy-MAX pass → ≤ m rows per group, columns
+    ``group_cols + [bucket, r]``. Register frames over any partitioning of
+    the data (days, sources, shards) merge by groupBy-MAX on bucket."""
+    from ..functions.dedup import _md5_base_hash
+
+    h = _md5_base_hash(F.col(key_col).cast("string"))
+    w = F.expr(f"h & {(1 << _HLL_SUFFIX_BITS) - 1}")
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .select(
+            *group_cols,
+            F.shiftright(F.col("h"), _HLL_SUFFIX_BITS).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate per group from a register frame, round4. The
+    raw estimate alpha·m²/Σ2^(−r) folds the register sum as exact BIGINTs
+    (absent buckets contribute 2^51); n ≤ 2.5m with empty registers takes
+    the linear-counting branch m·ln(m/V). Column ``est`` (double)."""
+    s_expr = (
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_MAX} - r)"))
+        + (F.lit(HLL_M) - F.count(F.lit(1)))
+        * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    ).alias("s")
+    v_expr = (F.lit(HLL_M) - F.count(F.lit(1))).alias("v")
+    agg = registers.groupBy(*group_cols).agg(s_expr, v_expr)
+    e_raw = F.lit(_HLL_NUMER) / F.col("s").cast("double")
+    est = F.when(
+        (e_raw <= F.lit(_HLL_LC_CUT)) & (F.col("v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v").cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est"))
+
+
+def hll_oracle_sql(
+    source: str, key_col: str, group_cols: list[str], est_alias: str = "est"
+) -> str:
+    """ANSI-SQL replay of hll_registers→hll_estimate over ``source`` (a
+    FROM-able relation string): identical md5 base hash, bucket split,
+    bin-length rho, exact BIGINT register fold (DuckDB SUM(BIGINT) is
+    HUGEINT — cast back), the same embedded alpha·m²·2^51 literal, the
+    same LC branch. Returns a SELECT yielding group_cols + est."""
+    g = ", ".join(group_cols)
+    mask = (1 << _HLL_SUFFIX_BITS) - 1
+    return f"""
+    WITH hashed AS (
+      SELECT {g},
+             CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM {source} WHERE {key_col} IS NOT NULL
+    ),
+    regs AS (
+      SELECT {g}, (h >> {_HLL_SUFFIX_BITS}) AS bucket,
+             MAX(CASE WHEN (h & {mask}) = 0 THEN {_HLL_RHO_MAX}
+                      ELSE {_HLL_RHO_MAX} - length(bin(h & {mask})) END) AS r
+      FROM hashed GROUP BY {g}, (h >> {_HLL_SUFFIX_BITS})
+    ),
+    folded AS (
+      SELECT {g},
+             CAST(SUM(1::BIGINT << ({_HLL_RHO_MAX} - r)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_RHO_MAX}) AS s,
+             {HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY {g}
+    )
+    SELECT {g},
+           ROUND(CASE WHEN {_dlit(_HLL_NUMER)} / CAST(s AS DOUBLE) <= {_dlit(_HLL_LC_CUT)}
+                       AND v > 0
+                      THEN {_dlit(float(HLL_M))} * ln({_dlit(float(HLL_M))} / CAST(v AS DOUBLE))
+                      ELSE {_dlit(_HLL_NUMER)} / CAST(s AS DOUBLE) END, 4) AS {est_alias}
+    FROM folded
+    """
+
+
+# ---------------------------------------------------------------------------
+# SQL-replayable HDR-histogram quantiles (Tene, HdrHistogram) — exponential
+# buckets with b sub-bucket bits, indexed by PURE INTEGER arithmetic
+# (bit-length + shifts; no float logs, so no knife-edge at bucket
+# boundaries). Relative error ≤ 2^-(b+1). Counts are integers and merge by
+# SUM — the mergeable property — and the quantile extraction (first bucket
+# whose cumulative count reaches ceil(n/2)) plus the midpoint representative
+# are exact binary arithmetic, so the whole sketch is hash-exact
+# cross-engine, unlike percentile_approx's engine-internal GK compaction.
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 6  # relative error ≤ 2^-7 ≈ 0.8%
+HDR_TICK = 16  # fixed-point scale: value → floor(value·16)
+
+
+def hdr_buckets(df: DataFrame, col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HDR bucket counts for non-negative ``col`` (NULLs and
+    negatives excluded): v = floor(col·16); e = max(bitlen(v)−1−b, 0);
+    bucket = e·2^(b+1) + (v >> e) — monotone in v, ≤ ~64·2^(b+1) buckets
+    total regardless of data size."""
+    v = F.floor(F.col(col) * HDR_TICK).cast("long")
+    df2 = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) >= 0))
+        .select(*group_cols, v.alias("v"))
+        .withColumn(
+            "e",
+            F.greatest(
+                F.length(F.bin(F.col("v"))) - F.lit(1 + HDR_SUB_BITS), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "bucket",
+            F.col("e") * F.lit(1 << (HDR_SUB_BITS + 1))
+            + F.expr("shiftright(v, e)"),
+        )
+    )
+    return df2.groupBy(*group_cols, "bucket", "e").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hdr_median(buckets: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Lower-median estimate per group from an HDR bucket frame: rank
+    ceil(n/2) by exact integer arithmetic, first bucket with cum ≥ rank,
+    midpoint representative (lower + (2^e−1)/2)/16 — exact binary floats.
+    Column ``med`` (double)."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = W.partitionBy(*group_cols)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    rank = F.floor((F.col("n") + 1) / 2).cast("long")
+    hit = cum.filter(F.col("cum") >= rank)
+    first = hit.withColumn(
+        "rn", F.row_number().over(W.partitionBy(*group_cols).orderBy("bucket"))
+    ).filter(F.col("rn") == 1)
+    # lower bound of the bucket: (v >> e) << e where (v >> e) = bucket − e·2^(b+1)
+    lower = F.expr(f"shiftleft(bucket - e * {1 << (HDR_SUB_BITS + 1)}, e)")
+    mid = (
+        lower.cast("double")
+        + (F.expr("shiftleft(cast(1 as bigint), e)").cast("double") - 1.0) / 2.0
+    ) / float(HDR_TICK)
+    return first.select(*group_cols, F.round(mid, 6).alias("med"))
+
+
+def hdr_median_oracle_sql(
+    source: str, col: str, group_cols: list[str], med_alias: str = "med"
+) -> str:
+    """ANSI-SQL replay of hdr_buckets→hdr_median over ``source``."""
+    g = ", ".join(group_cols)
+    two_b1 = 1 << (HDR_SUB_BITS + 1)
+    return f"""
+    WITH vals AS (
+      SELECT {g}, CAST(FLOOR({col} * {HDR_TICK}) AS BIGINT) AS v
+      FROM {source} WHERE {col} IS NOT NULL AND {col} >= 0
+    ),
+    bucketed AS (
+      SELECT {g},
+             GREATEST(length(bin(v)) - {1 + HDR_SUB_BITS}, 0) AS e,
+             GREATEST(length(bin(v)) - {1 + HDR_SUB_BITS}, 0) * {two_b1}
+               + (v >> GREATEST(length(bin(v)) - {1 + HDR_SUB_BITS}, 0)) AS bucket
+      FROM vals
+    ),
+    counts AS (
+      SELECT {g}, bucket, e, COUNT(*) AS cnt FROM bucketed GROUP BY {g}, bucket, e
+    ),
+    cums AS (
+      SELECT {g}, bucket, e, cnt,
+             SUM(cnt) OVER (PARTITION BY {g} ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY {g}) AS n
+      FROM counts
+    ),
+    hit AS (
+      SELECT {g}, bucket, e,
+             ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY bucket) AS rn
+      FROM cums
+      WHERE cum >= CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+    )
+    SELECT {g},
+           ROUND((CAST((bucket - e * {two_b1}) << e AS DOUBLE)
+                  + (CAST(1::BIGINT << e AS DOUBLE) - 1.0e0) / 2.0e0)
+                 / {_dlit(float(HDR_TICK))}, 6) AS {med_alias}
+    FROM hit WHERE rn = 1
+    """

@@ -1589,15 +1589,50 @@ def q50_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q51_approx_distinct_quantile")
-def q51_approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based forms for 100 TB: HLL++ distinct + GK quantiles —
-    mergeable, single-pass (rows-only check; sketches are engine-specific)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median"),
+def _q51_oracle() -> str:
+    from .operators.sketches import hdr_median_oracle_sql, hll_oracle_sql
+
+    hll = hll_oracle_sql("lineitem", "l_orderkey", ["l_returnflag"], "approx_orders")
+    hdr = hdr_median_oracle_sql(
+        "lineitem", "l_quantity", ["l_returnflag"], "approx_median"
     )
+    return f"""
+    SELECT h.l_returnflag, h.approx_orders, m.approx_median
+    FROM ({hll}) h JOIN ({hdr}) m USING (l_returnflag)
+    """
+
+
+@register(
+    "q51_approx_distinct_quantile",
+    # Oracle (promoted r09): the engine sketches this query used through r08
+    # (approx_count_distinct HLL++, percentile_approx GK) have
+    # engine-internal registers no other engine can replay — the written
+    # no-oracle declination. Replaced with the repo's OWN sketches built on
+    # the md5_affine doctrine: a 60-bit-md5 HyperLogLog whose registers are
+    # integer bit-length arithmetic and whose fold is an exact BIGINT sum,
+    # and an HdrHistogram-style base-2 quantile sketch that is pure integer
+    # arithmetic end-to-end — both exact functions of the data that DuckDB
+    # replays bit-for-bit (operators/sketches.py). Same sketch properties
+    # (single-pass, mergeable, bounded size), now hash-verifiable.
+    oracle=_q51_oracle(),
+)
+def q51_approx_distinct_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based forms for 100 TB: HLL distinct (m=1024 registers,
+    SE≈3.3%) + HDR-histogram median (rel err ≤ 0.8%) — mergeable,
+    single-pass, shuffle ≤ m rows per group. Engine sketches
+    (approx_count_distinct / percentile_approx / hll_sketch_agg) remain
+    pinned-by-tolerance in tests/test_round9_sketch_promote.py; this
+    contract query runs the SQL-replayable variants."""
+    from .operators.sketches import hdr_buckets, hdr_median, hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_estimate(
+        hll_registers(li, "l_orderkey", ["l_returnflag"]), ["l_returnflag"]
+    ).withColumnRenamed("est", "approx_orders")
+    med = hdr_median(
+        hdr_buckets(li, "l_quantity", ["l_returnflag"]), ["l_returnflag"]
+    ).withColumnRenamed("med", "approx_median")
+    return est.join(med, "l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -4165,26 +4200,55 @@ def q124_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q125_hll_rollup")
+def _q125_oracle() -> str:
+    from .operators.sketches import hll_oracle_sql
+
+    # register MAX is associative, so daily-registers-then-merge equals one
+    # global register pass — the oracle replays the flat form; the Spark
+    # side still materializes the daily rollup to exercise the merge path.
+    hll = hll_oracle_sql("events", "user_id", ["event_type"], "est_users")
+    return f"""
+    SELECT h.event_type, h.est_users, d.n_days
+    FROM ({hll}) h JOIN (
+      SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      FROM events GROUP BY event_type
+    ) d USING (event_type)
+    """
+
+
+@register(
+    "q125_hll_rollup",
+    # Oracle (promoted r09, with q51): the hll_sketch_agg engine sketch this
+    # query used through r08 is not replayable by another engine (the
+    # written declination); the repo's md5-hash HLL is — identical register
+    # arithmetic both engines, exact BIGINT fold, round4 estimate. The
+    # engine-sketch API keeps a tolerance pin in the unit tests.
+    oracle=_q125_oracle(),
+)
 def q125_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: per-(type, day) HLL sketches of distinct
-    users, then ONE union-merge per type for the monthly estimate — the
-    100 TB pattern where daily sketches are persisted once and any coarser
-    window (week/month/all-time) is a cheap sketch union, never a rescan.
-    Estimates are approximate ⇒ rows-only driver check; the unit test pins
-    the estimate within tolerance of exact (tests/test_sketches_textprep.py)."""
+    """Mergeable-sketch rollup: per-(type, day) HLL register frames of
+    distinct users, then ONE groupBy-MAX merge per type for the monthly
+    estimate — the 100 TB pattern where daily sketches are persisted once
+    and any coarser window (week/month/all-time) is a cheap register merge
+    (≤ m rows per sketch), never a rescan of raw events."""
+    from .operators.sketches import hll_estimate, hll_registers
+
     e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    daily = hll_registers(
+        e.withColumn("day", F.to_date("ts")), "user_id", ["event_type", "day"]
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("r").alias("r"))
+    est = hll_estimate(merged, ["event_type"]).withColumnRenamed(
+        "est", "est_users"
     )
+    # from the raw table, not the register frame: hll_registers drops
+    # NULL-user rows, so a day whose events all lack user_id would vanish
+    # from the rollup but not from COUNT(DISTINCT day) — countDistinct
+    # mirrors the oracle's NULL semantics exactly
+    n_days = e.groupBy("event_type").agg(
+        F.countDistinct(F.to_date("ts")).alias("n_days")
+    )
+    return est.join(n_days, "event_type")
 
 
 @register(
