@@ -119,18 +119,30 @@ def bpe_encode(
     rules: list[tuple[str, str, int]] | list[tuple[str, str]],
     id_col: str = "doc_id",
     out_col: str = "n_bpe_tokens",
+    max_passes: int = 16,
 ) -> DataFrame:
     """Apply learned merge rules (in learned order — the standard greedy
     encode) and return ``(id_col, n_tokens, n_bpe_tokens)`` per document.
     The rule table is tiny and ships in the closure (a broadcast at scale);
     each Arrow batch memoizes word→length so repeated words cost one encode
-    per batch. Pure map — no shuffle."""
+    per batch. Pure map — no shuffle.
+
+    ``max_passes`` bounds the greedy loop (each pass applies the
+    lowest-rank applicable rule once, left-to-right). The loop terminates
+    naturally well under 16 passes for any real vocabulary — a pass
+    eliminates every occurrence of its bigram, and re-creation needs a
+    later merge to rebuild one of its halves — but the bound is EXPLICIT
+    so the SQL oracle (functions/bpe_oracle.py) can unroll exactly the
+    same number of rounds: parity is then unconditional, pathological
+    inputs included (the degenerate sweep's 5000-char token)."""
     pairs = [(r[0], r[1]) for r in rules]
     rank = {p: i for i, p in enumerate(pairs)}
 
     def encode_len(word: str) -> int:
         s = list(word) + [EOW]
-        while len(s) > 1:
+        passes = 0
+        while len(s) > 1 and passes < max_passes:
+            passes += 1
             best, best_rank = None, None
             for i in range(len(s) - 1):
                 r = rank.get((s[i], s[i + 1]))

@@ -76,6 +76,7 @@ def wordpiece_stats(
     text_col: str,
     vocab: set[str],
     id_col: str = "doc_id",
+    max_len: int = 100,
 ) -> DataFrame:
     """Per-document WordPiece accounting: word count, piece count, and
     count of multi-piece (split) words — the fertility inputs. Pure
@@ -84,12 +85,18 @@ def wordpiece_stats(
     :func:`encode_word`) so cloudpickle ships it by value — workers must
     not need this package importable (the q45/bpe convention; a bare
     driver session outside the repo would otherwise fail with
-    ModuleNotFoundError in the executor)."""
+    ModuleNotFoundError in the executor).
+
+    ``max_len`` is the [UNK] cutoff AND the SQL oracle's unroll bound
+    (each greedy step consumes >= 1 char, so a word of length <= max_len
+    finishes within max_len rounds) — q237 passes 32 so the replay stays
+    compact; parity is unconditional because BOTH engines [UNK] anything
+    longer."""
     frozen = frozenset(vocab)
 
     def _encode(word: str) -> list[str]:
         # keep in sync with encode_word (pinned by tests against it)
-        if len(word) > 100:
+        if len(word) > max_len:
             return ["[UNK]"]
         pieces: list[str] = []
         start = 0

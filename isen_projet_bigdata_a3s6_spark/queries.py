@@ -5184,15 +5184,28 @@ def q148_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BPE tokenizer training
 # ---------------------------------------------------------------------------
-@register("q149_bpe_train")
+@register(
+    "q149_bpe_train",
+    # Oracle (promoted r09): BPE training state is integers and strings
+    # only — word freqs, pair counts, symbol lists — so the whole loop is
+    # SQL: per round one unnest→GROUP BY (pair counts), one ORDER BY cnt
+    # DESC, a, b LIMIT 1 (the argmax with the engine's exact tie-break,
+    # binary collation both sides), one run-parity window pass (the greedy
+    # left-to-right merge), unrolled 8 rounds as MATERIALIZED CTEs
+    # (functions/bpe_oracle.py; validated against a pure-Python reference
+    # on clean AND degenerate corpora incl. the 5000-char token).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.bpe_oracle", fromlist=["x"]
+    ).bpe_train_oracle_sql("documents", "text", num_merges=8),
+)
 def q149_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule learning (Sennrich et al. 2016) over the corpus: the
     text is touched once (word-frequency collapse); every merge iteration
     is a codegen'd pair count over the VOCABULARY-sized frame + a
     vectorized merge — iteration cost is independent of corpus size.
-    Iterative argmax ⇒ rows-only; tests/test_textstats_sampling.py pins
-    the learned rules against a pure-Python reference implementation of
-    the paper's algorithm."""
+    tests/test_textstats_sampling.py pins the learned rules against a
+    pure-Python reference implementation of the paper's algorithm; the
+    DuckDB oracle replays the full training loop."""
     from .functions.bpe import bpe_train
 
     d = load_table(spark, sf_dir, "documents")
@@ -5203,19 +5216,30 @@ def q149_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q150_bpe_encode")
+@register(
+    "q150_bpe_encode",
+    # Oracle (promoted r09, with q149): encode re-derives each vocabulary
+    # word from characters and per pass applies the LOWEST-RANK rule
+    # present in the word; both engines share the explicit max_passes=16
+    # cap, so the 16-round unrolled replay is unconditionally exact (see
+    # functions/bpe.py::bpe_encode and bpe_oracle.py).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.bpe_oracle", fromlist=["x"]
+    ).bpe_encode_oracle_sql(
+        "documents", "text", "doc_id", num_merges=8, max_passes=16
+    ),
+)
 def q150_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode with the rules learned on the same corpus (train = q149):
     per-document BPE token counts vs whitespace token counts — the token-
     budget estimator a real tokenizer would feed. Rule table ships in the
     closure (broadcast-sized); encode is a pure map with per-batch word
-    memoization. Iterative training upstream ⇒ rows-only; the unit test
-    pins encode against a reference implementation."""
+    memoization."""
     from .functions.bpe import bpe_encode, bpe_train
 
     d = load_table(spark, sf_dir, "documents")
     rules = bpe_train(d, "text", num_merges=8)
-    return bpe_encode(d, "text", rules)
+    return bpe_encode(d, "text", rules, max_passes=16)
 
 
 @register(
@@ -10164,7 +10188,21 @@ def q236_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wave 15b — WordPiece encoder, k-center coreset selection, label
 # propagation communities
 # ---------------------------------------------------------------------------
-@register("q237_wordpiece_stats")
+@register(
+    "q237_wordpiece_stats",
+    # Oracle (promoted r09, with q149/q150): the vocab derives from the
+    # replayed BPE rules (initial + ## continuation forms); the greedy
+    # longest-match segmenter is a per-round cross join against the ≤32-
+    # piece vocab unrolled max_len=32 rounds — each round consumes ≥1
+    # char and both engines [UNK] longer words, so the unroll always
+    # suffices. Fertility/split_frac are single exact-integer divisions
+    # round6 (bit-identical).
+    oracle=__import__(
+        "isen_projet_bigdata_a3s6_spark.functions.bpe_oracle", fromlist=["x"]
+    ).wordpiece_stats_oracle_sql(
+        "documents", "text", "doc_id", "lang", num_merges=8, max_len=32
+    ),
+)
 def q237_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenization audit per language: vocab bootstrapped from
     the corpus's own BPE merges (functions/wordpiece.py::vocab_from_bpe),
@@ -10175,8 +10213,8 @@ def q237_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pieces/word, round6) per lang — the cross-tokenizer comparison a
     pretraining team runs before committing a vocab.
 
-    Iterative BPE training upstream ⇒ rows-only; the greedy encoder is
-    pinned against hand-worked segmentations in tests/test_wave15.py.
+    The greedy encoder is pinned against hand-worked segmentations in
+    tests/test_wave15.py; the DuckDB oracle replays training + encode.
     Scale: vocab ships in the closure (broadcast-sized); encode is one
     Arrow-batched map; the aggregate is one |langs|-group shuffle."""
     from .functions.bpe import bpe_train
@@ -10184,7 +10222,7 @@ def q237_wordpiece_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     vocab = vocab_from_bpe(bpe_train(d, "text", num_merges=8))
-    stats = wordpiece_stats(d, "text", vocab)
+    stats = wordpiece_stats(d, "text", vocab, max_len=32)
     j = stats.join(d.select("doc_id", "lang"), "doc_id")
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
