@@ -472,11 +472,13 @@ _HLL_LC_CUT = 2.5 * HLL_M  # linear-counting switchover (exact both sides)
 
 def _dlit(x: float) -> str:
     """Emit a Python float as a SQL DOUBLE literal that strtod parses back
-    to the exact same bits. repr round-trips; bare integers get e0 so
-    DuckDB types them DOUBLE (its DECIMAL→DOUBLE path is not correctly
-    rounded — r09 q42 lesson)."""
+    to the exact same bits. repr round-trips; any literal WITHOUT an
+    exponent gets e0 — DuckDB types '2560.0' DECIMAL(5,1), not DOUBLE,
+    and its DECIMAL→DOUBLE path is not correctly rounded for
+    high-precision decimals (r09 q42 lesson), so force the strtod parse
+    unconditionally."""
     s = repr(float(x))
-    return s if ("e" in s or "E" in s or "." in s or "inf" in s) else s + "e0"
+    return s if ("e" in s or "E" in s or "inf" in s) else s + "e0"
 
 
 def hll_registers(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
