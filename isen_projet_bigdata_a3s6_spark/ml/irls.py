@@ -427,7 +427,7 @@ def logistic_summary_oracle_sql(
         f"sfin AS MATERIALIZED (SELECT c.*, 1.0e0 / (1.0e0 + exp(-({zq}))) AS p"
         " FROM clean c CROSS JOIN bq b)"
     )
-    hmoms = []
+    hmoms = ["COUNT(*) AS n"]
     for i in range(k):
         for j in range(i, k):
             hmoms.append(
@@ -441,10 +441,13 @@ def logistic_summary_oracle_sql(
     gj, ginv = gauss_jordan_sql_ctes(k, "matf", prefix="fin")
     ctes.append(gj)
     feats = _ols_design(numeric, dummies)
+    # n > 0 guard: EMPTY-IN/EMPTY-OUT parity with logistic_summary_closed
+    # (SUM over an empty frame is one NULL row, and the CROSS JOIN would
+    # fan it into k NULL coefficient rows — the r09 empty-sweep drift)
     rows = "\n    UNION ALL\n    ".join(
         f"SELECT '{feats[i][0]}' AS feature, q_{i} AS coefficient,"
         f" ROUND(q_{i} / sqrt(fininv_{i}_{i}), 2) AS z_value"
-        f" FROM bq CROSS JOIN {ginv}"
+        f" FROM bq CROSS JOIN {ginv} CROSS JOIN hfin WHERE hfin.n > 0"
         for i in range(k)
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + rows

@@ -8282,9 +8282,13 @@ def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     if vecs.isEmpty():
-        # empty-in/empty-out: no codebooks to train on a no-data day
+        # empty-in/empty-out: no codebooks to train on a no-data day —
+        # same columns as the non-empty path (the r09 empty-sweep drift:
+        # this guard kept the pre-promotion schema while the output moved
+        # to the ADC/re-rank columns)
         return spark.createDataFrame(
-            [], "query_id long, vec_id long, score double, rank int"
+            [],
+            "query_id long, neighbor_id long, adc_dist double, l2_dist double",
         )
     # per-subspace codebooks, trained on a deterministic sample with the
     # replayable fixed-round Lloyd (lowest-id init per subspace)
@@ -13055,11 +13059,24 @@ def _q274_oracle(iters: int = 100) -> str:
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS se,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sq
       FROM lineitem GROUP BY 1, 2)""",
+        # cross-multiplication in HUGEINT on the 10^4-scaled exact sums:
+        # order-preserving (both scale factors positive), and DuckDB's
+        # DECIMAL(18)x DECIMAL(18) int64 fast path overflows on a
+        # skew-fixture hot supplier (se*sq internal ints ~1e26 — the r09
+        # skew-sweep catch); Spark's DECIMAL(37,8) product was never at
+        # risk, so only the oracle widens
         """matrix AS MATERIALIZED (
       SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS n,
-             SUM(CASE WHEN a.se * b.sq < b.se * a.sq THEN 1 ELSE 0 END) AS wins1
+             SUM(CASE WHEN CAST(CAST(a.se AS DECIMAL(38,4)) * 10000 AS HUGEINT)
+                           * CAST(CAST(b.sq AS DECIMAL(38,4)) * 10000 AS HUGEINT)
+                         < CAST(CAST(b.se AS DECIMAL(38,4)) * 10000 AS HUGEINT)
+                           * CAST(CAST(a.sq AS DECIMAL(38,4)) * 10000 AS HUGEINT)
+                      THEN 1 ELSE 0 END) AS wins1
       FROM unit a JOIN unit b ON a.pk = b.pk AND a.sk < b.sk
-      WHERE a.se * b.sq != b.se * a.sq
+      WHERE CAST(CAST(a.se AS DECIMAL(38,4)) * 10000 AS HUGEINT)
+            * CAST(CAST(b.sq AS DECIMAL(38,4)) * 10000 AS HUGEINT)
+         != CAST(CAST(b.se AS DECIMAL(38,4)) * 10000 AS HUGEINT)
+            * CAST(CAST(a.sq AS DECIMAL(38,4)) * 10000 AS HUGEINT)
       GROUP BY 1, 2)""",
         """players AS MATERIALIZED (
       SELECT sid, SUM(w) AS w, SUM(n) AS g FROM (
