@@ -52,6 +52,10 @@ PRIMARY = {
     "q218_semantic_dedup": "embeddings",
     "q72_embedding_dedup_exact": "embeddings",
     "q73_embedding_dedup_lsh": "embeddings",
+    # wave-3 deterministic-Lloyd family (r09): expensive since promotion
+    "q207_pq_ann": "embeddings",
+    "q69_kmeans_clusters": "embeddings",
+    "q70_ann_ivf": "embeddings",
 }
 
 
