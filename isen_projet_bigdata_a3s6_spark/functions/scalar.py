@@ -82,6 +82,21 @@ def round6(c: Column) -> Column:
     return F.round(c, 6)
 
 
+def round_disp(c: Column, n: int = 6) -> Column:
+    """Display rounding with signed-zero normalization. ROUND of a tiny
+    negative yields -0.0 on DuckDB but 0.0 on Spark (BigDecimal HALF_UP
+    has no signed zero) — numerically equal, yet the driver's stringifying
+    value hash differs (the r09 q43 red row). IEEE -0.0 + 0.0 = +0.0, so
+    appending a zero after the round pins both engines to +0.0; every
+    other value (incl. NULL/NaN/±inf) is unchanged. Apply to any FINAL
+    display column whose rounded value can be negative; the SQL twin is
+    ``ROUND(x, n) + 0e0``. Internal round-then-CAST-to-DECIMAL
+    quantizations do NOT need this (decimal zero is unsigned on both
+    engines), nor do unrounded float columns (identical IEEE ops produce
+    identical zero signs cross-engine)."""
+    return F.round(c, n) + F.lit(0.0)
+
+
 # --------------------------------------------------------------------------
 # C1-C5 scalar functions
 # --------------------------------------------------------------------------

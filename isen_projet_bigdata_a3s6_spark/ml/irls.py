@@ -318,8 +318,14 @@ def logistic_summary_closed(
     # ROUND — Python round is half-even)
     out = [(feats[i][0], bq[i], bq[i] / inv[i][i] ** 0.5) for i in range(k)]
     raw = spark.createDataFrame(out, "feature string, coefficient double, z_raw double")
+    # signed-zero normalization on BOTH display columns (q43 convention):
+    # coefficient is Python-round quantized (round(-1e-12, 6) IS -0.0,
+    # stringifying as "-0.0") and z inherits its sign — +0.0 pins both
+    # engines to the unsigned rendering
     return raw.select(
-        "feature", "coefficient", F.round("z_raw", 2).alias("z_value")
+        "feature",
+        (F.col("coefficient") + F.lit(0.0)).alias("coefficient"),
+        (F.round("z_raw", 2) + F.lit(0.0)).alias("z_value"),
     )
 
 
@@ -445,8 +451,8 @@ def logistic_summary_oracle_sql(
     # (SUM over an empty frame is one NULL row, and the CROSS JOIN would
     # fan it into k NULL coefficient rows — the r09 empty-sweep drift)
     rows = "\n    UNION ALL\n    ".join(
-        f"SELECT '{feats[i][0]}' AS feature, q_{i} AS coefficient,"
-        f" ROUND(q_{i} / sqrt(fininv_{i}_{i}), 2) AS z_value"
+        f"SELECT '{feats[i][0]}' AS feature, q_{i} + 0e0 AS coefficient,"
+        f" ROUND(q_{i} / sqrt(fininv_{i}_{i}), 2) + 0e0 AS z_value"
         f" FROM bq CROSS JOIN {ginv} CROSS JOIN hfin WHERE hfin.n > 0"
         for i in range(k)
     )

@@ -66,7 +66,15 @@ def _values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf
+        # Distinguish ±0.0: the driver's value hash STRINGIFIES cells, so
+        # Spark 0.0 vs DuckDB -0.0 hash-differ even though -0.0 == 0.0 is
+        # True — the r09 q43 red row hid behind this very comparison. Any
+        # ROUND of a tiny negative can produce -0.0 on DuckDB (no signed
+        # zero survives Spark's BigDecimal HALF_UP round, but arithmetic
+        # like neg*0.0 can still emit it engine-side).
+        if af == bf:
+            return af != 0.0 or math.copysign(1.0, af) == math.copysign(1.0, bf)
+        return False
     return str(a) == str(b)
 
 

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.scalar import round_disp
 from .operators import aggregations as agg
 from .sources.readers import load_table
 
@@ -65,13 +66,18 @@ _R01_SIGNED = set(range(1, 150)) - {86, 133, 139}
 # code). Entries retire automatically once a LATER round signs the query;
 # stale entries are added whenever a change lands after a signature.
 #
-# r09 inventory: q128/q161/q192/q270/q287 changed in r06-r08 after their
-# last sign (VERDICT r08 item 2); q38/q39/q151 had their ORACLE text touched
-# in r09 (normalization character class, pmod mirror — no output change at
-# driver SFs, re-verified locally, but the record predates the text).
+# r10 inventory: the signed-zero normalization sweep (the r09 q43 red-row
+# class — VERDICT r09 item 2b) appended `+ 0.0` / `+ 0e0` after every FINAL
+# display ROUND of a possibly-negative float, on both engines, across 26
+# queries (~40 columns). Output is bit-identical on current fixtures except
+# a -0.0 → 0.0 cell (none besides q43's today), but the code/oracle text
+# changed after their last signatures, so all 26 front for an r10 re-sign.
 _STALE_AS_OF: dict[int, int] = {
-    128: 8, 161: 8, 192: 8, 270: 8, 287: 8,
-    38: 8, 39: 8, 151: 8,
+    n: 9
+    for n in (
+        19, 30, 43, 58, 64, 81, 108, 145, 169, 170, 200, 208, 219, 231,
+        234, 235, 236, 246, 250, 255, 260, 261, 263, 265, 276, 283, 296,
+    )
 }
 
 _SIGNED_CACHE: set[int] | None = None
@@ -726,7 +732,7 @@ def q18_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_lag_delta",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) + 0e0 AS delta
     FROM events WHERE user_id < 50
     """,
 )
@@ -736,7 +742,7 @@ def q19_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     out = with_lag(e, "value", ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], name="prev")
     return out.select(
-        "event_id", "user_id", F.round(F.col("value") - F.col("prev"), 6).alias("delta")
+        "event_id", "user_id", round_disp(F.col("value") - F.col("prev"), 6).alias("delta")
     )
 
 
@@ -1360,8 +1366,10 @@ def q43_multiple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return summary.select(
         "feature",
-        F.round("coefficient", 4).alias("coefficient"),
-        F.round("t_value", 2).alias("t_value"),
+        # round_disp: signed-zero normalization after display rounding (the
+        # r09 red row — DuckDB ROUND(-0.003, 2) is -0.0, Spark 0.0).
+        round_disp("coefficient", 4).alias("coefficient"),
+        round_disp("t_value", 2).alias("t_value"),
     )
 
 
@@ -1798,7 +1806,7 @@ def q57_fingerprint_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm,
-           ROUND(embedding[1] / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS first_unit
+           ROUND(embedding[1] / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) + 0e0 AS first_unit
     FROM embeddings
     """,
 )
@@ -1812,7 +1820,7 @@ def q58_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n, 6).alias("l2_norm"),
         # try_divide: a zero vector has no unit direction — NULL, matching
         # the oracle's x/0 (DuckDB NULL); ANSI bare division would abort
-        F.round(
+        round_disp(
             F.try_divide(F.element_at("embedding", 1).cast("double"), n), 6
         ).alias("first_unit"),
     )
@@ -1972,7 +1980,7 @@ def q63_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings,
            LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
                            unnest(CAST(embedding AS DOUBLE[])) AS val) u)
-    SELECT label, pos, ROUND(AVG(val), 6) AS centroid_val
+    SELECT label, pos, ROUND(AVG(val), 6) + 0e0 AS centroid_val
     FROM flat WHERE pos <= 4 GROUP BY 1, 2
     """,
 )
@@ -1984,7 +1992,7 @@ def q64_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flat.filter(F.col("pos") <= 4)
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+        .agg(round_disp(F.avg("val"), 6).alias("centroid_val"))
         .select("label", F.col("pos").cast("long").alias("pos"), "centroid_val")
     )
 
@@ -3535,7 +3543,7 @@ def q107_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey,
            ROUND((o_totalprice - sx / n) /
-                 SQRT(sxx / n - (sx / n) * (sx / n)), 6) AS z
+                 SQRT(sxx / n - (sx / n) * (sx / n)), 6) + 0e0 AS z
     FROM orders, s
     """,
 )
@@ -3558,7 +3566,7 @@ def q108_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(F.col("sxx") / F.col("n") - mu * mu)
     return o.crossJoin(F.broadcast(s)).select(
         "o_orderkey",
-        F.round((F.col("o_totalprice") - mu) / sigma, 6).alias("z"),
+        round_disp((F.col("o_totalprice") - mu) / sigma, 6).alias("z"),
     )
 
 
@@ -5067,7 +5075,7 @@ def q144_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT month, revenue,
-           ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1, 6) AS mom_growth
+           ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1, 6) + 0e0 AS mom_growth
     FROM m
     """,
 )
@@ -5085,7 +5093,7 @@ def q145_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("month")
     return m.select(
         "month", "revenue",
-        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+        round_disp(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
             "mom_growth"
         ),
     )
@@ -6177,7 +6185,7 @@ def q168_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW win AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 72 HOUR PRECEDING AND CURRENT ROW)
     )
-    SELECT user_id, event_id, ROUND(z, 6) AS z
+    SELECT user_id, event_id, ROUND(z, 6) + 0e0 AS z
     FROM (
       SELECT user_id, event_id,
              (value - sx/n) / SQRT((sxx - sx*sx/n) / (n-1)) AS z
@@ -6221,7 +6229,7 @@ def q169_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("n") >= 3)
             & ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) > 1e-12)
         )
-        .select("user_id", "event_id", F.round(z, 6).alias("z"))
+        .select("user_id", "event_id", round_disp(z, 6).alias("z"))
         .filter(F.abs(F.col("z")) > 1.8)
     )
 
@@ -6245,7 +6253,7 @@ def q169_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT doc_id,
            ROUND(CAST(CAST(SUM(n * lnp) AS VARCHAR) AS DOUBLE) / SUM(n), 6)
-             AS avg_logprob
+             + 0e0 AS avg_logprob
     FROM dc JOIN model USING (c)
     GROUP BY 1
     """,
@@ -6278,7 +6286,7 @@ def q170_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dc.join(F.broadcast(model), "c")
         .groupBy("doc_id")
         .agg(
-            F.round(
+            round_disp(
                 F.sum(F.col("n") * F.col("lnp")).cast("double") / F.sum("n"), 6
             ).alias("avg_logprob")
         )
@@ -7659,7 +7667,7 @@ def q199_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            ROUND(CAST(CAST(SUM(lr * cnt) AS VARCHAR) AS DOUBLE)
-                 / SUM(cnt), 6) AS llr,
+                 / SUM(cnt), 6) + 0e0 AS llr,
            CASE WHEN ROUND(CAST(CAST(SUM(lr * cnt) AS VARCHAR) AS DOUBLE)
                            / SUM(cnt), 6) > 0 THEN 1 ELSE 0 END AS selected
     FROM terms GROUP BY doc_id
@@ -7719,7 +7727,7 @@ def q200_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lr") * F.col("cnt")).cast("double") / F.sum("cnt"), 6
     )
     return terms.groupBy("doc_id").agg(
-        llr.alias("llr"),
+        (llr + F.lit(0.0)).alias("llr"),
         F.when(llr > 0, F.lit(1)).otherwise(F.lit(0)).alias("selected"),
     )
 
@@ -8433,9 +8441,9 @@ def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT n AS n_types,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0e0 AS slope,
            ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                 / n, 6) AS intercept
+                 / n, 6) + 0e0 AS intercept
     FROM sums
     """,
 )
@@ -8484,8 +8492,8 @@ def q208_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sums.select(
         F.col("n").alias("n_types"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+        round_disp(slope, 6).alias("slope"),
+        round_disp((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
             "intercept"
         ),
     )
@@ -9066,7 +9074,7 @@ def q218_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, COUNT(*) AS n_docs,
            ROUND(CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
-             AS avg_cos,
+             + 0e0 AS avg_cos,
            CAST(MIN(c) AS DOUBLE) AS min_cos,
            CAST(MAX(c) AS DOUBLE) AS max_cos
     FROM cos GROUP BY source
@@ -9123,7 +9131,7 @@ def q219_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cos.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(
+        round_disp(
             F.sum("c").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_cos"),
         F.min("c").cast("double").alias("min_cos"),
@@ -9734,7 +9742,7 @@ def q230_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            ROUND(CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
-             AS avg_flesch,
+             + 0e0 AS avg_flesch,
            CAST(MIN(s) AS DOUBLE) AS min_flesch
     FROM q GROUP BY 1
     """,
@@ -9771,7 +9779,7 @@ def q231_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = m.select("lang", F.round(score, 6).cast("decimal(14,6)").alias("s"))
     return q.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(
+        round_disp(
             F.sum("s").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_flesch"),
         F.min("s").cast("double").alias("min_flesch"),
@@ -9988,9 +9996,9 @@ def q233_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (CAST(n1 + n2 + 1 AS DOUBLE)
                            - CAST(tie_sum AS DOUBLE)
                              / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))),
-                 6) AS z_score,
+                 6) + 0e0 AS z_score,
            ROUND(1.0 - CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
-                       / CAST(n1 * n2 AS DOUBLE), 6) AS rank_biserial
+                       / CAST(n1 * n2 AS DOUBLE), 6) + 0e0 AS rank_biserial
     FROM a
     """,
 )
@@ -10053,10 +10061,10 @@ def q234_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagged
     )
     SELECT prio, n_days,
-           ROUND(CAST(SUM(t1) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_1,
-           ROUND(CAST(SUM(t2) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_2,
-           ROUND(CAST(SUM(t3) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_3,
-           ROUND(CAST(SUM(t7) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) AS acf_7
+           ROUND(CAST(SUM(t1) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) + 0e0 AS acf_1,
+           ROUND(CAST(SUM(t2) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) + 0e0 AS acf_2,
+           ROUND(CAST(SUM(t3) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) + 0e0 AS acf_3,
+           ROUND(CAST(SUM(t7) AS DOUBLE) / CAST(SUM(d0) AS DOUBLE), 6) + 0e0 AS acf_7
     FROM terms GROUP BY prio, n_days
     """,
 )
@@ -10104,7 +10112,7 @@ def q235_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sum("d0").cast("double")
     return terms.groupBy("prio", "n_days").agg(
         *[
-            F.round(F.sum(f"t{k}").cast("double") / den, 6).alias(f"acf_{k}")
+            round_disp(F.sum(f"t{k}").cast("double") / den, 6).alias(f"acf_{k}")
             for k in (1, 2, 3, 7)
         ]
     )
@@ -10132,7 +10140,7 @@ def q235_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ss AS (SELECT CAST(SUM(dv2) AS DOUBLE) AS ssd FROM dev)
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           ROUND(CAST(s AS DOUBLE) / SQRT(ssd), 6) AS cusum_norm
+           ROUND(CAST(s AS DOUBLE) / SQRT(ssd), 6) + 0e0 AS cusum_norm
     FROM cum, ss
     -- order by the ROUNDED statistic (as the Spark side does): two days
     -- differing only past the 6th decimal at the top-5 cutoff must
@@ -10180,7 +10188,7 @@ def q236_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_prefix_sum(dev, "day", ["dv"])
     scored = cum.join(F.broadcast(ss)).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round(
+        round_disp(
             F.col("dv_cum").cast("double") / F.sqrt(F.col("ss").cast("double")),
             6,
         ).alias("cusum_norm"),
@@ -10795,10 +10803,10 @@ def q245_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS bd FROM agg_b)
     SELECT bucket, n_good, n_bad,
-           ROUND(LN(((n_good + 0.5) / g) / ((n_bad + 0.5) / bd)), 6) AS woe,
+           ROUND(LN(((n_good + 0.5) / g) / ((n_bad + 0.5) / bd)), 6) + 0e0 AS woe,
            ROUND(((n_good + 0.5) / g - (n_bad + 0.5) / bd)
                  * LN(((n_good + 0.5) / g) / ((n_bad + 0.5) / bd)), 6)
-             AS iv_term
+             + 0e0 AS iv_term
     FROM agg_b, tot
     """,
 )
@@ -10842,8 +10850,10 @@ def q246_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n_good",
         "n_bad",
-        F.round(woe, 6).alias("woe"),
-        F.round((good_share - bad_share) * woe, 6).alias("iv_term"),
+        # round_disp on BOTH: woe is signed; iv_term is ≥0 in exact math
+        # but neg_share × (+0.0 ln) yields -0.0 in IEEE (q43 convention)
+        round_disp(woe, 6).alias("woe"),
+        round_disp((good_share - bad_share) * woe, 6).alias("iv_term"),
     )
 
 
@@ -11203,7 +11213,7 @@ def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
                    / SQRT(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
                           * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
-                          * (1.0 / n0 + 1.0 / n1)), 6)
+                          * (1.0 / n0 + 1.0 / n1)), 6) + 0e0
            END AS z_score
     FROM wide
     """,
@@ -11259,7 +11269,7 @@ def q250_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.col("c0") + F.col("c1") > 0)
             & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
-            F.round(z, 6),
+            round_disp(z, 6),
         ).alias("z_score"),
     )
 
@@ -11569,10 +11579,10 @@ def q254_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM joint)
     SELECT joint.event_type, joint.dow, nxy,
            ROUND(LN(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE))), 6)
-             AS pmi,
+             + 0e0 AS pmi,
            ROUND((nxy / CAST(n AS DOUBLE))
                  * LN(nxy * CAST(n AS DOUBLE) / (nx * CAST(ny AS DOUBLE))), 9)
-             AS mi_term
+             + 0e0 AS mi_term
     FROM joint
     JOIN mx ON mx.event_type = joint.event_type
     JOIN my ON my.dow = joint.dow, tot
@@ -11614,8 +11624,8 @@ def q255_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "dow",
             "nxy",
-            F.round(F.log(ratio), 6).alias("pmi"),
-            F.round(
+            round_disp(F.log(ratio), 6).alias("pmi"),
+            round_disp(
                 (F.col("nxy") / F.col("n").cast("double")) * F.log(ratio), 9
             ).alias("mi_term"),
         )
@@ -12028,7 +12038,7 @@ def q259_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n,
            ROUND((n * suw - su * sw)
                  / SQRT((n * suu - su * su) * (n * sww - sw * sw)), 6)
-             AS spearman
+             + 0e0 AS spearman
     FROM m
     """,
 )
@@ -12079,7 +12089,7 @@ def q260_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "n",
-        F.round(
+        round_disp(
             (F.col("n") * F.col("suw") - F.col("su") * F.col("sw"))
             / F.sqrt(
                 (F.col("n") * F.col("suu") - F.col("su") * F.col("su"))
@@ -12113,7 +12123,7 @@ def q260_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT w1, w2, n_xy,
            ROUND(LN((n_xy / CAST(s AS DOUBLE))
                     / ((ca.c / CAST(n AS DOUBLE))
-                       * (cb.c / CAST(n AS DOUBLE)))), 6) AS pmi
+                       * (cb.c / CAST(n AS DOUBLE)))), 6) + 0e0 AS pmi
     FROM cxy
     JOIN cx ca ON ca.w = w1
     JOIN cx cb ON cb.w = w2, nt, np
@@ -12176,7 +12186,7 @@ def q261_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "w2")
         .join(F.broadcast(nt))
         .join(F.broadcast(np_))
-        .select("w1", "w2", "n_xy", F.round(F.log(r1 / r2), 6).alias("pmi"))
+        .select("w1", "w2", "n_xy", round_disp(F.log(r1 / r2), 6).alias("pmi"))
     )
 
 
@@ -12288,9 +12298,9 @@ def q262_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT flag, n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0e0 AS slope,
            ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS intercept,
+             + 0e0 AS intercept,
            ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
@@ -12326,8 +12336,8 @@ def q263_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "flag",
         "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        round_disp(slope, 6).alias("slope"),
+        round_disp((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(
             (n * sxy - sx * sy)
             * (n * sxy - sx * sy)
@@ -12404,7 +12414,7 @@ def q264_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1, 2
     )
     SELECT c.yr, c.mth, ROUND(c.rev, 4) AS rev, ROUND(p.rev, 4) AS rev_prev,
-           ROUND((c.rev - p.rev) / p.rev, 6) AS yoy_growth
+           ROUND((c.rev - p.rev) / p.rev, 6) + 0e0 AS yoy_growth
     FROM monthly c JOIN monthly p
       ON p.yr = c.yr - 1 AND p.mth = c.mth
     """,
@@ -12435,7 +12445,7 @@ def q265_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mth",
         F.round("rev", 4).alias("rev"),
         F.round("rev_prev", 4).alias("rev_prev"),
-        F.round((F.col("rev") - F.col("rev_prev")) / F.col("rev_prev"), 6).alias(
+        round_disp((F.col("rev") - F.col("rev_prev")) / F.col("rev_prev"), 6).alias(
             "yoy_growth"
         ),
     )
@@ -13364,9 +13374,9 @@ def q275_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM slopes
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-           ROUND(MAX(t.gslope), 6) AS global_slope,
-           ROUND(MIN(slope), 6) AS min_group_slope,
-           ROUND(MAX(slope), 6) AS max_group_slope,
+           ROUND(MAX(t.gslope), 6) + 0e0 AS global_slope,
+           ROUND(MIN(slope), 6) + 0e0 AS min_group_slope,
+           ROUND(MAX(slope), 6) + 0e0 AS max_group_slope,
            MAX(CASE WHEN t.gslope > 0 THEN 1 ELSE 0 END)
              * (CASE WHEN MAX(slope) < 0 THEN 1 ELSE 0 END)
            + MAX(CASE WHEN t.gslope < 0 THEN 1 ELSE 0 END)
@@ -13418,9 +13428,9 @@ def q276_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return slopes.join(F.broadcast(tot)).agg(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.round(F.max("gslope"), 6).alias("global_slope"),
-        F.round(F.min("slope"), 6).alias("min_group_slope"),
-        F.round(F.max("slope"), 6).alias("max_group_slope"),
+        round_disp(F.max("gslope"), 6).alias("global_slope"),
+        round_disp(F.min("slope"), 6).alias("min_group_slope"),
+        round_disp(F.max("slope"), 6).alias("max_group_slope"),
         (
             F.max((F.col("gslope") > 0).cast("long"))
             * (F.max("slope") < 0).cast("long")
@@ -14015,9 +14025,9 @@ def q282_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per GROUP BY flag
     )
     SELECT flag, ROUND(r0, 4) AS rev_1995, ROUND(r1, 4) AS rev_1996,
-           ROUND(r1 - r0, 4) AS delta,
-           ROUND((q1 - q0) * (r0 / q0), 6) AS volume_effect,
-           ROUND(q1 * (r1 / q1 - r0 / q0), 6) AS price_effect
+           ROUND(r1 - r0, 4) + 0e0 AS delta,
+           ROUND((q1 - q0) * (r0 / q0), 6) + 0e0 AS volume_effect,
+           ROUND(q1 * (r1 / q1 - r0 / q0), 6) + 0e0 AS price_effect
     FROM wide
     """,
 )
@@ -14057,9 +14067,9 @@ def q283_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         F.round("r0", 4).alias("rev_1995"),
         F.round("r1", 4).alias("rev_1996"),
-        F.round(F.col("r1") - F.col("r0"), 4).alias("delta"),
-        F.round((F.col("q1") - F.col("q0")) * p0, 6).alias("volume_effect"),
-        F.round(F.col("q1") * (p1 - p0), 6).alias("price_effect"),
+        round_disp(F.col("r1") - F.col("r0"), 4).alias("delta"),
+        round_disp((F.col("q1") - F.col("q0")) * p0, 6).alias("volume_effect"),
+        round_disp(F.col("q1") * (p1 - p0), 6).alias("price_effect"),
     )
 
 
@@ -15149,7 +15159,7 @@ def q295_wide_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
            + (CASE WHEN a_bal = 1 THEN LN(0.9 / u_bal.u)
                    ELSE LN(0.1 / (1.0 - u_bal.u)) END)
            + (CASE WHEN a_dig = 1 THEN LN(0.9 / u_dig.u)
-                   ELSE LN(0.1 / (1.0 - u_dig.u)) END), 6) AS score
+                   ELSE LN(0.1 / (1.0 - u_dig.u)) END), 6) + 0e0 AS score
     FROM pairs, u_seg, u_bal, u_dig
     GROUP BY a_seg, a_bal, a_dig, u_seg.u, u_bal.u, u_dig.u
     """,
@@ -15225,7 +15235,7 @@ def q296_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_bal",
             "a_dig",
             "n_pairs",
-            F.round(
+            round_disp(
                 w("a_seg", "u_seg") + w("a_bal", "u_bal") + w("a_dig", "u_dig"),
                 6,
             ).alias("score"),

@@ -86,7 +86,7 @@ def pairwise_stats_df(df: DataFrame, pairs: list[tuple[str, str]], scale: int = 
     The SQL twin uses the same n/S_x/S_y/S_xx/S_yy/S_xy formula so both
     engines do identical double arithmetic on identical exact sums.
     """
-    from ..functions.scalar import round6
+    from ..functions.scalar import round_disp
 
     cols = sorted({c for p in pairs for c in p})
     # decimal cross-product sums are CPU-heavy: spread the partial
@@ -109,8 +109,10 @@ def pairwise_stats_df(df: DataFrame, pairs: list[tuple[str, str]], scale: int = 
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                round6(cov).alias("cov_samp"),
-                round6(corr).alias("pearson_r"),
+                # round_disp: cov/corr are signed — a tiny negative must
+                # not round to -0.0 on one engine only (q43 convention)
+                round_disp(cov, 6).alias("cov_samp"),
+                round_disp(corr, 6).alias("pearson_r"),
             )
         )
     return agg.select(F.explode(F.array(*pair_structs)).alias("p")).select(
@@ -134,9 +136,9 @@ def pairwise_stats_oracle_sql(table: str, pairs: list[tuple[str, str]], scale: i
         key = f"s_{a}__{b}" if a <= b else f"s_{b}__{a}"
         selects.append(
             f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-            ROUND(({key} - s_{a} * s_{b} / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS cov_samp,
+            ROUND(({key} - s_{a} * s_{b} / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) + 0e0 AS cov_samp,
             ROUND((CAST(n AS DOUBLE) * {key} - s_{a} * s_{b})
-                  / SQRT((CAST(n AS DOUBLE) * s_{a}__{a} - s_{a} * s_{a}) * (CAST(n AS DOUBLE) * s_{b}__{b} - s_{b} * s_{b})), 6) AS pearson_r
+                  / SQRT((CAST(n AS DOUBLE) * s_{a}__{a} - s_{a} * s_{a}) * (CAST(n AS DOUBLE) * s_{b}__{b} - s_{b} * s_{b})), 6) + 0e0 AS pearson_r
             FROM m"""
         )
     union = "\nUNION ALL\n".join(selects)

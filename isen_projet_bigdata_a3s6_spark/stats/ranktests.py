@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import round_disp
 from ..operators.windows import global_prefix_sum
 
 
@@ -146,6 +147,7 @@ def mannwhitney_u(df: DataFrame, value: str, group: Column) -> DataFrame:
         "n1",
         "n2",
         u1.alias("u_stat"),
-        F.round(z, 6).alias("z_score"),
-        F.round(rb, 6).alias("rank_biserial"),
+        # round_disp: z and the effect size are signed (q43 convention)
+        round_disp(z, 6).alias("z_score"),
+        round_disp(rb, 6).alias("rank_biserial"),
     )

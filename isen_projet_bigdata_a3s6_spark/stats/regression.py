@@ -327,10 +327,13 @@ def multiple_ols_oracle_sql(
     # n > k guard: EMPTY-IN/EMPTY-OUT parity with multiple_ols_closed_form
     # (a fit on <= k rows is undefined; Spark returns an empty frame, so
     # the oracle must emit zero rows, not k NULL rows)
+    # + 0e0 after display rounding: signed-zero normalization (the r09 red
+    # row — DuckDB ROUND of a tiny negative emits -0.0, Spark emits 0.0;
+    # IEEE -0.0 + 0.0 = +0.0 pins both engines to the same string).
     rows = "\n    UNION ALL\n    ".join(
         f"SELECT '{feats[i][0]}' AS feature,"
-        f" ROUND(beta_{i}, {round_coef}) AS coefficient,"
-        f" ROUND(beta_{i} / sqrt(inv_{i}_{i} * sigma2), {round_t}) AS t_value"
+        f" ROUND(beta_{i}, {round_coef}) + 0e0 AS coefficient,"
+        f" ROUND(beta_{i} / sqrt(inv_{i}_{i} * sigma2), {round_t}) + 0e0 AS t_value"
         f" FROM stats WHERE n > {k}"
         for i in range(k)
     )

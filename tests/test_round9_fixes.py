@@ -31,17 +31,18 @@ def _fake_round(tmp_path, rnd: int, name: str, green: bool = True):
 
 
 def test_stale_signature_treated_as_unsigned(tmp_path):
-    # q128 is stale as of round 8: a green record from r08 must NOT sign it
-    assert Q._STALE_AS_OF.get(128) == 8
-    _fake_round(tmp_path, 8, "q128_zorder_layout")
-    assert 128 not in Q._signed_queries(root=str(tmp_path))
+    # q30 is stale as of round 9 (signed-zero sweep): a green record from
+    # r09 must NOT sign it
+    assert Q._STALE_AS_OF.get(30) == 9
+    _fake_round(tmp_path, 9, "q30_cov_corr")
+    assert 30 not in Q._signed_queries(root=str(tmp_path))
 
 
 def test_stale_signature_retires_on_newer_round(tmp_path):
     # ... but a green record from a LATER round re-signs it automatically
-    _fake_round(tmp_path, 8, "q128_zorder_layout")
-    _fake_round(tmp_path, 9, "q128_zorder_layout")
-    assert 128 in Q._signed_queries(root=str(tmp_path))
+    _fake_round(tmp_path, 9, "q30_cov_corr")
+    _fake_round(tmp_path, 10, "q30_cov_corr")
+    assert 30 in Q._signed_queries(root=str(tmp_path))
 
 
 def test_stale_queries_front_the_registry():
