@@ -19,6 +19,7 @@ word-final from word-internal pairs.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,6 +30,24 @@ from ..checkpointing import cut_lineage
 from .text import tokens
 
 EOW = "</w>"
+
+# Java's \s class — EXACTLY what the Spark-SQL train path splits on
+# (text.tokens → split('\\s+')). Python str.split() splits on ALL Unicode
+# whitespace (U+00A0, U+2007, U+2028, ...), so a document containing
+# non-ASCII whitespace would tokenize differently encode-vs-train and
+# engine-vs-oracle (r09 advisory). The residual RE2-vs-Java U+000B gap
+# stays pinned engine-side as before (bpe_oracle.py header note).
+JAVA_WS = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+
+def java_ws_tokens(text) -> list[str]:
+    """Executor-side twin of text.tokens(): lowercase, split on the Java
+    \\s class, drop empties. No str.strip() — Python strip() removes
+    Unicode whitespace that Spark's trim (ASCII space) keeps, and the
+    empty-token filter already absorbs leading/trailing separators."""
+    if text is None:
+        return []
+    return [t for t in JAVA_WS.split(str(text).lower()) if t]
 
 
 def _merge_pair_fn(a: str, b: str):
@@ -133,8 +152,11 @@ def bpe_encode(
     eliminates every occurrence of its bigram, and re-creation needs a
     later merge to rebuild one of its halves — but the bound is EXPLICIT
     so the SQL oracle (functions/bpe_oracle.py) can unroll exactly the
-    same number of rounds: parity is then unconditional, pathological
-    inputs included (the degenerate sweep's 5000-char token)."""
+    same number of rounds: parity is then unconditional up to the
+    documented RE2-vs-Java U+000B tokenizer gap (bpe_oracle.py header),
+    pathological inputs included (the degenerate sweep's 5000-char
+    token). Tokenization uses java_ws_tokens — the Java \\s class, same
+    as the SQL train path — NOT str.split()'s all-Unicode whitespace."""
     pairs = [(r[0], r[1]) for r in rules]
     rank = {p: i for i, p in enumerate(pairs)}
 
@@ -167,7 +189,7 @@ def bpe_encode(
         for pdf in batches:
             ids, n_toks, n_bpe = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in str(text).strip().lower().split() if t] if text is not None else []
+                toks = java_ws_tokens(text)
                 total = 0
                 for w in toks:
                     if w not in memo:

@@ -44,7 +44,7 @@ from .bpe import EOW
 # RE2-vs-Java \s gap (U+000B) is pinned engine-side by
 # tests/test_round9_fixes.py on ASCII fixtures)
 _TOKENS = (
-    "list_filter(string_split_regex(LOWER(TRIM({text})), '\\s+'), t -> t <> '')"
+    "list_filter(string_split_regex(LOWER(TRIM({text}, ' ')), '\\s+'), t -> t <> '')"
 )
 
 
@@ -80,17 +80,23 @@ def _pair_count_cte(state: str, out: str) -> str:
     )"""
 
 
-def _merge_pass_ctes(state: str, rule: str, out: str, tag: str) -> str:
+def _merge_pass_ctes(
+    state: str, rule: str, out: str, tag: str, per_word: bool
+) -> str:
     """{out}(w, freq, syms): one greedy left-to-right merge pass of
-    ``rule`` (columns w?, a, b — joined per word when it has a ``w``
-    column, else the 0-or-1-row global rule) applied to ``state``.
+    ``rule`` applied to ``state``. ``per_word=True`` joins the rule table
+    by word (encode passes: each word carries its own best-ranked pair);
+    ``per_word=False`` cross-joins the 0-or-1-row global rule (train
+    passes) — an explicit flag, not inferred from the tag string (r09
+    advisory: tag-prefix sniffing was a hidden contract between the two
+    call sites).
 
     Run-parity selection: ROW_NUMBER among candidate positions per word
     gives runk = i − rn (constant per maximal run); a candidate merges iff
     its ROW_NUMBER within (w, runk) is odd. A merged position i covers
     position i+1 (LAG over i). Words with no rule or no match pass through
     unchanged (LEFT JOIN → cand never true)."""
-    join = f"LEFT JOIN {rule} r USING (w)" if tag.startswith("e") else f"LEFT JOIN {rule} r ON TRUE"
+    join = f"LEFT JOIN {rule} r USING (w)" if per_word else f"LEFT JOIN {rule} r ON TRUE"
     return f"""
     x{tag} AS (
       SELECT s.w, s.freq, s.syms, r.a, r.b,
@@ -139,7 +145,9 @@ def _train_ctes(num_merges: int) -> str:
       SELECT a, b, cnt FROM p{r} WHERE cnt >= 2
       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     )""")
-        parts.append(_merge_pass_ctes(f"s{r-1}", f"top{r}", f"s{r}", f"t{r}"))
+        parts.append(
+            _merge_pass_ctes(f"s{r-1}", f"top{r}", f"s{r}", f"t{r}", per_word=False)
+        )
     return ",".join(parts)
 
 
@@ -190,7 +198,9 @@ def bpe_encode_oracle_sql(
     w{k} AS (
       SELECT q.w, r.a, r.b FROM q{k} q JOIN rules r USING (rk)
     )""")
-        parts.append(_merge_pass_ctes(f"e{k-1}", f"w{k}", f"e{k}", f"e{k}m"))
+        parts.append(
+            _merge_pass_ctes(f"e{k-1}", f"w{k}", f"e{k}", f"e{k}m", per_word=True)
+        )
     return f"""
     WITH {_words_ctes(source, text_col)},
     {_train_ctes(num_merges)},

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bpe import EOW
+from .bpe import EOW, java_ws_tokens
 
 
 def vocab_from_bpe(rules: list[tuple]) -> set[str]:
@@ -120,11 +120,10 @@ def wordpiece_stats(
         for pdf in batches:
             ids, n_words, n_pieces, n_split = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = (
-                    [w for w in str(text).strip().lower().split() if w]
-                    if text is not None
-                    else []
-                )
+                # Java \s class, matching the Spark-SQL train path and the
+                # oracle convention — NOT str.split()'s Unicode whitespace
+                # (r09 advisory; see bpe.java_ws_tokens)
+                words = java_ws_tokens(text)
                 tw = tp = ts = 0
                 for w in words:
                     hit = memo.get(w)

@@ -510,7 +510,14 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     """Cardinality estimate per group from a register frame, round4. The
     raw estimate alpha·m²/Σ2^(−r) folds the register sum as exact BIGINTs
     (absent buckets contribute 2^51); n ≤ 2.5m with empty registers takes
-    the linear-counting branch m·ln(m/V). Column ``est`` (double)."""
+    the linear-counting branch m·ln(m/V). Column ``est`` (double).
+
+    Cross-engine note: the LC branch's ln runs through java.lang.Math.log
+    on Spark vs libm on DuckDB; a 1-ulp divergence could flip round4 on a
+    ~1e-13 knife edge (r09 advisory). In this branch the estimate depends
+    ONLY on the integer V ∈ [1, m−1], so the domain is finite and
+    tests/test_round10_fixes.py pins ln parity EXHAUSTIVELY over all
+    1023 values — the residual risk is closed, not just unlikely."""
     s_expr = (
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_RHO_MAX} - r)"))
         + (F.lit(HLL_M) - F.count(F.lit(1)))

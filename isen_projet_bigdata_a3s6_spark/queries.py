@@ -77,6 +77,11 @@ _STALE_AS_OF: dict[int, int] = {
     for n in (
         19, 30, 43, 58, 64, 81, 108, 145, 169, 170, 200, 208, 219, 231,
         234, 235, 236, 246, 250, 255, 260, 261, 263, 265, 276, 283, 296,
+        # executor-side tokenizer moved from str.split() (Unicode ws) to
+        # the Java \s class, matching the SQL train path; the family's
+        # oracle TRIM pinned to ASCII space (TRIM(x, ' ')) to match
+        # Spark's trim — DuckDB's default TRIM strips Unicode Zs
+        149, 150, 237,
     )
 }
 

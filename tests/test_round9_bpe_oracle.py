@@ -8,7 +8,6 @@ with the degenerate-sweep rows appended (empty/whitespace/null text, the
 5000-char single token). Pure DuckDB + Python: no Spark needed, so the
 full training replay is pinned cheaply; engine-vs-oracle parity itself is
 pinned by test_queries_oracle below (the repo gate) and the driver."""
-import re
 import sys
 
 import duckdb
@@ -19,14 +18,9 @@ from isen_projet_bigdata_a3s6_spark.functions.bpe_oracle import (
     wordpiece_stats_oracle_sql,
 )
 
+from isen_projet_bigdata_a3s6_spark.functions.bpe import java_ws_tokens as tokens
+
 EOW = "</w>"
-JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
-
-
-def tokens(text):
-    if text is None:
-        return []
-    return [t for t in JAVA_WS.split(text.strip().lower()) if t]
 
 
 def merge_pass(s, a, b):
@@ -157,16 +151,6 @@ def run(sf_dir, extra_docs=None, num_merges=8, max_passes=16, max_len=32):
         d[1] += tw
         d[2] += tp
         d[3] += ts
-    exp = {
-        lang: (
-            d[0],
-            d[1],
-            round(d[2] / d[1], 6) if d[1] else None,
-        )
-        for lang, d in agg.items()
-    }
-    got_cmp = {k: (v[0], v[1], v[3]) for k, v in got.items()}
-    exp_cmp = {k: (v[0], v[1], round(agg[k][2] / agg[k][1], 6) if agg[k][1] else None) for k, v in agg.items()}
     # compare n_docs, n_words, n_pieces, fertility, split_frac fully
     for lang, d in agg.items():
         g = got[lang]
@@ -181,6 +165,11 @@ DEGEN = [
     ("", "en"), ("word", "en"), ("   ", "en"), ("!!! ??? ... ;;;", "en"),
     ("a", "en"), ("x x x x x x x x", "en"), ("a" * 5000, "en"), (None, "en"),
     ("word", "zz"),
+    # non-ASCII whitespace (r10): NBSP/figure-space/line-sep must tokenize
+    # identically on both engines — Java \s class executor-side, ASCII-only
+    # TRIM oracle-side (DuckDB's default TRIM strips Unicode Zs)
+    ("\u00a0lead and trail\u00a0", "en"),
+    ("nb\u00a0sp fig\u2007sp line\u2028sep", "en"),
 ]
 
 def test_bpe_oracle_matches_reference_clean(sf_dir):
