@@ -86,6 +86,10 @@ _STALE_AS_OF: dict[int, int] = {
 }
 
 _SIGNED_CACHE: set[int] | None = None
+# query number → newest round with ANY driver record (green or red); filled
+# as a side effect of _signed_queries and used to order the SIGNED block
+# oldest-signature-first (see _priority_order)
+_LATEST_ROUND: dict[int, int] = {}
 
 
 def _signed_queries(root: str | None = None) -> set[int]:
@@ -155,6 +159,8 @@ def _signed_queries(root: str | None = None) -> set[int]:
             signed.discard(num)
     if cacheable:
         _SIGNED_CACHE = signed
+        _LATEST_ROUND.clear()
+        _LATEST_ROUND.update(latest_round)
     return signed
 
 
@@ -168,9 +174,17 @@ def _qnum(name: str) -> int:
 
 
 def _priority_order(names: list[str]) -> list[str]:
+    """Unsigned/stale queries first (registry order), then the signed block
+    OLDEST-SIGNATURE-FIRST (by newest driver-record round, then number).
+    The driver's capped sweep takes a window off the front each round, so
+    after the unsigned block is exhausted the spare slots refresh the
+    longest-unverified green signatures instead of re-signing the same
+    low numbers every round (r09 verdict item 6: ~170 signatures dated to
+    r01–r07 code states while the window kept re-reading q01–q22)."""
     signed_set = _signed_queries()
     unsigned = [n for n in names if _qnum(n) not in signed_set]
     signed = [n for n in names if _qnum(n) in signed_set]
+    signed.sort(key=lambda n: (_LATEST_ROUND.get(_qnum(n), 0), _qnum(n)))
     return unsigned + signed
 
 
