@@ -69,6 +69,7 @@ def kmeans_lloyd(
     proj = base.persist()
     try:
         for _ in range(iters):
+            prev_cents = cents
             cell = _assign_cell(vec_col, cents)
             aggs = [F.count(F.lit(1)).alias("cnt")]
             for i in range(dim):
@@ -92,10 +93,31 @@ def kmeans_lloyd(
                         [float(r[f"s_{i}"]) / cnt for i in range(dim)]
                     )
             cents = new_cents
+            # fixed-point early stop (r09 verdict item 4): centroids are a
+            # pure function of the previous centroids, so once a round
+            # reproduces its input EXACTLY (sign-strict — a -0.0/+0.0 swap
+            # would change the returned literals), every remaining round
+            # is the identity and stopping is bit-identical to running all
+            # ``iters``. The unrolled SQL oracle runs its full depth and
+            # converges to the same state, so parity is unaffected.
+            if _cents_equal(cents, prev_cents):
+                break
         assigned = df.withColumn("cell", _assign_cell(vec_col, cents))
         return assigned, cents
     finally:
         proj.unpersist()
+
+
+def _cents_equal(a: list[list[float]], b: list[list[float]]) -> bool:
+    """Bitwise float equality including the sign of zero (−0.0 == 0.0 is
+    True in Python, but they are different literals downstream)."""
+    import math
+
+    return all(
+        x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
+        for ca, cb in zip(a, b)
+        for x, y in zip(ca, cb)
+    )
 
 
 def _assign_cell(vec_col: str, cents: list[list[float]]) -> Column:

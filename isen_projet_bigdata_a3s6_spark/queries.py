@@ -82,6 +82,9 @@ _STALE_AS_OF: dict[int, int] = {
         # oracle TRIM pinned to ASCII space (TRIM(x, ' ')) to match
         # Spark's trim — DuckDB's default TRIM strips Unicode Zs
         149, 150, 237,
+        # fixed-point early stop added to the deterministic fits (engine
+        # side only — bit-identical by construction, oracles unchanged)
+        69, 70, 207, 274,
     )
 }
 
@@ -13267,7 +13270,18 @@ def q274_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bincount's scatter order differ at ~1e-15 relative — quantizing
         # BOTH to the 5e-9-gap grid makes every round's input identical
         # across engines (the q44-IRLS doctrine)
-        p = np.round(newp * (k / newp.sum()), 8)
+        newq = np.round(newp * (k / newp.sum()), 8)
+        # fixed-point early stop (r09 verdict item 4): each round is a pure
+        # function of the quantized p, so reproducing the input exactly
+        # (values AND zero signs) makes every later round the identity —
+        # bit-identical to all 100 rounds, which is what the full-depth
+        # unrolled oracle still runs
+        if np.array_equal(newq, p) and np.array_equal(
+            np.signbit(newq), np.signbit(p)
+        ):
+            p = newq
+            break
+        p = newq
     spark_rows = [
         (int(players[i]), int(g[i]), int(w[i]), float(p[i]))
         for i in range(k)
