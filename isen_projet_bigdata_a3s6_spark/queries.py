@@ -85,6 +85,9 @@ _STALE_AS_OF: dict[int, int] = {
         # fixed-point early stop added to the deterministic fits (engine
         # side only — bit-identical by construction, oracles unchanged)
         69, 70, 207, 274,
+        # entropy -0.0 normalization (degen-sweep drift under the hardened
+        # gate: -(1·ln 1) of a single-char doc)
+        201,
     )
 }
 
@@ -7773,7 +7776,7 @@ def q200_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rc GROUP BY doc_id, n
     )
     SELECT d.doc_id, len(d.text) AS n_chars,
-           ROUND(-e.s, 6) AS entropy,
+           ROUND(-e.s, 6) + 0e0 AS entropy,
            ROUND(CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)
                  / len(d.text), 6) AS digit_frac,
            ROUND(CAST(len(regexp_extract_all(d.text, '\\s')) AS DOUBLE)
@@ -7813,10 +7816,14 @@ def q201_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_chars",
             # a doc with no characters has no char distribution: entropy
-            # NULL (the oracle's left join agrees), never -0.0 noise
+            # NULL (the oracle's left join agrees). round_disp: a
+            # single-char doc gives -(1·ln 1) = -0.0, which DuckDB's ROUND
+            # keeps and Spark's drops — the degen-sweep drift the hardened
+            # r10 gate exposed (entropy is nonnegative, but NEGATION of
+            # +0.0 still manufactures the signed zero)
             F.when(
                 F.col("n_chars") > 0,
-                F.round(
+                round_disp(
                     -F.aggregate(
                         F.array_distinct("__cs"),
                         zero,
