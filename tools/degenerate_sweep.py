@@ -200,6 +200,55 @@ def build_skew_dir(base: str, frac: float = 0.25) -> str:
     return out
 
 
+def build_unicodews_dir(base: str, frac: float = 0.2) -> str:
+    """Non-ASCII-whitespace fixture (r10): rewrite ``frac`` of documents to
+    carry U+00A0 NO-BREAK SPACE / U+2007 FIGURE SPACE / U+2028 LINE
+    SEPARATOR — at the string EDGES (where DuckDB's default TRIM strips
+    Unicode Zs but Spark's trim strips ASCII space only) and INTERIOR
+    (where Python str.split() would split but the Java/RE2 \\s classes do
+    not). Real crawl corpora are full of NBSP; the generator's fixtures
+    contain none (measured: 0 of 5,500 docs at sf0.01+sf0.1), so this is
+    the only local signal for the tokenizer/TRIM convention gaps.
+
+    A DRIFT here is the documented TRIM(Zs) class (NOTES round-10 item 4):
+    the fix convention is oracle-side ``TRIM(x, ' ')`` + engine-side
+    Java-class tokenization (functions/bpe.py::java_ws_tokens), applied to
+    the BPE family in r10 and scheduled for the remaining text family."""
+    out = os.path.join(tempfile.gettempdir(), f"a3s6_unicodews_sf_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    rng = np.random.default_rng(11)
+    for f in os.listdir(base):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(base, f)
+        name = f[: -len(".parquet")]
+        tbl = pq.read_table(src)
+        if name == "documents":
+            df = tbl.to_pandas()
+            n = len(df)
+            m = rng.random(n) < frac
+            idx = df.index[m & df["text"].notna()]
+            third = max(1, len(idx) // 3)
+
+            def edge(t):
+                return "\u00a0" + t + "\u00a0"
+
+            def interior(t):
+                return t.replace(" ", "\u00a0", 2).replace(" ", "\u2007", 1)
+
+            def linesep(t):
+                return t.replace(" ", "\u2028", 1)
+
+            for block, fn in ((idx[:third], edge), (idx[third : 2 * third], interior), (idx[2 * third :], linesep)):
+                df.loc[block, "text"] = df.loc[block, "text"].map(fn)
+            if "n_chars" in df.columns:
+                df.loc[idx, "n_chars"] = df.loc[idx, "text"].str.len()
+            tbl = pa.Table.from_pandas(df, schema=tbl.schema, preserve_index=False)
+        pq.write_table(tbl, os.path.join(out, f))
+    return out
+
+
 def build_empty_dir(base: str) -> str:
     """Schema-identical tables with zero rows."""
     out = os.path.join(tempfile.gettempdir(), f"a3s6_empty_sf_{os.getpid()}")
@@ -311,7 +360,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None, help="comma-separated query-name prefixes")
-    ap.add_argument("--mode", default="degen", choices=["degen", "empty", "skew"])
+    ap.add_argument(
+        "--mode", default="degen", choices=["degen", "empty", "skew", "unicodews"]
+    )
     ap.add_argument(
         "--slow-ratio",
         type=float,
@@ -323,6 +374,9 @@ def main() -> int:
     if args.mode == "empty":
         sf_dir = build_empty_dir(args.base)
         print(f"empty tables at {sf_dir}", flush=True)
+    elif args.mode == "unicodews":
+        sf_dir = build_unicodews_dir(args.base)
+        print(f"unicode-whitespace tables at {sf_dir}", flush=True)
     elif args.mode == "skew":
         sf_dir = build_skew_dir(args.base)
         print(f"skewed tables at {sf_dir}", flush=True)
