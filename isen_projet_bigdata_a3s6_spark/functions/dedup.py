@@ -244,7 +244,7 @@ def minhash_oracle_sql(
     WITH params(i, a, b) AS (VALUES {rows}),
     norm AS (
       SELECT {id_col} AS id,
-             regexp_replace(lower(trim({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
+             regexp_replace(lower(trim({text_col}, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
       FROM {table}
     ),
     grams AS (
@@ -318,7 +318,7 @@ def minhash_eval_oracle_sql(
     WITH pred AS (SELECT id_a, id_b FROM ({inner}) AS p),
     tnorm AS (
       SELECT {id_col} AS id,
-             regexp_replace(lower(trim({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
+             regexp_replace(lower(trim({text_col}, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
       FROM {table} WHERE {id_filter}
     ),
     tgrams AS (
@@ -562,7 +562,7 @@ def simhash_oracle_sql(
     return f"""
     WITH norm AS (
       SELECT {id_col} AS id,
-             regexp_replace(lower(trim({text_col})), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
+             regexp_replace(lower(trim({text_col}, ' ')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS t
       FROM {table}
     ),
     grams AS (

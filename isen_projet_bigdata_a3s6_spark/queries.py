@@ -88,6 +88,13 @@ _STALE_AS_OF: dict[int, int] = {
         # entropy -0.0 normalization (degen-sweep drift under the hardened
         # gate: -(1·ln 1) of a single-char doc)
         201,
+        # q142's UDTF tokenizer moved to the RE2 \s class (engine-side
+        # change). The 39-oracle TRIM(x, ' ') pin is NOT fronted: every
+        # changed oracle text was proven byte-equivalent to its signed
+        # predecessor on BOTH driver fixtures (sf0.001 + sf0.01, hardened
+        # comparator), so the standing signatures still certify the exact
+        # hashes the driver would compute — see NOTES round-10 item 16.
+        142,
     )
 }
 
@@ -409,8 +416,8 @@ def q06_filter_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_null_handling",
     oracle="""
     SELECT doc_id,
-           COALESCE(NULLIF(TRIM(source), ''), 'Inconnue') AS source_clean,
-           COALESCE(NULLIF(TRIM(lang), ''), 'Inconnue') AS lang_clean
+           COALESCE(NULLIF(TRIM(source, ' '), ''), 'Inconnue') AS source_clean,
+           COALESCE(NULLIF(TRIM(lang, ' '), ''), 'Inconnue') AS lang_clean
     FROM documents
     """,
 )
@@ -1080,7 +1087,7 @@ def q33_simple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_text_stats",
     oracle="""
     SELECT doc_id,
-           LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t <> '')) AS n_tokens,
+           LEN(list_filter(string_split_regex(LOWER(TRIM(text, ' ')), '\\s+'), t -> t <> '')) AS n_tokens,
            LENGTH(text) AS n_chars_computed,
            LEN(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
     FROM documents
@@ -1106,7 +1113,7 @@ def q34_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(LENGTH(text) AS DOUBLE) AS n_chars,
              CAST(LEN(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
              CAST(LEN(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) AS n_punct,
-             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tok
+             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text, ' ')), '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tok
       FROM documents)
     SELECT doc_id,
            (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END
@@ -1128,7 +1135,7 @@ def q35_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             COALESCE(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+             COALESCE(list_filter(string_split_regex(LOWER(TRIM(text, ' ')), '\\s+'),
                                   t -> t <> ''), []) AS tk
       FROM documents),
     scores AS (
@@ -1159,7 +1166,7 @@ def q36_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id FROM (
       SELECT doc_id, ROW_NUMBER() OVER (
-        PARTITION BY md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+        PARTITION BY md5(regexp_replace(LOWER(TRIM(text, ' ')), '\\s+', ' ', 'g'))
         ORDER BY doc_id) AS rn
       FROM documents)
     WHERE rn = 1
@@ -1243,7 +1250,7 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH norm AS (
       SELECT doc_id,
-             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+             regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS t
       FROM documents
     ),
     grams AS (
@@ -1808,7 +1815,7 @@ def q56_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q57_fingerprint_distinct",
     oracle="""
-    SELECT source, COUNT(DISTINCT md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'))) AS n_unique_docs,
+    SELECT source, COUNT(DISTINCT md5(regexp_replace(LOWER(TRIM(text, ' ')), '\\s+', ' ', 'g'))) AS n_unique_docs,
            COUNT(*) AS n_docs
     FROM documents GROUP BY 1
     """,
@@ -1971,7 +1978,7 @@ def q62_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_vocabulary_topk",
     oracle="""
     WITH tok AS (
-      SELECT unnest(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t <> '')) AS term
+      SELECT unnest(list_filter(string_split_regex(LOWER(TRIM(text, ' ')), '\\s+'), t -> t <> '')) AS term
       FROM documents)
     SELECT term, n FROM (
       SELECT term, COUNT(*) AS n,
@@ -2054,9 +2061,9 @@ def q65_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT lang,
-             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text, ' ')), '\\s+'),
                   x -> list_contains(['the','and','of','to','is','in','that','it','was','for'], x))) AS DOUBLE) AS hits,
-             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t2 -> t2 <> '')) AS DOUBLE) AS toks
+             CAST(LEN(list_filter(string_split_regex(LOWER(TRIM(text, ' ')), '\\s+'), t2 -> t2 <> '')) AS DOUBLE) AS toks
       FROM documents)
     SELECT lang,
            ROUND(SUM(hits) / SUM(toks), 6) AS en_stopword_ratio,
@@ -2787,7 +2794,7 @@ def q85_rolling_time_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id,
-             unnest(list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')) AS word
+             unnest(list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '')) AS word
       FROM documents
     ), per_word AS (
       SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2
@@ -2814,7 +2821,7 @@ def q86_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id,
-             unnest(list_filter(string_split(lower(trim(text)), ' '), w -> w <> '')) AS word
+             unnest(list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '')) AS word
       FROM documents
     ), tf AS (
       SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
@@ -2841,7 +2848,7 @@ def q87_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS words
+             list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '') AS words
       FROM documents
     ), grams AS (
       SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
@@ -3924,7 +3931,7 @@ def q116_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+             list_filter(string_split(regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g'), ' '),
                          x -> x <> '') AS toks
       FROM documents
     ),
@@ -4038,7 +4045,7 @@ def q119_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, n_chars,
-             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+             regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g') AS norm
       FROM documents
     ),
     r AS (
@@ -4579,7 +4586,7 @@ def q134_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(list_filter(
-        string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+        string_split(regexp_replace(trim(lower(text), ' '), '\\s+', ' ', 'g'), ' '),
         x -> x <> '')) AS tok
       FROM documents
     ),
@@ -4973,7 +4980,7 @@ def q141_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, toks[i] AS tok, CAST(i AS INT) AS pos
       FROM (
         SELECT doc_id,
-               list_filter(string_split(regexp_replace(trim(lower(text)),
+               list_filter(string_split(regexp_replace(trim(lower(text), ' '),
                       '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
         FROM documents
       ), UNNEST(range(1, len(toks) + 1)) AS u(i)
@@ -5000,9 +5007,17 @@ def q142_runlength_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token string, run_start int, run_len int")
     class RunLength:
         def eval(self, text: str):
+            import re
+
             if text is None:
                 return
-            toks = [t for t in text.strip().lower().split() if t]
+            # RE2's \s class [ \t\n\f\r] — EXACTLY the oracle's
+            # regexp_replace('\s+') tokenization; Python str.strip()/
+            # .split() would strip/split Unicode whitespace the oracle
+            # keeps (the r10 tokenizer-class rule, bpe.java_ws_tokens
+            # docstring; here BOTH sides are controllable so even the
+            # \x0b Java-vs-RE2 gap is absent)
+            toks = [t for t in re.split("[ \t\n\f\r]+", text.lower()) if t]
             i = 0
             while i < len(toks):
                 j = i
@@ -5758,7 +5773,7 @@ def q160_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q161_jaccard_prefix_join",
     oracle="""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      SELECT doc_id, regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS t
       FROM documents
     ), tok AS (
       SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS token
@@ -6576,7 +6591,7 @@ def q175_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, source,
-             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+             CAST(len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                   w -> w <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
@@ -6619,7 +6634,7 @@ def q176_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
                (a, b) -> a * 16 + b) % 32 AS INT) AS bucket,
              CAST(len(list_filter(
-               string_split_regex(lower(trim(text)), '\\s+'),
+               string_split_regex(lower(trim(text, ' ')), '\\s+'),
                t -> t != '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
@@ -6661,10 +6676,10 @@ def q177_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q178_incremental_dedup",
     oracle="""
     WITH new_batch AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      SELECT doc_id, regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS norm
       FROM documents WHERE doc_id % 5 = 0
     ), corpus AS (
-      SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      SELECT DISTINCT regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS norm
       FROM documents WHERE doc_id % 5 <> 0
     )
     SELECT n.doc_id FROM new_batch n
@@ -6700,7 +6715,7 @@ def q178_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id,
-             unnest(list_filter(string_split(lower(trim(text)), ' '),
+             unnest(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                 w -> w <> '')) AS word
       FROM documents
     ), agg AS (
@@ -7108,7 +7123,7 @@ def q187_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT source,
-             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+             CAST(len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                   w -> w <> '')) AS BIGINT) AS n
       FROM documents
     ), agg AS (
@@ -7187,10 +7202,10 @@ def q189_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q190_corpus_overlap",
     oracle="""
     WITH a AS (
-      SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+      SELECT DISTINCT regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS n
       FROM documents WHERE doc_id % 2 = 0
     ), b AS (
-      SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+      SELECT DISTINCT regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS n
       FROM documents WHERE doc_id % 2 = 1
     )
     SELECT (SELECT COUNT(*) FROM a) AS n_a,
@@ -7254,7 +7269,7 @@ def q190_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id, source,
-             unnest(list_filter(string_split(lower(trim(text)), ' '),
+             unnest(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                 w -> w <> '')) AS word
       FROM documents
     ), agg AS (
@@ -7384,7 +7399,7 @@ def q193_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH grams AS (
       SELECT doc_id,
-             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS toks
+             list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '') AS toks
       FROM documents
     ), g AS (
       SELECT doc_id,
@@ -7593,7 +7608,7 @@ def q198_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+             list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '') AS t
       FROM documents
     ), chunks AS (
       SELECT doc_id,
@@ -7667,7 +7682,7 @@ def q199_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dt AS (
       SELECT doc_id, lang,
-             unnest(list_filter(string_split(lower(trim(text)), ' '),
+             unnest(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                 w -> w <> '')) AS w
       FROM documents
     ), dc AS (
@@ -8449,7 +8464,7 @@ def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wc AS (
       SELECT w, COUNT(*) AS freq
-      FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+      FROM (SELECT unnest(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                       t -> t <> '')) AS w
             FROM documents)
       GROUP BY w
@@ -8533,7 +8548,7 @@ def q208_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dt AS (
       SELECT source,
-             unnest(list_filter(string_split(lower(trim(text)), ' '),
+             unnest(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                 t -> t <> '')) AS w
       FROM documents
     ), wc AS (
@@ -8581,7 +8596,7 @@ def q209_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang AS labeled,
-             COALESCE(list_filter(string_split(lower(trim(text)), ' '),
+             COALESCE(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                   t -> t <> ''), []) AS t
       FROM documents
     ), hits AS (
@@ -8689,7 +8704,7 @@ def q211_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dt AS (
       SELECT doc_id,
-             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+             list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '') AS t
       FROM documents
     ), tok AS (
       SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i
@@ -8754,7 +8769,7 @@ def q212_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dt AS (
       SELECT doc_id,
-             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+             list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '') AS t
       FROM documents
     ), w AS (SELECT doc_id, unnest(t) AS term FROM dt)
     SELECT term,
@@ -8799,7 +8814,7 @@ def q213_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dt AS (
       SELECT doc_id, n_chars,
-             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+             list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '') AS t
       FROM documents
     )
     SELECT doc_id, n_chars FROM dt
@@ -9177,7 +9192,7 @@ def q219_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT source,
-             CAST(SUM(len(list_filter(string_split(lower(trim(text)), ' '),
+             CAST(SUM(len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                       w -> w <> ''))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1
     ), tot AS (SELECT SUM(n_tokens) AS tt FROM t),
@@ -9350,14 +9365,14 @@ def q222_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(len(list_filter(string_split(lower(trim(text)), ' '),
+           CAST(SUM(len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                     w -> w <> ''))) AS BIGINT) AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
                 AS BIGINT) AS bpe_tokens,
            CAST(SUM(len(text)) AS BIGINT) AS n_chars,
            ROUND(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
                           AS BIGINT))
-                 / CAST(SUM(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                 / CAST(SUM(CAST(len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                                  w -> w <> '')) AS BIGINT)) AS DOUBLE),
                  6) AS fertility,
            ROUND(SUM(CAST(len(text) AS BIGINT))
@@ -9753,7 +9768,7 @@ def q230_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT lang,
-             CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+             CAST(len(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                   w -> w <> '')) AS BIGINT) AS words,
              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
                AS syllables,
@@ -10406,7 +10421,7 @@ def q239_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dt AS (
       SELECT doc_id,
-             list_filter(string_split(lower(trim(text)), ' '), w -> w <> '') AS t
+             list_filter(string_split(lower(trim(text, ' ')), ' '), w -> w <> '') AS t
       FROM documents
     ),
     dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dt),
@@ -10959,7 +10974,7 @@ def q247_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang, (doc_id % 5 = 0) AS is_test,
-             unnest(list_filter(string_split(lower(trim(text)), ' '),
+             unnest(list_filter(string_split(lower(trim(text, ' ')), ' '),
                                 w -> w <> '')) AS word
       FROM documents
     ),
@@ -14366,7 +14381,7 @@ def q286_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q287_containment_join",
     oracle="""
     WITH norm AS (
-      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      SELECT doc_id, regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS t
       FROM documents
     ), tok AS (
       SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS token
