@@ -139,3 +139,33 @@ def test_merge_pass_per_word_flag_controls_join_shape():
     # stringly-typed contract): the flag decides
     sneaky = bpe_oracle._merge_pass_ctes("s0", "top1", "s1", "e9x", per_word=False)
     assert "LEFT JOIN top1 r ON TRUE" in sneaky
+
+
+# ---------------------------------------------------------------------------
+# 4. registry-wide TRIM convention audit
+# ---------------------------------------------------------------------------
+def test_no_one_arg_trim_in_any_oracle():
+    # DuckDB's default TRIM strips Unicode space-category characters while
+    # Spark's trim strips ASCII space only — every oracle TRIM must pin
+    # the trim set explicitly (TRIM(x, ' ')). A one-arg trim anywhere in a
+    # registered oracle reintroduces the unicode-whitespace drift class
+    # (tools/degenerate_sweep.py --mode unicodews).
+    import re
+
+    from isen_projet_bigdata_a3s6_spark.queries import oracle_sql
+
+    offenders = {}
+    for name, sql in oracle_sql().items():
+        for m in re.finditer(r"(?i)(?<![\w.])trim\(", sql):
+            j = m.end()
+            depth, k = 1, j
+            while k < len(sql) and depth:
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                k += 1
+            inner = sql[j : k - 1]
+            if not inner.rstrip().endswith("' '"):
+                offenders.setdefault(name, []).append(inner[:60])
+    assert not offenders, f"one-arg TRIM in oracles: {offenders}"
