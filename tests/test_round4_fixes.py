@@ -157,13 +157,16 @@ def test_signed_set_tracks_correctness_files(tmp_path):
     red = dict(green, hash_match=False)
     rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
                  "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
-    write("CORRECTNESS_r01.json", {
+# synthetic rounds 98/99: far above any _STALE_AS_OF watermark, so the
+    # staleness fronting (tested separately in test_round9_fixes) cannot
+    # discard these records — this test pins only the signing derivation
+    write("CORRECTNESS_r98.json", {
         "q200_x": green,          # green -> signed
         "q201_x": red,            # red -> unsigned (overrides nothing)
         "q202_x": rows_only,      # rows-only BUT q202 has an oracle -> stale, unsigned
         "q264_x": rows_only,      # rows-only and q264 has no oracle (zlib) -> signed
     })
-    write("CORRECTNESS_r02.json", {
+    write("CORRECTNESS_r99.json", {
         "q200_x": red,            # later red overrides earlier green
         "q201_x": green,          # later green overrides earlier red
     })
