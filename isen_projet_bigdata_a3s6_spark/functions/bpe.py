@@ -40,11 +40,32 @@ EOW = "</w>"
 JAVA_WS = re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
 
+def _local_java_ws_tokens():
+    """A fresh, closure-local tokenizer function with NO references to
+    this module — safe to capture into worker closures (cloudpickle
+    serializes it by value; only stdlib ``re`` is imported on the
+    worker). Semantics identical to :func:`java_ws_tokens`."""
+
+    def tok(text) -> list[str]:
+        import re
+
+        if text is None:
+            return []
+        return [
+            t for t in re.split("[ \\t\\n\\x0b\\f\\r]+", str(text).lower()) if t
+        ]
+
+    return tok
+
+
 def java_ws_tokens(text) -> list[str]:
     """Executor-side twin of text.tokens(): lowercase, split on the Java
     \\s class, drop empties. No str.strip() — Python strip() removes
     Unicode whitespace that Spark's trim (ASCII space) keeps, and the
-    empty-token filter already absorbs leading/trailing separators."""
+    empty-token filter already absorbs leading/trailing separators.
+    DRIVER-side utility (tests, pure-Python mirrors): worker closures
+    must capture :func:`_local_java_ws_tokens` instead (module-reference
+    pickling rule)."""
     if text is None:
         return []
     return [t for t in JAVA_WS.split(str(text).lower()) if t]
@@ -159,9 +180,15 @@ def bpe_encode(
     as the SQL train path — NOT str.split()'s all-Unicode whitespace."""
     pairs = [(r[0], r[1]) for r in rules]
     rank = {p: i for i, p in enumerate(pairs)}
+    # captured BY VALUE into the worker closures: module-level references
+    # (java_ws_tokens, EOW) would make cloudpickle import THIS module on
+    # the executors, which only works when the driver's cwd/PYTHONPATH
+    # exposes the repo — the q286 local-closure worker-pickling rule
+    eow = EOW
+    tok = _local_java_ws_tokens()
 
     def encode_len(word: str) -> int:
-        s = list(word) + [EOW]
+        s = list(word) + [eow]
         passes = 0
         while len(s) > 1 and passes < max_passes:
             passes += 1
@@ -189,7 +216,7 @@ def bpe_encode(
         for pdf in batches:
             ids, n_toks, n_bpe = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = java_ws_tokens(text)
+                toks = tok(text)
                 total = 0
                 for w in toks:
                     if w not in memo:

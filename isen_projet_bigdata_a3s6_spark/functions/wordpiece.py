@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .bpe import EOW, java_ws_tokens
+from .bpe import EOW, _local_java_ws_tokens
 
 
 def vocab_from_bpe(rules: list[tuple]) -> set[str]:
@@ -115,6 +115,10 @@ def wordpiece_stats(
             start = end
         return pieces
 
+    # captured by value — a module-level java_ws_tokens reference would
+    # pickle by reference and need the package importable on workers
+    tok = _local_java_ws_tokens()
+
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, tuple[int, int]] = {}
         for pdf in batches:
@@ -123,7 +127,7 @@ def wordpiece_stats(
                 # Java \s class, matching the Spark-SQL train path and the
                 # oracle convention — NOT str.split()'s Unicode whitespace
                 # (r09 advisory; see bpe.java_ws_tokens)
-                words = java_ws_tokens(text)
+                words = tok(text)
                 tw = tp = ts = 0
                 for w in words:
                     hit = memo.get(w)
