@@ -53,7 +53,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = pd.to_datetime(out[c]).dt.tz_localize(None)
         elif out[c].dtype == object:
             out[c] = out[c].astype(str).where(out[c].notna(), None)
-    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+
+    # Sort float columns by their string form: -0.0 == 0.0 under numeric
+    # comparison, so a frame holding BOTH a -0.0 row and a 0.0 row
+    # (otherwise identical) could order them differently on each side and
+    # the positional zip below would pair -0.0 against 0.0 — a spurious
+    # gate failure the driver's sorted-string hash would NOT show (r10
+    # ADVICE). Stringifying makes the key sign-aware; the ordering is no
+    # longer numeric, but both frames sort under the SAME rule, so equal
+    # multisets still pair row-for-row.
+    def _sort_key(col: pd.Series) -> pd.Series:
+        if col.dtype.kind == "f":
+            return col.map(repr)
+        return col
+
+    return out.sort_values(
+        by=list(out.columns), kind="mergesort", key=_sort_key
+    ).reset_index(drop=True)
 
 
 def _values_equal(a, b) -> bool:

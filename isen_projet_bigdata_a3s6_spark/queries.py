@@ -68,10 +68,10 @@ _R01_SIGNED = set(range(1, 150)) - {86, 133, 139}
 #
 # r10 inventory: the signed-zero normalization sweep (the r09 q43 red-row
 # class — VERDICT r09 item 2b) appended `+ 0.0` / `+ 0e0` after every FINAL
-# display ROUND of a possibly-negative float, on both engines, across 26
+# display ROUND of a possibly-negative float, on both engines, across 27
 # queries (~40 columns). Output is bit-identical on current fixtures except
 # a -0.0 → 0.0 cell (none besides q43's today), but the code/oracle text
-# changed after their last signatures, so all 26 front for an r10 re-sign.
+# changed after their last signatures, so all 27 front for an r10 re-sign.
 _STALE_AS_OF: dict[int, int] = {
     n: 9
     for n in (
@@ -97,6 +97,31 @@ _STALE_AS_OF: dict[int, int] = {
         142,
     )
 }
+# r11 inventory (each entry supersedes the comprehension above, and stale
+# rounds here are 10 because these queries were re-signed in r10):
+_STALE_AS_OF.update(
+    {
+        # r2 column joined the signed-zero convention (round_disp engine-side,
+        # ROUND + 0e0 oracle-side) — r10 ADVICE medium item
+        263: 10,
+        # oracle's outer |z| > 1.8 filter rebound to the ROUNDED z (it used to
+        # bind to the unrounded inner z — knife edge for z in (1.8, 1.8000005));
+        # engine side already filtered on the rounded statistic
+        169: 10,
+        # probe side restricted to a 1995 order-date window so real orphan
+        # customers survive at sf0.01 (the r10 verdict's vacuously-green row:
+        # both engines returned 0 rows)
+        14: 10,
+        # winnowing fingerprint domain lifted INT32 → BIGINT on both engines
+        # (long documents used to overflow both sides identically)
+        202: 10,
+        # the two sanctioned quadratic oracle baselines gained the q206-style
+        # deterministic modulus cap (no-op through sf0.1: k = 1 below 6k docs
+        # / 2048 vectors; bounds the sf1 smoke) — oracle text + engine changed
+        40: 10,
+        72: 10,
+    }
+)
 
 _SIGNED_CACHE: set[int] | None = None
 # query number → newest round with ANY driver record (green or red); filled
@@ -641,13 +666,27 @@ def q13_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_anti_join",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_customers
-    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    FROM customer WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate <  DATE '1996-01-01'
+    )
     GROUP BY 1
     """,
 )
 def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti: customers with no 1995 order. The build
+    side is date-windowed so real orphans survive at every fixture scale —
+    the unwindowed variant was vacuously green at sf0.01 (every customer
+    had at least one order, so both engines certified the empty set; r10
+    verdict). The window predicate pushes into the orders scan, so the
+    anti-join's build side shrinks before the shuffle."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -1248,10 +1287,18 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q40_ngram_jaccard_pairs",
     oracle="""
-    WITH norm AS (
+    WITH samp AS (
+      -- deterministic modulus sample (q206's bounded-baseline doctrine):
+      -- full corpus through sf0.1 (5k docs), every k-th doc above 6k so the
+      -- sanctioned quadratic baseline stays bounded at scale-smoke SFs
+      SELECT * FROM documents
+      WHERE doc_id % GREATEST(1, CAST(CEIL(
+              (SELECT COUNT(*) FROM documents) / 6000.0) AS BIGINT)) = 0
+    ),
+    norm AS (
       SELECT doc_id,
              regexp_replace(lower(trim(text, ' ')), '\\s+', ' ', 'g') AS t
-      FROM documents
+      FROM samp
     ),
     grams AS (
       SELECT doc_id,
@@ -1286,10 +1333,20 @@ def q40_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-5-gram Jaccard pairs over the 2-rarest-shingle blocking
     join (functions/dedup.py::ngram_jaccard_pairs). Fully deterministic —
     no hashing anywhere — so the oracle (promoted r06) replays the same
-    shingling, blocking, and set algebra in SQL."""
+    shingling, blocking, and set algebra in SQL.
+
+    This is a sanctioned ORACLE BASELINE (its LSH sibling q38 is the scale
+    path), so the corpus is capped by a deterministic modulus sample above
+    6k docs — full depth at every driver SF (≤ 5k docs through sf0.1),
+    every k-th doc at the sf1 smoke (50k → ~5.6k), same rule in the SQL
+    twin. The count() is a sanctioned 1-row scalar collect (it sizes the
+    sample; the r10 verdict's smoke-bill item)."""
     from .functions.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
+    k = max(1, -(-d.count() // 6000))
+    if k > 1:
+        d = d.filter(F.col("doc_id") % k == 0)
     return ngram_jaccard_pairs(d, "text", "doc_id", ngram=5, threshold=0.3)
 
 
@@ -2317,20 +2374,37 @@ def q71_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q72_embedding_dedup_exact",
     oracle="""
+    WITH s AS (
+      -- deterministic modulus sample (q206's bounded-baseline doctrine):
+      -- full corpus through sf0.1 (2k vectors), every k-th vector above
+      -- 2048 so the sanctioned all-pairs baseline stays bounded at scale
+      SELECT * FROM embeddings
+      WHERE vec_id % GREATEST(1, CAST(CEIL(
+              (SELECT COUNT(*) FROM embeddings) / 2048.0) AS BIGINT)) = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
     WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
     """,
 )
 def q72_embedding_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine dedup — the sanctioned ORACLE BASELINE for the
+    LSH scale path (q73). The corpus is capped by a deterministic modulus
+    sample above 2048 vectors: full depth at every driver SF (≤ 2k vectors
+    through sf0.1), every k-th vector at the sf1 smoke (20k → 2k pairs
+    budget ~2e6 instead of ~2e8), same rule in the SQL twin. The count()
+    is a sanctioned 1-row scalar collect (it sizes the sample)."""
     from .functions.dedup import embedding_dedup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
+    k = max(1, -(-e.count() // 2048))
+    if k > 1:
+        e = e.filter(F.col("vec_id") % k == 0)
     return embedding_dedup_pairs(e, "embedding", "vec_id", threshold=0.35, exact=True)
 
 
@@ -6225,11 +6299,17 @@ def q168_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW win AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 72 HOUR PRECEDING AND CURRENT ROW)
     )
-    SELECT user_id, event_id, ROUND(z, 6) + 0e0 AS z
+    SELECT user_id, event_id, z
     FROM (
-      SELECT user_id, event_id,
-             (value - sx/n) / SQRT((sxx - sx*sx/n) / (n-1)) AS z
-      FROM w WHERE n >= 3 AND (sxx - sx*sx/n) > 1e-12
+      -- filter binds to the ROUNDED statistic (the alias, via the extra
+      -- subquery) to match the engine, which rounds z for display and then
+      -- filters — an unrounded z in (1.8, 1.8000005) must drop on BOTH sides
+      SELECT user_id, event_id, ROUND(z, 6) + 0e0 AS z
+      FROM (
+        SELECT user_id, event_id,
+               (value - sx/n) / SQRT((sxx - sx*sx/n) / (n-1)) AS z
+        FROM w WHERE n >= 3 AND (sxx - sx*sx/n) > 1e-12
+      )
     )
     WHERE ABS(z) > 1.8
     """,
@@ -7869,12 +7949,16 @@ def q201_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q202_winnowing_fingerprints",
     oracle="""
     WITH g AS (
+      -- BIGINT hash domain: a non-ASCII codepoint (up to 0x10FFFF) times the
+      -- top power (923521) overflows INT32; both engines compute in 64-bit so
+      -- long multilingual documents fingerprint instead of failing (r10
+      -- verdict item 4 — long docs are the 100 TB norm)
       SELECT doc_id, i,
-             (ascii(substr(t, CAST(i AS INT), 1))
-              + ascii(substr(t, CAST(i + 1 AS INT), 1)) * 31
-              + ascii(substr(t, CAST(i + 2 AS INT), 1)) * 961
-              + ascii(substr(t, CAST(i + 3 AS INT), 1)) * 29791
-              + ascii(substr(t, CAST(i + 4 AS INT), 1)) * 923521
+             (CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT)
+              + CAST(ascii(substr(t, CAST(i + 1 AS INT), 1)) AS BIGINT) * 31
+              + CAST(ascii(substr(t, CAST(i + 2 AS INT), 1)) AS BIGINT) * 961
+              + CAST(ascii(substr(t, CAST(i + 3 AS INT), 1)) AS BIGINT) * 29791
+              + CAST(ascii(substr(t, CAST(i + 4 AS INT), 1)) AS BIGINT) * 923521
              ) % 1000003 AS h,
              len(t) AS n
       FROM (SELECT doc_id, lower(text) AS t FROM documents),
@@ -7919,9 +8003,13 @@ def q202_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.lower(F.col("text"))
     pw = [1, 31, 961, 29791, 923521]
+    # 64-bit hash domain (matches the oracle's BIGINT casts): codepoints up
+    # to 0x10FFFF × 923521 overflow INT32, so every term is long from the
+    # first multiply — long multilingual docs must fingerprint, not fail
     gram_hash = lambda i: (  # noqa: E731
         sum(
-            F.ascii(F.col("__t").substr(i + F.lit(j), F.lit(1))) * F.lit(pw[j])
+            F.ascii(F.col("__t").substr(i + F.lit(j), F.lit(1))).cast("long")
+            * F.lit(pw[j])
             for j in range(5)
         )
         % F.lit(1000003)
@@ -12346,7 +12434,7 @@ def q262_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
              + 0e0 AS intercept,
            ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0e0 AS r2
     FROM m
     """,
 )
@@ -12382,7 +12470,11 @@ def q263_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round_disp(slope, 6).alias("slope"),
         round_disp((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(
+        # r2 is >= 0 in exact math, but float cancellation in the
+        # denominator (near-constant x within a group) can flip a ~0
+        # product negative, so ROUND can yield -0.0 — same signed-zero
+        # display class as slope/intercept (r10 ADVICE, medium)
+        round_disp(
             (n * sxy - sx * sy)
             * (n * sxy - sx * sy)
             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
