@@ -120,6 +120,10 @@ _STALE_AS_OF.update(
         # / 2048 vectors; bounds the sf1 smoke) — oracle text + engine changed
         40: 10,
         72: 10,
+        # oracle's byte-length moved from CAST(text AS BLOB) (rejects
+        # non-ASCII) to encode(text) — byte-identical on ASCII, and the
+        # unicodews sweep's last both-engine reject becomes a result
+        67: 10,
     }
 )
 
@@ -2151,12 +2155,18 @@ def q66_stopword_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q67_multimodal_meta",
     oracle="""
     SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS media_bytes,
+           octet_length(encode(text)) AS media_bytes,
            md5(text) AS media_md5
     FROM documents
     """,
 )
 def q67_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary media column (bytes + md5).
+    Oracle uses ``encode(text)`` (UTF-8 bytes), not ``CAST(text AS BLOB)``
+    — the cast rejects non-ASCII strings outright (DuckDB conversion
+    rule), which made q67 a both-engine reject in the unicodews sweep;
+    encode matches Spark's ``F.encode(text, 'UTF-8')`` byte-for-byte on
+    the full Unicode range (md5 parity pinned in test_round11_fixes)."""
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
     return media.select(

@@ -231,3 +231,29 @@ def test_q40_q72_cap_is_noop_at_driver_fixture(spark):
     via_qe = queries()["q72_embedding_dedup_exact"](spark, DRIVER_FIXTURE_ROOT)
     assert direct_e.exceptAll(via_qe).count() == 0
     assert via_qe.exceptAll(direct_e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 7. q67 oracle handles non-ASCII: encode(text) replaces CAST(text AS BLOB)
+# ---------------------------------------------------------------------------
+def test_q67_oracle_parity_on_non_ascii(spark, tmp_path):
+    # the unicodews sweep's last both-engine reject: DuckDB's STRING->BLOB
+    # cast refuses non-ASCII, but encode() yields the UTF-8 bytes Spark's
+    # F.encode produces — byte length AND md5 must match on full Unicode
+    docs = [(1, "héllo wörld"), (2, "日本語テキスト"), (3, "plain ascii"),
+            (4, "mixed nbsp and \U0010ffff max")]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    fixture = tmp_path / "docs"
+    fixture.mkdir()
+    pdf.to_parquet(fixture / "documents.parquet")
+    spark_out = pd.DataFrame(
+        r.asDict()
+        for r in queries()["q67_multimodal_meta"](spark, str(fixture)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fixture}/documents.parquet')"
+    )
+    oracle_out = con.execute(oracle_sql()["q67_multimodal_meta"]).fetchdf()
+    con.close()
+    assert compare_frames("q67_unicode", spark_out, oracle_out).ok
