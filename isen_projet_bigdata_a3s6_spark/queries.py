@@ -124,6 +124,11 @@ _STALE_AS_OF.update(
         # non-ASCII) to encode(text) — byte-identical on ASCII, and the
         # unicodews sweep's last both-engine reject becomes a result
         67: 10,
+        # PQ codebook training moved to the batched per-round trainer
+        # (ml/kmeans.py::kmeans_lloyd_blocks — proven bitwise-identical
+        # codebooks, oracle unchanged; 8× fewer driver round-trips and a
+        # fold-based round plan instead of 128 unrolled distance exprs)
+        207: 10,
     }
 )
 
@@ -8441,17 +8446,20 @@ def q207_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, neighbor_id long, adc_dist double, l2_dist double",
         )
     # per-subspace codebooks, trained on a deterministic sample with the
-    # replayable fixed-round Lloyd (lowest-id init per subspace)
-    from .ml.kmeans import kmeans_lloyd
+    # replayable fixed-round Lloyd (lowest-id init per subspace). All 8
+    # blocks train in ONE aggregate per round (kmeans_lloyd_blocks — proven
+    # bit-identical to the per-subspace loop it replaced): the old shape's
+    # 8×10 sequential driver-coordinated jobs were pure scheduling overhead
+    # and the whole smoke's slowest row at sf1 (71 s → the batched trainer
+    # needs ~11 round-trips for the same bounded 8·16·9-cell collect).
+    from .ml.kmeans import kmeans_lloyd_blocks
 
     train = vecs.filter(F.col("vec_id") % 2 == 0)
-    codebooks: list[list[list[float]]] = []
-    for m in range(M):
-        sub = train.select(
-            "vec_id", F.slice("emb", m * DSUB + 1, DSUB).alias("sub")
-        )
-        res = kmeans_lloyd(sub, "sub", "vec_id", k=K, iters=10, dim=DSUB)
-        codebooks.append(res[1])
+    codebooks = kmeans_lloyd_blocks(
+        train, "emb", "vec_id", k=K, iters=10, n_blocks=M, dsub=DSUB
+    )
+    if codebooks is None:  # no even-id train rows: fail fast, as the
+        raise ValueError("q207: empty training sample")  # old loop did
 
     # broadcast codebooks as one literal array<array<array<double>>>
     cb = F.array(

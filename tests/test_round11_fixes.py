@@ -257,3 +257,53 @@ def test_q67_oracle_parity_on_non_ascii(spark, tmp_path):
     oracle_out = con.execute(oracle_sql()["q67_multimodal_meta"]).fetchdf()
     con.close()
     assert compare_frames("q67_unicode", spark_out, oracle_out).ok
+
+
+# ---------------------------------------------------------------------------
+# 8. kmeans_lloyd_blocks: batched per-round PQ trainer is bitwise-identical
+#    to the per-subspace kmeans_lloyd loop it replaced (q207)
+# ---------------------------------------------------------------------------
+def test_kmeans_lloyd_blocks_matches_per_subspace_loop(spark):
+    import math
+
+    from isen_projet_bigdata_a3s6_spark.ml.kmeans import (
+        kmeans_lloyd,
+        kmeans_lloyd_blocks,
+    )
+
+    # deterministic 40-vector 8-dim corpus, 2 blocks of 4 dims, k=3;
+    # includes a duplicated vector (tie) and a constant dim
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11), float(i % 5), 1.0,
+             float((i * i) % 9), float((i + j) % 4), float(i % 3),
+             0.5, float((i * 13) % 6)])
+        for i in range(40) for j in [i % 2]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    old = []
+    import pyspark.sql.functions as SF
+    for m in range(2):
+        sub = df.select("vec_id", SF.slice("emb", m * 4 + 1, 4).alias("sub"))
+        old.append(kmeans_lloyd(sub, "sub", "vec_id", k=3, iters=5, dim=4)[1])
+    new = kmeans_lloyd_blocks(df, "emb", "vec_id", k=3, iters=5, n_blocks=2, dsub=4)
+    assert new is not None
+    for om, nm in zip(old, new):
+        for oc, nc in zip(om, nm):
+            for x, y in zip(oc, nc):
+                assert x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
+
+
+def test_kmeans_lloyd_blocks_empty_and_tiny_corpus(spark):
+    from isen_projet_bigdata_a3s6_spark.ml.kmeans import kmeans_lloyd_blocks
+
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    assert kmeans_lloyd_blocks(empty, "emb", "vec_id", 3, 2, 2, 2) is None
+    # corpus smaller than k: last seed duplicated, one round is a fixed point
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [5.0, 6.0, 7.0, 8.0])],
+        "vec_id long, emb array<double>",
+    )
+    books = kmeans_lloyd_blocks(tiny, "emb", "vec_id", k=3, iters=3,
+                                n_blocks=2, dsub=2)
+    assert len(books) == 2 and all(len(b) == 3 for b in books)
+    assert books[0][0] == [1.0, 2.0] and books[1][1] == [7.0, 8.0]
