@@ -125,9 +125,37 @@ def _cents_equal(a: list[list[float]], b: list[list[float]]) -> bool:
 
 def _assign_cell(vec_col: str, cents: list[list[float]]) -> Column:
     """Arg-min cell under the current centroid literals: first position of
-    the minimum distance (ties → lowest cell), 0-based int."""
-    darr = F.array(*[_sqdist_to_literal(vec_col, c) for c in cents])
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    the minimum distance (ties → lowest cell), 0-based int.
+
+    The k distances are a data-driven ``transform`` over ONE nested
+    literal array, not k unrolled fold expressions over k·dim scalar
+    literals — the unrolled form cost more in py4j literal construction
+    and Catalyst/codegen compile per round than the aggregate cost to run
+    (the kmeans_lloyd_blocks lesson; q70 built 512 scalar literals per
+    round). The fold evaluates the identical zip_with (x−c)² and
+    0.0-seeded left fold on the same double values, so assignments are
+    bit-equal to the unrolled form. The distance array binds once as a
+    lambda variable (the q202 pattern) so argmin doesn't re-evaluate it."""
+    cb = F.lit([[float(x) for x in c] for c in cents])  # k × dim, ONE literal
+    vec = F.col(vec_col)
+    darr = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec, c,
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    return F.element_at(
+        F.transform(
+            F.array(darr),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        ),
+        1,
+    )
 
 
 def kmeans_lloyd_blocks(
