@@ -36,9 +36,11 @@ from pyspark.sql import functions as F
 def _sqdist_to_literal(vec_col: str | Column, center: list[float]) -> Column:
     """Σ (x_i − c_i)² as the canonical left fold (bit-identical to the SQL
     twin's list_reduce — 0.0-init vs first-element-init differ only in the
-    sign of zero, unobservable through >=/argmin). ``vec_col`` may be a
-    column name or any array-valued Column (a slice, for the per-block
-    trainer below)."""
+    sign of zero, unobservable through >=/argmin). No query-path caller:
+    ``_assign_cell`` and ``kmeans_lloyd_blocks`` inline the same fold over
+    nested centroid literals; this single-centroid form is kept as the
+    reference expression the inertia cross-check test
+    (tests/test_round9_kmeans.py) evaluates independently of them."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     arr = F.array(*[F.lit(float(c)) for c in center])
     return F.aggregate(

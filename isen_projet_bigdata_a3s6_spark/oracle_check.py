@@ -64,7 +64,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     # multisets still pair row-for-row.
     def _sort_key(col: pd.Series) -> pd.Series:
         if col.dtype.kind == "f":
-            return col.map(repr)
+            # repr(float(v)), not repr(v): numpy>=2 scalar repr would yield
+            # 'np.float64(...)' wrappers, and builtin-float repr pins the
+            # NaN/inf spellings ('nan'/'inf') independent of numpy version.
+            return col.map(lambda v: repr(float(v)))
         return col
 
     return out.sort_values(

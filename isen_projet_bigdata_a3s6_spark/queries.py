@@ -131,6 +131,12 @@ _STALE_AS_OF.update(
         207: 10,
     }
 )
+# r12 inventory: the round-11 snapshot commit (4d26be5) scooped an
+# uncommitted rewrite of ml/kmeans.py::_assign_cell (unrolled per-centroid
+# fold array -> one nested-literal transform fold) that landed AFTER the
+# last recorded battery; q69/q70's newest signatures (r10) predate it, so
+# both front for a re-sign on the current assignment expression.
+_STALE_AS_OF.update({69: 11, 70: 11})
 
 _SIGNED_CACHE: set[int] | None = None
 # query number → newest round with ANY driver record (green or red); filled
@@ -6333,7 +6339,7 @@ def q169_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     """Rolling z-score anomaly detection: per-user 72-hour RANGE window,
     moments as DECIMAL window sums (order-independent — engine-native
     rolling stddev accumulates floats in engine-specific order and cannot
-    hash-match), variance from the moment identity, flag |z| > 2. One
+    hash-match), variance from the moment identity, flag |z| > 1.8. One
     window shuffle on (user, time); the frame never materializes, only
     its two running sums."""
     from pyspark.sql import Window as W
