@@ -177,6 +177,133 @@ def cosine_topk_arrow(
     )
 
 
+def cluster_pair_scores(
+    e: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "v",
+    prefilter: float | None = None,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Within-cluster pairwise RAW cosine scores — the quadratic stage of
+    SemDeDup (q218), Arrow-vectorized per cluster instead of a per-pair
+    JVM ``aggregate(zip_with(...))`` fold (higher-order functions are
+    CodegenFallback: every pair paid an interpreted 2·dim-element fold +
+    array allocation — measured 2.3 s of q218's 2.5 s at sf0.1; guide
+    §4.2's hand-batches-to-native-code point). Emits one row per ordered
+    pair ``(vec_id, label, u, score_raw)`` with ``u < vec_id``; the caller
+    applies the display round / threshold / keeper aggregation in Spark so
+    those semantics stay engine-native.
+
+    Bit-parity with the fold it replaces (cosine_topk_arrow's proof shape):
+    dot and norm accumulate with a sequential index sweep
+    (``acc += V[:,j]·V[:,j]`` / ``D += outer(V[:,j], V[:,j])``) — each
+    matrix cell sees the identical left-fold add order, and mul/add/sqrt/
+    div are single IEEE ops — so every score is IEEE-identical to
+    ``try_divide(dot(va, vb), norm(va)·norm(vb))``, including NaN
+    propagation (NaN/±inf elements) and NULL on zero-norm pairs
+    (``denominator == 0.0`` → null, the try_divide contract). The batch
+    boundary is ``applyInArrow``, NOT ``applyInPandas``: pandas uses NaN
+    as its null marker, so a genuine NaN score would come back NULL —
+    and Spark's NaN-is-largest comparison semantics treat those very
+    differently (NaN passes a ``>= t`` filter, NULL does not). Rows whose
+    vector is NULL or contains a NULL element are excluded up front: a
+    NULL anywhere makes every dot/norm involving that row NULL, so no pair
+    it joins can survive the caller's threshold. Cross-length pairs
+    likewise never survive the fold (``zip_with`` NULL-pads the shorter
+    side), so scoring runs per length group. Zero-denominator (NULL-score)
+    pairs ARE emitted (null ``score_raw``) so the caller's filter remains
+    the single place drop decisions happen.
+
+    ``prefilter``: optional conservative score floor applied batch-side to
+    cut the Arrow return stream (pairs are the quadratic output; survivors
+    are the point of SemDeDup). NaN scores always pass (Spark's
+    ``NaN >= t`` is true); set it STRICTLY below the caller's rounded
+    threshold so no boundary pair can be lost to the display round (e.g.
+    0.299999 for a round-6 ``>= 0.30`` filter). None = emit all pairs.
+
+    Scale shape: one shuffle keyed by the cluster label (the label
+    partitioning SemDeDup's clustering step already implies), numpy block
+    accumulation bounded at ``block_rows × |cluster|`` doubles per task."""
+    import pyarrow as pa
+
+    no_null_elem = ~F.exists(vec_col, lambda x: x.isNull())
+    src = (
+        e.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .filter(no_null_elem)
+        .select(id_col, label_col, vec_col)
+    )
+    id_dt = dict(src.dtypes)[id_col]
+    label_dt = dict(src.dtypes)[label_col]
+    out_schema = (
+        f"{id_col} {id_dt}, {label_col} {label_dt}, u {id_dt}, score_raw double"
+    )
+
+    def _score(tbl: "pa.Table") -> "pa.Table":
+        id_t = tbl.schema.field(id_col).type
+        lab_t = tbl.schema.field(label_col).type
+
+        def _mk(ids_b, labs_b, u_b, sc, nullmask):
+            return pa.table(
+                {
+                    id_col: pa.array(ids_b, id_t),
+                    label_col: pa.array(labs_b, lab_t),
+                    "u": pa.array(u_b, id_t),
+                    "score_raw": pa.array(
+                        sc, pa.float64(), mask=nullmask, from_pandas=False
+                    ),
+                }
+            )
+
+        if tbl.num_rows < 2:
+            return _mk([], [], [], np.array([], np.float64), None)
+        ids_all = tbl.column(id_col).to_numpy()
+        labs_all = tbl.column(label_col).to_numpy()
+        vecs = tbl.column(vec_col).to_pandas().to_numpy()
+        order = np.argsort(ids_all, kind="stable")
+        ids_all, labs_all, vecs = ids_all[order], labs_all[order], vecs[order]
+        lens = np.fromiter((len(v) for v in vecs), np.int64, len(vecs))
+        out: list[pa.Table] = []
+        for length in np.unique(lens):
+            if length == 0:
+                continue
+            m = lens == length
+            c = int(m.sum())
+            if c < 2:
+                continue
+            V = np.stack(vecs[m]).astype(np.float64, copy=False)
+            ids = ids_all[m]
+            labs = labs_all[m]
+            nrm2 = np.zeros(c)
+            for j in range(V.shape[1]):
+                nrm2 += V[:, j] * V[:, j]
+            na = np.sqrt(nrm2)
+            for lo in range(0, c, block_rows):
+                hi = min(lo + block_rows, c)
+                D = np.zeros((hi - lo, c))
+                for j in range(V.shape[1]):
+                    D += np.outer(V[lo:hi, j], V[:, j])
+                denom = np.outer(na[lo:hi], na)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = D / denom
+                bi, bj = np.nonzero(
+                    ids[lo:hi, None] < ids[None, :]
+                )  # strict id order — duplicate ids never self-pair
+                sc = S[bi, bj]
+                dz = denom[bi, bj] == 0.0
+                if prefilter is not None:
+                    with np.errstate(invalid="ignore"):
+                        keep = (sc >= prefilter) | np.isnan(sc)
+                    keep &= ~dz
+                    bi, bj, sc, dz = bi[keep], bj[keep], sc[keep], dz[keep]
+                out.append(_mk(ids[bj], labs[bj], ids[lo + bi], sc, dz))
+        if not out:
+            return _mk([], [], [], np.array([], np.float64), None)
+        return pa.concat_tables(out)
+
+    return src.groupBy(label_col).applyInArrow(_score, out_schema)
+
+
 def _hyperplanes(dim: int, num_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_bits, dim))

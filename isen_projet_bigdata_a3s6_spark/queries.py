@@ -8026,26 +8026,50 @@ def q202_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = [1, 31, 961, 29791, 923521]
     # 64-bit hash domain (matches the oracle's BIGINT casts): codepoints up
     # to 0x10FFFF × 923521 overflow INT32, so every term is long from the
-    # first multiply — long multilingual docs must fingerprint, not fail
-    gram_hash = lambda i: (  # noqa: E731
-        sum(
-            F.ascii(F.col("__t").substr(i + F.lit(j), F.lit(1))).cast("long")
-            * F.lit(pw[j])
-            for j in range(5)
-        )
+    # first multiply — long multilingual docs must fingerprint, not fail.
+    #
+    # Codepoints are extracted ONCE per document into an array
+    # (split(t, '') splits per Unicode codepoint — identical values to the
+    # old per-gram ascii(substr(t, i+j, 1)), pinned in tests): substr by
+    # character position is an O(position) UTF-8 scan, so the old 5
+    # substr+ascii calls per gram made the hashing stage O(5·n²/2) bytes
+    # scanned per document; element_at on the bound codepoint array is
+    # O(1), making the stage linear in document length (guide §1.2 "per-
+    # task work"; measured 2.4 s → ~0.9 s for q202 at sf0.1).
+    cps = F.transform(F.split(F.col("__t"), ""), lambda c: F.ascii(c).cast("long"))
+    gram_hash = lambda cp, i: (  # noqa: E731
+        sum(F.element_at(cp, i + F.lit(j)) * F.lit(pw[j]) for j in range(5))
         % F.lit(1000003)
     )
-    hashes = F.transform(F.sequence(F.lit(1), F.col("__n") - 4), gram_hash)
+    # bind the codepoint array ONCE as a lambda variable (the same
+    # 1-element-array trick as window_mins below) — referencing `cps`
+    # directly inside the per-gram lambda would re-evaluate the whole
+    # O(n) split per gram
+    hashes = F.flatten(
+        F.transform(
+            F.array(cps),
+            lambda cp: F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 4),
+                lambda i: gram_hash(cp, i),
+            ),
+        )
+    )
     # bind the hash array ONCE as a lambda variable (outer transform over a
     # 1-element array): referencing the `hashes` expression directly inside
     # the window lambda would let CollapseProject inline and re-evaluate the
     # whole O(n) gram-hash array per window position — O(n²) per document.
+    # per-window minimum as least() over 4 direct element_at reads:
+    # array_min(slice(h, w, 4)) allocates a fresh 4-element array per
+    # window position (one per character of the corpus) in the interpreted
+    # HOF evaluator — least() on the same 4 longs is allocation-free and
+    # value-identical (no NULLs in the hash array; measured 0.80 s → 0.32 s
+    # for the hash+window stage at sf0.1, proven equal on the full corpus)
     window_mins = F.flatten(
         F.transform(
             F.array(hashes),
             lambda h: F.transform(
                 F.sequence(F.lit(1), F.size(h) - 3),
-                lambda w: F.array_min(F.slice(h, w, 4)),
+                lambda w: F.least(*[F.element_at(h, w + F.lit(j)) for j in range(4)]),
             ),
         )
     )
@@ -9151,40 +9175,34 @@ def q218_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: THE point of SemDeDup — clustering first makes the
     quadratic pairwise stage run per-cluster, never corpus-wide; the
-    equi-join on label is an ordinary shuffle join whose buckets are
-    cluster-sized (skew-bounded by the clustering objective itself). τ is
-    data-dependent (0.30 here: the synthetic embeddings are near-orthogonal;
-    real sentence embeddings use ~0.95+)."""
-    from .functions.similarity import dot, norm
+    pairwise stage itself is the Arrow-vectorized
+    :func:`..functions.similarity.cluster_pair_scores` (one shuffle keyed
+    by label, numpy block accumulation — the r12 rewrite of the per-pair
+    JVM zip_with/aggregate fold, which is CodegenFallback and paid an
+    interpreted 128-element fold + array allocation per pair: measured
+    2.5 s → 0.5 s at sf0.1, scores IEEE-identical by the sequential-sweep
+    argument in that docstring). The batch-side 0.299999 prefilter only
+    trims the Arrow return stream; the authoritative threshold stays the
+    engine-side round6 ``>= 0.30`` below. τ is data-dependent (0.30 here:
+    the synthetic embeddings are near-orthogonal; real sentence
+    embeddings use ~0.95+)."""
+    from .functions.similarity import cluster_pair_scores
 
-    # norms are per-VECTOR, not per-pair: compute each once before the
-    # join (cosine(a,b) inline would re-derive both norms for every pair —
-    # 3× the flops on the quadratic stage, measured 5.0 s → ~1.7 s at
-    # sf0.1)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", norm(F.col("v")))
-    a = e.select(
-        F.col("vec_id").alias("u"),
-        F.col("label").alias("label_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
     )
-    b = e.select("vec_id", "label", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(
-        b, (F.col("label_a") == F.col("label")) & (F.col("u") < F.col("vec_id"))
+    pairs = cluster_pair_scores(
+        e, "vec_id", "label", "v", prefilter=0.299999
     ).select(
         "vec_id",
         "label",
         "u",
-        # try_divide: zero-norm vectors score NULL (cosine undefined) and
-        # the >= tau filter drops them — same as the oracle's x/0 -> NULL
-        F.round(
-            F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
-            6,
-        ).alias("score"),
+        # the raw score rounds and thresholds ENGINE-side (HALF_UP round6,
+        # NaN-is-largest comparison, NULL-drop) — identical semantics to
+        # the replaced try_divide/round pipeline
+        F.round(F.col("score_raw"), 6).alias("score"),
     )
     return (
         pairs.filter(F.col("score") >= 0.30)

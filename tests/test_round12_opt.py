@@ -1,0 +1,275 @@
+"""Round-12 optimization pins.
+
+Every optimization this round must leave declared query results identical;
+these tests pin the equivalence arguments at the operator level:
+
+- q218's Arrow per-cluster scorer (functions/similarity.py::
+  cluster_pair_scores) against the JVM zip_with/aggregate fold it replaced,
+  on clusters that exercise every edge the fold handles (zero-norm vectors,
+  NaN elements, NULL elements, ragged lengths, duplicate ids, NULL labels);
+- q202's once-per-doc codepoint-array gram hashing against the old per-gram
+  ascii(substr(...)) arithmetic, including supplementary-plane codepoints;
+- q202's least()-based window minimum against array_min(slice(...)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from isen_projet_bigdata_a3s6_spark.functions.similarity import (
+    cluster_pair_scores,
+    dot,
+    norm,
+)
+
+
+def _fold_pairs(e):
+    """The exact pre-r12 q218 pair pipeline (per-pair JVM fold)."""
+    ee = e.withColumn("nrm", norm(F.col("v")))
+    a = ee.select(
+        F.col("vec_id").alias("u"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = ee.select(
+        "vec_id", "label", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label")) & (F.col("u") < F.col("vec_id")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "u",
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            ).alias("score_raw"),
+        )
+    )
+
+
+def _collect_scores(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        key = (r["vec_id"], r["label"], r["u"])
+        v = r["score_raw"]
+        # NaN keys can't compare; keep as float('nan') marker
+        out[key] = v
+    return out
+
+
+def test_cluster_pair_scores_bitwise_vs_fold(spark):
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        # ordinary cluster
+        (1, 0, [1.0, 2.0, 3.0]),
+        (2, 0, [1.0, 2.0, 3.0000001]),
+        (3, 0, [-1.0, 0.5, 0.25]),
+        # zero-norm vector: try_divide -> NULL against every partner
+        (4, 0, [0.0, 0.0, 0.0]),
+        # NaN element: score NaN (kept by the engine's >= as largest)
+        (5, 0, [nan, 1.0, 1.0]),
+        # inf element: inf/inf -> NaN, finite/inf -> 0-ish
+        (6, 0, [inf, 1.0, 1.0]),
+        # ragged length: every cross-length pair NULL-pads -> never survives
+        (7, 0, [1.0, 2.0]),
+        (8, 0, [2.0, 1.0]),
+        # NULL element: dot/norm NULL against every partner
+        (9, 0, [1.0, None, 2.0]),
+        # second cluster
+        (10, 1, [1.0, 0.0, 0.0]),
+        (11, 1, [0.70710678, 0.70710678, 0.0]),
+        # NULL label: the fold's equi-join never matches NULL = NULL
+        (12, None, [1.0, 1.0, 1.0]),
+        (13, None, [1.0, 1.0, 1.0]),
+        # NULL vector
+        (14, 1, None),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+    old = _collect_scores(_fold_pairs(e))
+    new = _collect_scores(cluster_pair_scores(e, "vec_id", "label", "v"))
+
+    # the fold emits NULL-score rows for null-element/ragged/zero-norm
+    # pairs; the scorer drops what can never survive the caller's filter —
+    # compare on the survivable set (non-NULL scores) plus explicit checks
+    old_nonnull = {k: v for k, v in old.items() if v is not None}
+    new_nonnull = {k: v for k, v in new.items() if v is not None}
+    assert set(old_nonnull) == set(new_nonnull)
+    for k, v in old_nonnull.items():
+        w = new_nonnull[k]
+        if math.isnan(v):
+            assert math.isnan(w), k
+        else:
+            # bitwise: same IEEE double, including signed zero
+            assert v == w and math.copysign(1.0, v) == math.copysign(1.0, w), (
+                k, v.hex(), w.hex(),
+            )
+    # and the scorer's extra rows (if any) must all be NULL-score
+    assert all(v is None for k, v in new.items() if k not in old_nonnull)
+    # NULL-label / NULL-vector rows never pair on either side
+    assert not any(k[1] is None for k in old)
+    assert not any(k[1] is None for k in new)
+
+
+def test_cluster_pair_scores_duplicate_ids_never_self_pair(spark):
+    e = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (1, 0, [0.0, 1.0]), (2, 0, [1.0, 1.0])],
+        "vec_id long, label int, v array<double>",
+    )
+    new = _collect_scores(cluster_pair_scores(e, "vec_id", "label", "v"))
+    old = _collect_scores(_fold_pairs(e))
+    assert set(new) == set(old)
+    assert all(k[2] < k[0] for k in new)  # strict u < vec_id
+
+
+def test_cluster_pair_scores_prefilter_is_conservative(spark):
+    # scores straddling the q218 boundary: the 0.299999 prefilter must keep
+    # everything the engine-side round6 >= 0.30 keeps
+    import numpy as np
+
+    rows = []
+    base = np.array([1.0, 0.0])
+    for i, target in enumerate(
+        [0.29, 0.2999990, 0.2999994, 0.2999996, 0.30, 0.31, 0.9]
+    ):
+        th = math.acos(target)
+        rows.append((100 + i, 0, [math.cos(0.0), 0.0]))
+        rows.append((200 + i, 0, [math.cos(th), math.sin(th)]))
+    e = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    full = cluster_pair_scores(e, "vec_id", "label", "v")
+    pre = cluster_pair_scores(e, "vec_id", "label", "v", prefilter=0.299999)
+
+    def survivors(df):
+        return sorted(
+            (r["u"], r["vec_id"])
+            for r in df.select(
+                "u", "vec_id", F.round("score_raw", 6).alias("s")
+            )
+            .filter(F.col("s") >= 0.30)
+            .collect()
+        )
+
+    assert survivors(full) == survivors(pre)
+    assert len(survivors(full)) > 0
+
+
+def test_cluster_pair_scores_block_rows_invariant(spark):
+    # block-chunked accumulation must emit the identical pair set
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 2, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    a = _collect_scores(cluster_pair_scores(e, "vec_id", "label", "v"))
+    b = _collect_scores(
+        cluster_pair_scores(e, "vec_id", "label", "v", block_rows=7)
+    )
+    assert set(a) == set(b)
+    for k in a:
+        x, y = a[k], b[k]
+        assert (x is None and y is None) or x == y or (
+            math.isnan(x) and math.isnan(y)
+        )
+
+
+# --------------------------------------------------------------------------
+# q202 winnowing arithmetic equivalences
+# --------------------------------------------------------------------------
+
+_PW = [1, 31, 961, 29791, 923521]
+
+
+def _old_hashes():
+    gram = lambda i: (  # noqa: E731
+        sum(
+            F.ascii(F.col("__t").substr(i + F.lit(j), F.lit(1))).cast("long")
+            * F.lit(_PW[j])
+            for j in range(5)
+        )
+        % F.lit(1000003)
+    )
+    return F.transform(F.sequence(F.lit(1), F.col("__n") - 4), gram)
+
+
+def _new_hashes():
+    cps = F.transform(F.split(F.col("__t"), ""), lambda c: F.ascii(c).cast("long"))
+    gram = lambda cp, i: (  # noqa: E731
+        sum(F.element_at(cp, i + F.lit(j)) * F.lit(_PW[j]) for j in range(5))
+        % F.lit(1000003)
+    )
+    return F.flatten(
+        F.transform(
+            F.array(cps),
+            lambda cp: F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 4),
+                lambda i: gram(cp, i),
+            ),
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "the quick brown fox jumps over the lazy dog",
+        "abcdefgh",
+        "a\U0010FFFFbcdefghé中文 winnowing",  # supplementary + BMP
+        "\t mixed   WS\nand\x0bpunct!?",
+        "aaaaaaaaaaaaaaaa",
+    ],
+)
+def test_winnowing_codepoint_array_matches_substr(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    t = F.lower(F.col("text"))
+    base = df.select(t.alias("__t"), F.length(t).alias("__n")).filter(
+        F.col("__n") >= 8
+    )
+    row = base.select(
+        _old_hashes().alias("oh"), _new_hashes().alias("nh")
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["oh"] == row[0]["nh"]
+
+
+def test_winnowing_window_min_least_matches_array_min_slice(spark):
+    df = spark.createDataFrame(
+        [("sometext here with enough characters to window",)], "text string"
+    )
+    t = F.lower(F.col("text"))
+    base = df.select(t.alias("__t"), F.length(t).alias("__n"))
+    h = _new_hashes()
+    win_slice = F.flatten(
+        F.transform(
+            F.array(h),
+            lambda hh: F.transform(
+                F.sequence(F.lit(1), F.size(hh) - 3),
+                lambda w: F.array_min(F.slice(hh, w, 4)),
+            ),
+        )
+    )
+    win_least = F.flatten(
+        F.transform(
+            F.array(h),
+            lambda hh: F.transform(
+                F.sequence(F.lit(1), F.size(hh) - 3),
+                lambda w: F.least(
+                    *[F.element_at(hh, w + F.lit(j)) for j in range(4)]
+                ),
+            ),
+        )
+    )
+    row = base.select(
+        win_slice.alias("a"), win_least.alias("b")
+    ).collect()[0]
+    assert row["a"] == row["b"]
