@@ -145,6 +145,78 @@ def global_prefix_sum(
     return out.drop(*drop)
 
 
+def global_midranks(
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Attach the DOUBLED tie-midrank ``2r = 2·c_less + c_eq + 1`` of
+    ``value_col`` to every row, without a single-reducer window and
+    without the distinct-value detour (r12, for the Spearman shape).
+
+    The pre-r12 rank attachment reduced to distinct values, ran
+    :func:`global_prefix_sum` over them, and equi-joined midranks back to
+    the fact rows — three data-sized exchanges (groupBy, range
+    repartition, join-back). This computes the same 2r with ONE range
+    exchange of the fact rows: per-partition ``rank() − 1`` counts the
+    strictly-smaller rows inside the partition, a per-tie-group window
+    count gives ``c_eq``, and |partitions|-row cumulative offsets
+    (broadcast back) lift the local counts to global ones. Equal values
+    co-locate under ``repartitionByRange`` (the range partitioner assigns
+    by key comparison), so tie groups never straddle a boundary.
+
+    Equality/order semantics match the groupBy+equi-join path exactly:
+    float columns are normalized with ``when(v == 0.0, 0.0)`` before
+    ranking, because grouping and join keys canonicalize −0.0 to 0.0
+    (SPARK-32110) while the sort comparator orders −0.0 < 0.0 — without
+    the normalization a mixed ±0.0 tie group would split. NaNs sort
+    together and group together on both paths; NULLs sort first and are
+    ranked (they contribute to every c_less, exactly as the NULL group's
+    count flowed through the old prefix scan) — callers that dropped
+    NULL rows via the equi-join must filter them explicitly.
+
+    The ``part`` frame feeds both the local windows and the offset
+    totals; the lazy persist pins one range materialization (the
+    global_prefix_sum convention — two independently-sampled range
+    exchanges could draw different boundaries)."""
+    dt = dict(df.dtypes)[value_col]
+    v = F.col(value_col)
+    key = F.when(v == 0.0, F.lit(0.0).cast(dt)).otherwise(v) if dt in (
+        "double", "float"
+    ) else v
+    part = (
+        df.withColumn("__key", key)
+        .repartitionByRange(F.col("__key"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_ord = W.partitionBy("__pid").orderBy("__key")
+    local = part.select(
+        "*",
+        (F.rank().over(w_ord) - 1).alias("__less_loc"),
+        F.count(F.lit(1)).over(W.partitionBy("__pid", "__key")).alias("__eq"),
+    )
+    totals = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__tot"))
+    offsets = totals.select(
+        "__pid",
+        F.sum("__tot")
+        .over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1))
+        .alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (
+                2 * (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__less_loc"))
+                + F.col("__eq")
+                + 1
+            ).cast("long"),
+        )
+        .drop("__pid", "__key", "__less_loc", "__eq", "__off")
+    )
+
+
 def global_running(
     df: DataFrame,
     order_exprs: list[Column],

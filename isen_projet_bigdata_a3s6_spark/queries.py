@@ -12222,16 +12222,19 @@ def q260_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     robust to any monotone transform and to outliers.
 
     Scale shape: ranks are NOT computed with a global per-row window.
-    Each variable collapses to DISTINCT VALUES + counts first, the
-    cumulative count runs through ``global_prefix_sum`` (two-phase
-    parallel prefix scan over |distinct| rows), and the midrank joins
-    back to the fact rows by value (quantity's 50-value table
-    broadcasts; the price table shuffle-joins — AQE picks). Doubled
+    Quantity (50 distinct values) collapses to distinct values + counts,
+    runs through ``global_prefix_sum``, and broadcast-joins back; the
+    near-unique price column instead gets its midrank attached IN PLACE
+    by ``global_midranks`` (r12): one range exchange of the fact rows,
+    per-partition rank/tie-count windows, |partitions|-row offsets —
+    the pre-r12 distinct-table path paid three data-sized exchanges
+    (groupBy over ~|rows| distinct prices, range repartition, and the
+    midrank join back to the facts) to compute the same 2r. Doubled
     midranks 2r = 2·c_less + c_eq + 1 keep everything in exact integers;
     the moment sums are DECIMAL(38,0)-exact, and the final rho is one
     float expression (IEEE mul/div + correctly-rounded sqrt — identical
     on both engines, round6)."""
-    from .operators.windows import global_prefix_sum
+    from .operators.windows import global_midranks, global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
     r = li.select(
@@ -12248,8 +12251,13 @@ def q260_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(out),
         )
 
-    ranked = r.join(F.broadcast(midranks(r, "x", "u")), "x").join(
-        midranks(r, "yv", "w"), "yv"
+    # the explicit NULL filters reproduce the old equi-join's row drops
+    # (midranks/global_midranks both still COUNT null rows into every
+    # c_less, exactly as the NULL group flowed through the prefix scan)
+    ranked = (
+        global_midranks(r, "yv", "w")
+        .filter(F.col("yv").isNotNull() & F.col("x").isNotNull())
+        .join(F.broadcast(midranks(r, "x", "u")), "x")
     )
     ud = F.col("u").cast("decimal(18,0)")
     wd = F.col("w").cast("decimal(18,0)")

@@ -273,3 +273,84 @@ def test_winnowing_window_min_least_matches_array_min_slice(spark):
         win_slice.alias("a"), win_least.alias("b")
     ).collect()[0]
     assert row["a"] == row["b"]
+
+
+# --------------------------------------------------------------------------
+# q260's in-place rank attachment (operators/windows.py::global_midranks)
+# --------------------------------------------------------------------------
+
+def _distinct_table_midranks(df, col, out):
+    """The pre-r12 q260 rank attachment: distinct values + prefix scan +
+    equi-join back — the reference semantics global_midranks must match."""
+    from isen_projet_bigdata_a3s6_spark.operators.windows import (
+        global_prefix_sum,
+    )
+
+    dv = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    pref = global_prefix_sum(dv, col, ["cnt"])
+    ranks = pref.select(
+        col,
+        (2 * (F.col("cnt_cum") - F.col("cnt")) + F.col("cnt") + 1)
+        .cast("long")
+        .alias(out),
+    )
+    return df.join(ranks, col)
+
+
+@pytest.mark.parametrize("n_rows", [1, 7, 500])
+def test_global_midranks_matches_distinct_table_path(spark, n_rows):
+    import random
+
+    from isen_projet_bigdata_a3s6_spark.operators.windows import (
+        global_midranks,
+    )
+
+    rng = random.Random(n_rows)
+    vals = [float(rng.randint(0, 20)) for _ in range(n_rows)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    old = {
+        r["id"]: r["w"]
+        for r in _distinct_table_midranks(df, "v", "w").collect()
+    }
+    new = {
+        r["id"]: r["w"]
+        for r in global_midranks(df, "v", "w")
+        .filter(F.col("v").isNotNull())
+        .collect()
+    }
+    assert old == new
+
+
+def test_global_midranks_degenerate_values(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.windows import (
+        global_midranks,
+    )
+
+    nan = float("nan")
+    rows = [
+        (1, -0.0),
+        (2, 0.0),        # ±0.0 must form ONE tie group (groupBy semantics)
+        (3, 0.0),
+        (4, nan),
+        (5, nan),        # NaNs group together, sort last
+        (6, None),       # NULL rows count into every c_less, then drop
+        (7, -1.5),
+        (8, 1e300),
+        (9, 1.5),
+        (10, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    old = {
+        r["id"]: r["w"]
+        for r in _distinct_table_midranks(df, "v", "w").collect()
+    }
+    new = {
+        r["id"]: r["w"]
+        for r in global_midranks(df, "v", "w")
+        .filter(F.col("v").isNotNull())
+        .collect()
+    }
+    assert old == new
+    # the ±0.0 group: c_less = 1 NULL + 1 (-1.5) = 2 -> 2r = 2*2 + 3 + 1 = 8
+    assert new[1] == new[2] == new[3] == 8
