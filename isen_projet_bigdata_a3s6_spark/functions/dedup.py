@@ -961,29 +961,46 @@ def editdist1_pairs(
     )
 
 
-def _hashed_ranked_tokens(df: DataFrame, id_col: str, toks):
+def _hashed_doc_arrays(df: DataFrame, id_col: str, toks):
     """Shared front half of the prefix-filter family
     (:func:`jaccard_prefix_pairs` / :func:`containment_prefix_pairs`):
-    hash the distinct tokens to int64, build the persisted (id, token)
-    stream, and rank each document's tokens by ascending global document
-    frequency. One implementation so tokenization semantics can never
-    drift between the symmetric and asymmetric joins.
+    hash the distinct tokens to int64 and collapse each document to ONE
+    row holding its tokens sorted by ascending (global document
+    frequency, token) — the df-rank order both joins consume. One
+    implementation so tokenization semantics can never drift between the
+    symmetric and asymmetric joins.
 
-    Returns ``(tok, ranked, nparts)`` — ``tok`` carries a LAZY persist
-    (it feeds multiple branches in every caller; released by
-    ``spark.catalog.clearCache()``); ``ranked`` is NOT persisted (each
-    caller decides, since their reuse patterns differ)."""
+    r12 shape: the pre-r12 version kept the ranked TOKEN STREAM and
+    derived rank/size with a per-id repartition + two window passes, and
+    each caller re-aggregated the stream a second time for its verify
+    arrays — three data-sized exchanges plus a sort over |tokens|. The
+    per-doc array form ranks by ONE in-row ``sort_array`` after the
+    groupBy exchange (struct<df,token> sorts lexicographically — exactly
+    the window's (df asc, token asc) order, and (df, token) is unique per
+    doc, so ranks are identical), and the same array yields the prefix
+    slice (``rn`` = position), ``sz`` = size, and the verify token list —
+    measured ~1.6 s of q161's 4.2 s at sf0.1 (guide §2.4: two operations
+    keyed the same way share one exchange).
+
+    Returns ``(tok, docarr, nparts)`` — ``tok`` carries a LAZY persist (it
+    feeds the dfreq aggregate AND the dfreq join below; released by
+    ``spark.catalog.clearCache()``); ``docarr`` is (id, arr:
+    array<struct<df,token>>, sz) and is NOT persisted (each caller
+    decides, since their reuse patterns differ)."""
     # CPU-bound stages get EXPLICIT numPartitions repartitions: shuffle
     # BYTES are tiny (hashed longs) so AQE's size-based coalescing would
     # serialize the work onto one core, while COMPUTE follows |tokens| —
-    # partition count must follow cores, not bytes.
+    # partition count must follow cores, not bytes. The pre-groupBy
+    # repartition doubles as that guard: groupBy("id") reuses its
+    # hashpartitioning, so the in-row sort_array work stays on nparts
+    # cores instead of whatever AQE would coalesce ~30 MB down to.
     nparts = df.sparkSession.sparkContext.defaultParallelism
     src = df
     if src.rdd.getNumPartitions() < nparts:
         # local small-file guard: a single-file corpus arrives as one
         # partition and would tokenize single-threaded. No-op at scale.
         src = src.repartition(nparts)
-    # tokens hashed to int64 (xxhash64) before everything else: the window
+    # tokens hashed to int64 (xxhash64) before everything else: the rank
     # sort, candidate equi-join, and array_intersect verify all run on
     # longs instead of strings (~4x on this corpus); collision risk
     # |vocab|^2 / 2^65 is negligible and the oracle would surface it.
@@ -996,19 +1013,37 @@ def _hashed_ranked_tokens(df: DataFrame, id_col: str, toks):
         ).alias("token"),
     ).persist()
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # doc size via a window count over the SAME per-id partitioning the
-    # rank needs — one exchange serves both
-    by_id = W.partitionBy("id")
-    ranked = (
+    docarr = (
         tok.join(dfreq, "token")
         .repartition(nparts, "id")
-        .withColumn(
-            "rn",
-            F.row_number().over(by_id.orderBy(F.asc("df"), F.asc("token"))),
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("token")))
+            ).alias("arr")
         )
-        .withColumn("sz", F.count(F.lit(1)).over(by_id))
+        .withColumn("sz", F.size("arr"))
     )
-    return tok, ranked, nparts
+    return tok, docarr, nparts
+
+
+def _explode_ranked(docarr: DataFrame, prefix_len=None) -> DataFrame:
+    """(id, df, token, rn, sz) stream from a ``_hashed_doc_arrays`` frame —
+    the whole df-ordered list, or only the first ``prefix_len`` entries
+    (a Column in terms of ``sz``). ``rn`` is the 1-based df-rank, identical
+    to the pre-r12 window ``row_number`` by construction."""
+    arr = F.col("arr") if prefix_len is None else F.slice(
+        F.col("arr"), 1, prefix_len.cast("int")
+    )
+    return docarr.select(
+        "id", "sz", F.posexplode(arr).alias("pos", "e")
+    ).select(
+        "id",
+        F.col("e.df").alias("df"),
+        F.col("e.token").alias("token"),
+        (F.col("pos") + 1).alias("rn"),
+        "sz",
+    )
 
 
 def jaccard_prefix_pairs(
@@ -1057,11 +1092,12 @@ def jaccard_prefix_pairs(
     set and the true result degenerate toward all-pairs).
 
     Plan shape (fully LAZY — nothing executes at construction time, and no
-    eager checkpoint collapses the tree): the hashed token stream and the
-    prefix frame carry lazy ``persist`` marks because each feeds multiple
-    branches (the InMemoryRelation keeps the child plan visible; caches
-    are released by ``spark.catalog.clearCache()``, which bench runs
-    between repetitions — at 100 TB use DISK_ONLY or accept recompute).
+    eager checkpoint collapses the tree): the hashed token stream, the
+    per-doc rank-array frame, and the prefix frame carry lazy ``persist``
+    marks because each feeds multiple branches (the InMemoryRelation
+    keeps the child plan visible; caches are released by
+    ``spark.catalog.clearCache()``, which bench runs between repetitions
+    — at 100 TB use DISK_ONLY or accept recompute).
     The verify joins carry the per-doc sorted
     shingle arrays with NO broadcast hint: the optimizer broadcasts the
     |docs|-row set table while its stats fit ``autoBroadcastJoinThreshold``
@@ -1076,26 +1112,31 @@ def jaccard_prefix_pairs(
         toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
     else:
         toks = F.array_distinct(char_ngrams(text_col, n=ngram))
-    tok, ranked, nparts = _hashed_ranked_tokens(df, id_col, toks)
-    # second lazy persist: both sides of the self-join read this frame, and
-    # expression-id canonicalization does not reliably fire ReuseExchange
-    # across self-join aliases — without the cache the whole rank pipeline
-    # (windows, document frequencies, broadcasts) executes twice. ~prefix
-    # rows × 28 B, far smaller than the token cache.
-    prefix = ranked.filter(
-        # RELATIVE slack (1e-9·sz) inside the ceil errs toward a LONGER
-        # prefix: 0.85*40 evaluates to 34.000000000000004 in doubles, and a
-        # bare ceil would read 35, silently shortening the prefix and
-        # dropping a qualifying pair whose only shared token sits at the
-        # boundary rank. The slack scales with the product's magnitude so
-        # half-an-ULP of t·sz can never exceed it even at tens of millions
-        # of distinct tokens (an absolute 1e-9 stops covering near
-        # t·sz ≈ 1e7); keep-side safe — the exact verify discards extras.
-        F.col("rn")
-        <= F.col("sz")
+    tok, docarr, nparts = _hashed_doc_arrays(df, id_col, toks)
+    # lazy persist: the prefix explode below AND both verify joins read
+    # this frame — one materialization of the rank pipeline (~|docs| rows
+    # of token arrays), released by clearCache.
+    docarr = docarr.persist()
+    # prefix length |d| − ⌈t·|d|⌉ + 1, taken as an array SLICE (rn =
+    # position in the df-sorted array). RELATIVE slack (1e-9·sz) inside
+    # the ceil errs toward a LONGER prefix: 0.85*40 evaluates to
+    # 34.000000000000004 in doubles, and a bare ceil would read 35,
+    # silently shortening the prefix and dropping a qualifying pair whose
+    # only shared token sits at the boundary rank. The slack scales with
+    # the product's magnitude so half-an-ULP of t·sz can never exceed it
+    # even at tens of millions of distinct tokens (an absolute 1e-9 stops
+    # covering near t·sz ≈ 1e7); keep-side safe — the exact verify
+    # discards extras.
+    plen = (
+        F.col("sz")
         - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
         + 1
-    ).persist()
+    )
+    # second lazy persist: both sides of the self-join read this frame, and
+    # expression-id canonicalization does not reliably fire ReuseExchange
+    # across self-join aliases — without the cache the prefix explode
+    # executes twice. ~prefix rows × 28 B, far smaller than the doc cache.
+    prefix = _explode_ranked(docarr, prefix_len=plen).persist()
     # required overlap for J ≥ t: i ≥ t·(|a|+|b|)/(1+t); the RELATIVE
     # 1e-9·(sa+sb) slack makes every comparison err toward KEEPING at any
     # document size, so float rounding can never cost completeness
@@ -1162,16 +1203,22 @@ def jaccard_prefix_pairs(
         )
         .select("id_a", "id_b", "sa", "sb")
     )
-    # verify via per-doc sorted shingle ARRAYS + array_intersect in codegen:
+    # verify via per-doc shingle ARRAYS + array_intersect in codegen:
     # the naive candidate×token expansion join materializes
     # |candidates|·|tokens per doc| rows (hundreds of millions on template-
     # heavy corpora); the array form joins the |docs|-row set table twice
-    # and does the intersection per pair with no intermediate blow-up. No
+    # and does the intersection per pair with no intermediate blow-up.
+    # The token list is the persisted docarr's own array (df-rank order —
+    # array_intersect hashes its inputs, so order is irrelevant to the
+    # SIZE the verify consumes); the pre-r12 code re-aggregated the token
+    # stream into value-sorted arrays, a second |tokens| exchange. No
     # broadcast hint: the optimizer picks broadcast vs shuffle from stats
     # (see docstring). Explicit numPartitions repartition (same nparts as
     # the tokenize stages) so AQE cannot coalesce the small candidate
     # shuffle under the expensive verify.
-    sets = tok.groupBy("id").agg(F.sort_array(F.collect_list("token")).alias("ts"))
+    sets = docarr.select(
+        "id", F.transform("arr", lambda e: e["token"]).alias("ts")
+    )
     return (
         cand.repartition(nparts, "id_a", "id_b")
         .join(
@@ -1241,20 +1288,25 @@ def containment_prefix_pairs(
         toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
     else:
         toks = F.array_distinct(char_ngrams(text_col, n=ngram))
-    tok, ranked, nparts = _hashed_ranked_tokens(df, id_col, toks)
-    # both the prefix filter and the full-index join side read this frame
-    ranked = ranked.persist()
-    prefix_a = ranked.filter(
-        # RELATIVE slack (1e-9·sz) inside the ceil errs toward a LONGER
-        # prefix: 0.85*40 evaluates to 34.000000000000004 in doubles, and a
-        # bare ceil would read 35, silently shortening the prefix and
-        # dropping a qualifying pair whose only shared token sits at the
-        # boundary rank; scales with magnitude so half-an-ULP of t·sz can
-        # never exceed it (absolute 1e-9 stops covering near t·sz ≈ 1e7)
-        F.col("rn")
-        <= F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
-        + 1
+    tok, docarr, nparts = _hashed_doc_arrays(df, id_col, toks)
+    # the prefix side, the full-index side, and both verify joins all read
+    # this frame — one materialization of the rank pipeline
+    docarr = docarr.persist()
+    ranked = _explode_ranked(docarr)
+    # prefix length |a| − ⌈t·|a|⌉ + 1 as an array slice. RELATIVE slack
+    # (1e-9·sz) inside the ceil errs toward a LONGER prefix: 0.85*40
+    # evaluates to 34.000000000000004 in doubles, and a bare ceil would
+    # read 35, silently shortening the prefix and dropping a qualifying
+    # pair whose only shared token sits at the boundary rank; scales with
+    # magnitude so half-an-ULP of t·sz can never exceed it (absolute 1e-9
+    # stops covering near t·sz ≈ 1e7)
+    prefix_a = _explode_ranked(
+        docarr,
+        prefix_len=(
+            F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
+            + 1
+        ),
     )
     cand = (
         prefix_a.alias("pa")
@@ -1301,7 +1353,11 @@ def containment_prefix_pairs(
         )
         .distinct()
     )
-    sets = tok.groupBy("id").agg(F.sort_array(F.collect_list("token")).alias("ts"))
+    # verify token lists straight off the persisted docarr (df-rank order;
+    # array_intersect hashes its inputs so only the SIZE matters)
+    sets = docarr.select(
+        "id", F.transform("arr", lambda e: e["token"]).alias("ts")
+    )
     return (
         cand.repartition(nparts, "id_a", "id_b")
         .join(
