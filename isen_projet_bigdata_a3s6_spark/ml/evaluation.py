@@ -54,17 +54,16 @@ def knuth_split(
     df: DataFrame, key_col: str, test_frac: float = 0.2
 ) -> tuple[DataFrame, DataFrame]:
     """(train, test) split by the cross-engine-reproducible multiplicative
-    hash (operators/sampling.py conventions: the Knuth multiply runs in
-    DECIMAL(38,0) so any int64 key is exact; DuckDB replays it as
-    ``((CAST(key AS HUGEINT) * 2654435761) % 10000 + 10000) % 10000``).
-    Use this instead of :func:`hash_split` when the split must be part of
-    an exact oracle (xxhash64 has no DuckDB twin); content-derived and
-    retry/repartition-stable like the xxhash64 variant."""
-    from ..operators.sampling import _BUCKETS, _KNUTH
+    hash (operators/sampling.py::knuth_bucket — overflow-safe int64
+    congruence arithmetic for any key; DuckDB replays it as
+    ``((CAST(key AS HUGEINT) * 2654435761) % 10000 + 10000) % 10000``,
+    same values). Use this instead of :func:`hash_split` when the split
+    must be part of an exact oracle (xxhash64 has no DuckDB twin);
+    content-derived and retry/repartition-stable like the xxhash64
+    variant."""
+    from ..operators.sampling import _BUCKETS, knuth_bucket
 
-    bucket = F.pmod(
-        F.col(key_col).cast("decimal(38,0)") * F.lit(_KNUTH), F.lit(_BUCKETS)
-    )
+    bucket = knuth_bucket(key_col)
     is_test = bucket < F.lit(int(test_frac * _BUCKETS))
     return df.filter(~is_test), df.filter(is_test)
 

@@ -42,12 +42,27 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> Dat
 
     ``order_by`` must give a total order within a key for determinism.
     One shuffle on ``keys``.
-    """
-    w = W.partitionBy(*keys).orderBy(*[F.asc(c) for c in order_by])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+
+    r12 shape: ``min_by(struct(payload), struct(order_by))`` aggregation
+    instead of a window ``row_number`` — the aggregate PARTIALLY
+    aggregates map-side (guide §2.3: the shuffle carries ≤ one row per
+    (mapper, key) instead of every duplicate) and drops the window's
+    per-partition sort. Keep-first semantics are identical under the
+    total-order contract: struct ordering is field-lexicographic with
+    NULL fields FIRST — the same null placement as the window's default
+    ``asc`` (nulls first) — pinned in tests/test_round12_opt.py,
+    including NULL keys (both paths group them together)."""
+    rest = [c for c in df.columns if c not in keys]
+    first = F.min_by(
+        F.struct(*[F.col(c) for c in rest]),
+        F.struct(*[F.col(c) for c in order_by]),
+    ).alias("__first")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(first)
+    return out.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__first.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 

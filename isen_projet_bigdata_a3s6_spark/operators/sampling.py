@@ -30,6 +30,25 @@ _BUCKETS = 10_000
 _KNUTH = 2654435761  # 2^32 · (golden ratio − 1), the classic odd multiplier
 
 
+def knuth_bucket(key: str | Column, buckets: int = _BUCKETS) -> Column:
+    """``(key · 2654435761) mod buckets`` in pure int64 arithmetic.
+
+    The pre-r12 spelling multiplied in DECIMAL(38,0) to dodge int64
+    overflow past keys ~3.4e9 — correct, but a per-row BigDecimal multiply
+    + pmod (measured ~1 s of q167's 2.1 s at sf0.1). The congruence
+    ``k·K ≡ (k mod m)·(K mod m) (mod m)`` gives the identical canonical
+    residue for EVERY int64 key including negatives (pmod returns the
+    canonical [0, m) representative, and multiplication respects
+    congruence): ``pmod(key, m) < m`` so the product is bounded by
+    ``(m−1)·(K mod m) < 5.8e7`` — no overflow at any key, ever. Proven
+    value-equal to the decimal spelling over int64 extremes in
+    tests/test_round12_opt.py. The SQL twins keep their HUGEINT spelling
+    (``((CAST(key AS HUGEINT) * K) % m + m) % m``) — same values, so
+    signed oracles are untouched."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.pmod(k, F.lit(buckets)) * F.lit(_KNUTH % buckets), F.lit(buckets))
+
+
 def _stratum_threshold(fractions: dict[str, float], stratum_col: str, default_frac: float) -> Column:
     thr: Column = F.lit(int(default_frac * _BUCKETS))
     for value, frac in sorted(fractions.items()):
@@ -60,16 +79,13 @@ def stratified_mod_sample(
     default_frac: float = 0.0,
 ) -> DataFrame:
     """Cross-engine-reproducible variant: bucket = (key · 2654435761)
-    mod 1e4 on an integer key. The multiply runs in DECIMAL(38,0) — exact
-    for EVERY int64 key (|key| · 2654435761 ≤ 2.4e28 ≪ 10^38), where a
-    plain BIGINT multiply overflows once keys pass ~3.4e9 (ANSI Spark
-    raises, non-ANSI engines wrap silently — either way the sample dies
-    exactly at production key ranges; caught by the sf1 upscale probe,
-    whose shard stride puts keys at ~2^40). Any SQL engine reproduces the
-    identical membership via 128-bit/decimal arithmetic (DuckDB: cast the
-    key to HUGEINT first); prefer the xxhash64 variant whenever
-    cross-engine replay isn't required."""
-    bucket = F.pmod(F.col(key_col).cast("decimal(38,0)") * F.lit(_KNUTH), F.lit(_BUCKETS))
+    mod 1e4 on an integer key, via :func:`knuth_bucket` — overflow-safe
+    int64 congruence arithmetic (r12; the old DECIMAL(38,0) multiply was
+    equally exact but a per-row BigDecimal op). Any SQL engine reproduces
+    the identical membership via 128-bit/decimal arithmetic (DuckDB: cast
+    the key to HUGEINT first — same values); prefer the xxhash64 variant
+    whenever cross-engine replay isn't required."""
+    bucket = knuth_bucket(key_col)
     return df.filter(bucket < _stratum_threshold(fractions, stratum_col, default_frac))
 
 
@@ -88,7 +104,7 @@ def stratified_exact_k(
     the key space rather than being the k smallest ids."""
     from pyspark.sql import Window
 
-    bucket = F.pmod(F.col(key_col).cast("decimal(38,0)") * F.lit(_KNUTH), F.lit(_BUCKETS))
+    bucket = knuth_bucket(key_col)
     w = Window.partitionBy(stratum_col).orderBy(bucket, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

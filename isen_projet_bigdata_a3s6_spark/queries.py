@@ -4533,13 +4533,12 @@ def q130_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     under retry/repartition. Top-500 by priority compiles to
     TakeOrderedAndProject (per-partition k, no global sort); identical
     IEEE pow on both engines makes the oracle exact."""
+    from .operators.sampling import knuth_bucket
+
     o = load_table(spark, sf_dir, "orders")
-    # decimal multiply: exact for every int64 key where a long multiply
-    # overflows past keys ~3.4e9 (the oracle casts to HUGEINT identically)
-    u = (
-        F.pmod(F.col("o_orderkey").cast("decimal(38,0)") * F.lit(2654435761), F.lit(10000))
-        + 1
-    ) / F.lit(10001.0)
+    # knuth_bucket: overflow-safe int64 congruence arithmetic, value-equal
+    # to the oracle's HUGEINT multiply for every key (r12)
+    u = (knuth_bucket("o_orderkey") + 1) / F.lit(10001.0)
     priority = F.pow(u, 1.0 / F.col("o_totalprice"))
     return (
         o.select("o_orderkey", "o_totalprice", priority.alias("__p"))
@@ -6202,13 +6201,17 @@ def q167_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     row duplication into k train sets), closed-form slope/intercept per
     fold, and validation MSE expanded into the same moments
     (Σ(y−a−bx)² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx²). Fold
-    assignment is a deterministic multiplicative hash — retry/repartition
-    stable. One aggregate shuffle total for the whole 5-fold CV."""
+    assignment is a deterministic multiplicative hash (knuth_bucket:
+    overflow-safe int64 congruence arithmetic — the old DECIMAL(38,0)
+    multiply was a per-row BigDecimal op costing ~1 s of this query's
+    2.1 s at sf0.1; values identical) — retry/repartition stable. One
+    aggregate shuffle total for the whole 5-fold CV."""
     from .functions.scalar import dec
+    from .operators.sampling import knuth_bucket
 
     li = load_table(spark, sf_dir, "lineitem")
     f = li.select(
-        F.pmod(F.col("l_orderkey").cast("decimal(38,0)") * F.lit(2654435761), F.lit(5))
+        knuth_bucket("l_orderkey", buckets=5)
         .cast("int")
         .alias("fold"),
         dec("l_quantity", 18, 4).alias("x"),
@@ -6877,14 +6880,14 @@ def q180_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     has."""
     from pyspark.sql import Window as W
 
+    from .operators.sampling import knuth_bucket
+
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     m = counts.agg(
         F.ceil(F.min("n") * F.lit(0.4)).cast("long").alias("m")
     )
-    h = (
-        (F.col("doc_id").cast("decimal(38,0)") * F.lit(2654435761)) % 10000 + 10000
-    ) % 10000
+    h = knuth_bucket("doc_id")
     ranked = d.select(
         "doc_id",
         "source",
@@ -7565,10 +7568,10 @@ def q195_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     maps to exactly one split). The assignment every training pipeline
     needs to be REPRODUCIBLE across reruns and engines; pure row-parallel
     expression, no shuffle."""
+    from .operators.sampling import knuth_bucket
+
     d = load_table(spark, sf_dir, "documents")
-    h = (
-        (F.col("doc_id").cast("decimal(38,0)") * F.lit(2654435761)) % 10000 + 10000
-    ) % 10000
+    h = knuth_bucket("doc_id")
     return d.select(
         "doc_id",
         F.when(h < 8000, F.lit("train"))
@@ -12116,7 +12119,13 @@ def q259_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-curriculum-mixing decisions.
 
     Scale shape: baskets collapse to DISTINCT (order, category) first
-    (one shuffle); pair generation is a self-equi-join ON THE ORDER KEY,
+    (one shuffle — the distinct's Exchange subtree is IDENTICAL in every
+    consumer branch, so ReuseExchange computes it once; r12 measured both
+    "fixes" and reverted them: a lazy persist read 2.0-3.2 s vs 1.4-1.6 s
+    plain — columnar cache encode/decode costs more than the reuse it
+    buys — and an in-row collect_list pair expansion read 2.4 s vs 1.2 s,
+    interpreted HOF expansion losing to the codegen hash join); pair
+    generation is a self-equi-join ON THE ORDER KEY,
     so its cost is Σ basket_size², bounded by |categories|² per order —
     never a corpus cross product. Item marginals reduce to |categories|
     rows and broadcast; the lift arithmetic is pure IEEE mul/div over

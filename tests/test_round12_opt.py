@@ -354,3 +354,74 @@ def test_global_midranks_degenerate_values(spark):
     assert old == new
     # the ±0.0 group: c_less = 1 NULL + 1 (-1.5) = 2 -> 2r = 2*2 + 3 + 1 = 8
     assert new[1] == new[2] == new[3] == 8
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_first's min_by aggregation vs the window row_number it replaced
+# --------------------------------------------------------------------------
+
+def _window_keep_first(df, keys, order_by):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(*[F.asc(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def test_dedup_keep_first_matches_window_with_null_edges(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.cleaning import (
+        dedup_keep_first,
+    )
+
+    nan = float("nan")
+    rows = [
+        # key 1: NULL order value sorts FIRST under asc — must be kept
+        (1, None, 10.0, "a"),
+        (1, 5, 11.0, "b"),
+        # key 2: NaN sorts LAST under asc — non-NaN row kept
+        (2, 7, nan, "c"),
+        (2, 7, 1.0, "d"),
+        # NULL key: groups together on both paths
+        (None, 3, 2.0, "e"),
+        (None, 1, 3.0, "f"),
+        # key 4: order tie broken by the second order column
+        (4, 2, 5.0, "g"),
+        (4, 2, 4.0, "h"),
+    ]
+    df = spark.createDataFrame(rows, "k int, o1 int, o2 double, payload string")
+    old = {tuple(r) for r in _window_keep_first(df, ["k"], ["o1", "o2"]).collect()}
+    new = {tuple(r) for r in dedup_keep_first(df, ["k"], ["o1", "o2"]).collect()}
+    assert old == new
+    assert ("a" in {r[3] for r in new})  # NULL order kept first
+    assert ("d" in {r[3] for r in new})  # NaN ordered last
+    assert ("h" in {r[3] for r in new})  # tie broken on o2
+
+
+# --------------------------------------------------------------------------
+# knuth_bucket congruence arithmetic vs the decimal(38,0) multiply
+# --------------------------------------------------------------------------
+
+def test_knuth_bucket_matches_decimal_spelling(spark):
+    from isen_projet_bigdata_a3s6_spark.operators.sampling import (
+        _KNUTH,
+        knuth_bucket,
+    )
+
+    keys = [
+        0, 1, -1, 3, 9999, 10000, 10001, -10000, 3_400_000_000,
+        2**40, -(2**40), 2**62, -(2**62), 2**63 - 1, -(2**63), 123456789012345,
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    for m in (5, 10_000):
+        cmp = df.select(
+            "k",
+            knuth_bucket("k", buckets=m).alias("fast"),
+            F.pmod(
+                F.col("k").cast("decimal(38,0)") * F.lit(_KNUTH), F.lit(m)
+            ).cast("long").alias("exact"),
+        ).collect()
+        for r in cmp:
+            assert r["fast"] == r["exact"], (m, r)
