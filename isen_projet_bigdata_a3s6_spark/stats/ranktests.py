@@ -74,12 +74,24 @@ def ks_two_sample(df: DataFrame, value: str, group: Column) -> DataFrame:
             - F.col("d2_cum").cast(dec) * F.col("n1")
         ).alias("scaled_gap"),
     )
-    best = scored.groupBy("n1", "n2").agg(F.max("scaled_gap").alias("max_gap"))
-    loc = (
-        scored.join(F.broadcast(best), ["n1", "n2"])
-        .where(F.col("scaled_gap") == F.col("max_gap"))
-        .groupBy("n1", "n2", "max_gap")
-        .agg(F.min("v").alias("d_location"))
+    # argmax in ONE aggregation pass (r12): min_by over the composite
+    # ordering (−gap, v-is-null, v) picks the max gap and, among gap
+    # ties, the smallest v — exactly the old max → equi-join-back →
+    # min(v) pipeline (which cost a second pass over `scored` plus a
+    # broadcast join). −gap is DECIMAL negation (exact); the null flag
+    # reproduces MIN's null-skipping (struct ordering alone would sort a
+    # NULL v FIRST and steal the argmax); NaN v follows the same
+    # NaN-is-largest comparison MIN used. Pinned in tests.
+    loc = scored.groupBy("n1", "n2").agg(
+        F.max("scaled_gap").alias("max_gap"),
+        F.min_by(
+            F.col("v"),
+            F.struct(
+                (-F.col("scaled_gap")).alias("ng"),
+                F.col("v").isNull().cast("int").alias("vnull"),
+                F.col("v"),
+            ),
+        ).alias("d_location"),
     )
     n1n2 = (F.col("n1").cast(dec) * F.col("n2")).cast("double")
     d = F.col("max_gap").cast("double") / n1n2

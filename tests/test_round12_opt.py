@@ -425,3 +425,42 @@ def test_knuth_bucket_matches_decimal_spelling(spark):
         ).collect()
         for r in cmp:
             assert r["fast"] == r["exact"], (m, r)
+
+
+# --------------------------------------------------------------------------
+# ks_two_sample's single-pass argmax vs the max + join-back + MIN pipeline
+# --------------------------------------------------------------------------
+
+def test_ks_argmax_single_pass_parity(spark):
+    from isen_projet_bigdata_a3s6_spark.stats.ranktests import ks_two_sample
+
+    # two-group data engineered so the max gap is attained at a TIE of
+    # values, including a NULL and a NaN value row in the counts
+    nan = float("nan")
+    rows = (
+        [(float(i), 1) for i in range(10)]          # group 1: 0..9
+        + [(float(i) + 20, 2) for i in range(10)]   # group 2: 20..29
+        + [(nan, 1), (None, 2)]
+    )
+    df = spark.createDataFrame(rows, "v double, g int")
+    out = ks_two_sample(df, "v", F.col("g")).collect()
+    assert len(out) == 1
+    r = out[0]
+    # full separation: D = 1 at the largest group-1 value (9.0): the gap
+    # is maximal from v=9.0 up to just below 20.0 — d_location must be
+    # the SMALLEST value attaining it, and never the NULL row
+    assert r["d_location"] == 9.0
+    assert r["n1"] == 11 and r["n2"] == 11
+
+
+def test_ks_argmax_all_null_location(spark):
+    from isen_projet_bigdata_a3s6_spark.stats.ranktests import ks_two_sample
+
+    # degenerate: every value NULL -> counts has a single NULL-v row;
+    # old pipeline returned NULL d_location (MIN over empty non-null set)
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 1)], "v double, g int"
+    )
+    out = ks_two_sample(df, "v", F.col("g")).collect()
+    assert len(out) == 1
+    assert out[0]["d_location"] is None
