@@ -8089,10 +8089,12 @@ def q202_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(window_mins)).alias("fp"),
     )
-    # fps feeds the index build AND both self-join sides — persist lazily
-    # so the expensive hashing runs once, not 4× (plan stays transparent;
-    # bench clears caches between runs).
-    fps.persist()
+    # NO persist on fps (r12): with the linear codepoint-array hashing the
+    # tokenize stage is cheap enough that recomputing it per consumer
+    # (live + both self-join sides) beats the columnar cache
+    # encode/decode round-trip — measured 0.89 s vs 1.4-1.6 s persisted
+    # at sf0.1 (the q259 ReuseExchange lesson; the pre-r12 persist was
+    # sized against the old quadratic substr hashing).
     live = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("nd"))
