@@ -1289,24 +1289,29 @@ def containment_prefix_pairs(
     else:
         toks = F.array_distinct(char_ngrams(text_col, n=ngram))
     tok, docarr, nparts = _hashed_doc_arrays(df, id_col, toks)
-    # the prefix side, the full-index side, and both verify joins all read
-    # this frame — one materialization of the rank pipeline
+    # docarr feeds the ranked explode and both verify joins
     docarr = docarr.persist()
-    ranked = _explode_ranked(docarr)
-    # prefix length |a| − ⌈t·|a|⌉ + 1 as an array slice. RELATIVE slack
+    # The candidate join's two inputs read a PERSISTED FLAT ranked stream,
+    # not per-consumer explodes of the nested docarr cache: the full-index
+    # side is |tokens|-sized, and re-deserializing array<struct> columnar
+    # cache + re-running posexplode per consumer measured 189-209 s vs
+    # 92-94 s at the sf1 probe (the r12 follow-up fix — the first array
+    # rewrite regressed exactly this); a flat (token,id,df,rn,sz) cache
+    # restores the pre-r12 join-input shape while keeping the array-built
+    # rank (no window sort) and the docarr-derived verify lists.
+    ranked = _explode_ranked(docarr).persist()
+    # prefix length |a| − ⌈t·|a|⌉ + 1. RELATIVE slack
     # (1e-9·sz) inside the ceil errs toward a LONGER prefix: 0.85*40
     # evaluates to 34.000000000000004 in doubles, and a bare ceil would
     # read 35, silently shortening the prefix and dropping a qualifying
     # pair whose only shared token sits at the boundary rank; scales with
     # magnitude so half-an-ULP of t·sz can never exceed it (absolute 1e-9
     # stops covering near t·sz ≈ 1e7)
-    prefix_a = _explode_ranked(
-        docarr,
-        prefix_len=(
-            F.col("sz")
-            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
-            + 1
-        ),
+    prefix_a = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9) * F.col("sz"))
+        + 1
     )
     cand = (
         prefix_a.alias("pa")
