@@ -1068,22 +1068,35 @@ def jaccard_prefix_pairs(
     with id_a < id_b — exact and complete, same result as the all-pairs
     oracle.
 
-    Candidates then pass TWO more exact filters before the (expensive)
+    Candidates then pass more exact filters before the (expensive)
     set-intersection verify:
 
     - PPJoin length filter (t·|a| ≤ |b| ≤ |a|/t) at join time;
-    - PPJoin POSITIONAL filter (applied per matched row at join time and
-      again after pair aggregation — see inline proof): let w₀ be the
-      globally first (rarest) token the pair shares in both prefixes, at
-      positions p_a/p_b of the df-ordered token lists. Because the token
-      order is one global order, every other shared token ranks after w₀
-      and therefore sits after p_a in a AND after p_b in b (any token
-      ranked before w₀ and shared would itself be in both prefixes,
-      contradicting w₀'s minimality) — so
-      ``overlap ≤ 1 + min(|a|−p_a, |b|−p_b)``, and the pair can be
-      dropped when that bound is below the required overlap
-      ``t·(|a|+|b|)/(1+t)`` (J ≥ t ⟺ overlap ≥ that). Provably complete:
-      it only drops pairs that CANNOT reach the threshold.
+    - PPJoin POSITIONAL filters (Xiao et al., WWW'08), realised as a
+      WEAK row-level filter at join time plus the FULL pair-level bound
+      after aggregation. The bound family: order both docs' tokens by
+      the one global (df, token) order; if the pair's i-th shared token
+      (counting shared tokens in that order) sits at positions a_i/b_i,
+      then ``overlap ≤ i + min(|a|−a_i, |b|−b_i)`` — exactly i shared
+      tokens rank ≤ the i-th one, and everything else shared must rank
+      after BOTH positions. The bound is non-increasing in i (i grows by
+      1 per step, each position grows by ≥ 1), so the TIGHTEST bound is
+      at the LAST shared prefix token — which requires counting ALL
+      shared prefix rows. The r03–r12 row filter
+      (``1 + min(slack) ≥ α``) made that count unrecoverable: it is the
+      i = 1 bound applied per row, every surviving row trivially
+      re-satisfies it at pair level (proven vacuous in r13: 0 of 199,557
+      sf0.1 candidates pruned), and it discards exactly the deep rows
+      the i = j bound needs. r13 therefore (1) weakens the row filter to
+      ``min(p_a, p_b) + min(slack) ≥ α`` — valid because the true shared
+      rank i of a row is ≤ min(p_a, p_b), so for a QUALIFYING pair every
+      shared row satisfies it (i + min(slack_i) ≥ overlap ≥ α); a row it
+      drops certifies ``i + min(slack_i) < α`` for its pair, i.e. the
+      pair cannot qualify, so losing its rows (and thereby possibly
+      mis-counting cnt for that already-dead pair) never loses a result
+      — and (2) applies the i = 1 and i = cnt bounds per pair from
+      min_by/max_by/count aggregates. Measured at sf0.1: candidates
+      199,557 → 63,571 (3.1×); brute-force pins + oracle re-proven.
 
     ``ngram=None`` tokenizes on single spaces (word sets); ``ngram=k``
     uses distinct character k-shingles (:func:`..text.char_ngrams`) — use
@@ -1146,19 +1159,18 @@ def jaccard_prefix_pairs(
         / F.lit(1.0 + threshold)
         - F.lit(1e-9) * (F.col("p1.sz") + F.col("p2.sz"))
     )
-    # candidate pairs. The positional predicate is applied TWICE:
-    #
-    # (1) per matched row AT JOIN TIME, on that row's own positions. For a
-    #     pair with J ≥ t, the row of its globally-first shared token
-    #     satisfies it (the bound at that row dominates the true overlap),
-    #     so no true pair loses all its rows — complete. Rows this drops
-    #     are frequent tokens deep in both prefixes, the bulk of the
-    #     match volume on template-heavy corpora.
-    # (2) per PAIR after aggregating min_by over (df, token) — the
-    #     globally-first surviving shared token. If (1) dropped the true
-    #     first token, the pair is already provably below threshold, so
-    #     whatever (2) decides for it cannot affect the result (the exact
-    #     verify rejects survivors).
+    # candidate pairs. The positional bound family (docstring) is applied
+    # as (1) a WEAK row-level filter at join time — drop a matched row
+    # only when even the optimistic shared-rank proxy min(p_a, p_b)
+    # cannot rescue it: ``min(rn1, rn2) + min(slack) < α`` certifies the
+    # true bound at that row's index is < α, i.e. its PAIR cannot
+    # qualify, so every shared row of a qualifying pair survives and the
+    # pair-level count below is EXACT for every pair that can still
+    # matter — and (2) the pair-level i = 1 / i = cnt bounds after the
+    # aggregation. (The r03–r12 row filter 1 + min(slack) ≥ α pruned
+    # rows 14× harder but provably reduced both pair bounds to no-ops;
+    # r13 A/B at the sf1 fixture: 16.8 s vs 19.2 s best-of-3 in favour
+    # of this shape, with 3.1× fewer verify candidates.)
     matched = prefix.alias("p1").join(
         prefix.alias("p2"),
         (F.col("p1.token") == F.col("p2.token"))
@@ -1166,9 +1178,9 @@ def jaccard_prefix_pairs(
         # PPJoin length filter: J ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|)
         & (F.col("p1.sz") * F.lit(threshold) <= F.col("p2.sz"))
         & (F.col("p2.sz") * F.lit(threshold) <= F.col("p1.sz"))
-        # (1) row-level positional filter
+        # (1) weak row-level positional filter (pair-death certificate)
         & (
-            F.lit(1)
+            F.least(F.col("p1.rn"), F.col("p2.rn"))
             + F.least(
                 F.col("p1.sz") - F.col("p1.rn"),
                 F.col("p2.sz") - F.col("p2.rn"),
@@ -1180,6 +1192,19 @@ def jaccard_prefix_pairs(
         F.struct(F.col("p1.rn").alias("pa"), F.col("p2.rn").alias("pb")),
         F.struct(F.col("p1.df"), F.col("p1.token")),
     ).alias("m")
+    # i = cnt bound inputs: the LAST shared prefix token's positions and
+    # the exact shared-prefix count (exact for qualifying pairs — see the
+    # row-filter argument above; undercounted only for pairs already
+    # certified dead, which both bounds may then freely drop).
+    last = F.max_by(
+        F.struct(F.col("p1.rn").alias("pa"), F.col("p2.rn").alias("pb")),
+        F.struct(F.col("p1.df"), F.col("p1.token")),
+    ).alias("m2")
+    cnt = F.count(F.lit(1)).alias("cnt")
+    # required overlap for J ≥ t with the keep-side RELATIVE slack
+    req = F.lit(threshold) * (F.col("sa") + F.col("sb")) / F.lit(
+        1.0 + threshold
+    ) - F.lit(1e-9) * (F.col("sa") + F.col("sb"))
     cand = (
         matched.groupBy(
             F.col("p1.id").alias("id_a"),
@@ -1187,19 +1212,28 @@ def jaccard_prefix_pairs(
             F.col("p1.sz").alias("sa"),
             F.col("p2.sz").alias("sb"),
         )
-        .agg(first)
-        # positional filter: overlap ≤ 1 + min(sa−pa, sb−pb); required
-        # overlap for J ≥ t is t·(sa+sb)/(1+t). The RELATIVE 1e-9·(sa+sb)
-        # slack makes the float comparison err toward KEEPING at any
-        # document size, so completeness is never lost to rounding.
+        .agg(first, last, cnt)
+        # positional filters: overlap ≤ 1 + min(sa−pa, sb−pb) at the first
+        # shared token AND ≤ cnt + min(sa−pa, sb−pb) at the last surviving
+        # one; required overlap for J ≥ t is t·(sa+sb)/(1+t). The RELATIVE
+        # 1e-9·(sa+sb) slack makes the float comparisons err toward
+        # KEEPING at any document size, so completeness is never lost to
+        # rounding.
         .filter(
-            F.lit(1)
-            + F.least(
-                F.col("sa") - F.col("m.pa"), F.col("sb") - F.col("m.pb")
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("sa") - F.col("m.pa"), F.col("sb") - F.col("m.pb")
+                )
+                >= req
             )
-            >= F.lit(threshold) * (F.col("sa") + F.col("sb"))
-            / F.lit(1.0 + threshold)
-            - F.lit(1e-9) * (F.col("sa") + F.col("sb"))
+            & (
+                F.col("cnt")
+                + F.least(
+                    F.col("sa") - F.col("m2.pa"), F.col("sb") - F.col("m2.pb")
+                )
+                >= req
+            )
         )
         .select("id_a", "id_b", "sa", "sb")
     )
@@ -1356,6 +1390,21 @@ def containment_prefix_pairs(
             F.col("pb.id").alias("id_b"),
             F.col("pa.sz").alias("sa"),
         )
+        # plain 3-column distinct, NOT a pair aggregate carrying PPJoin
+        # positional bounds: r13 proved both pair-level bounds (i = 1
+        # first-token and i = cnt last-survivor) VACUOUS under the
+        # row-level positional filter above — survival along a pair's
+        # shared-token sequence is monotone under that filter, so the
+        # last survivor has min(slack) + 1 ≥ ⌈t·|a|⌉ and therefore
+        # cnt + min(slack_last) ≥ cnt − 1 + ⌈t·|a|⌉ ≥ ⌈t·|a|⌉ always.
+        # Instrumented at sf0.1: 3,457,362 candidates with and without
+        # the bounds — and unlike the Jaccard join, the q161-style weak
+        # row filter buys nothing here (full-row instrumentation:
+        # 3,353,355 of 3,457,362 candidates survive the full i = cnt
+        # bound, a 3 % cut, against 7.9 M vs 6.5 M matched rows — the
+        # asymmetric prefix is too short for positions to discriminate).
+        # A/B at sf0.1 interleaved best-of-4: distinct 7.71 s vs
+        # groupBy+bounds 8.40 s (narrower shuffle row, no agg buffers).
         .distinct()
     )
     # verify token lists straight off the persisted docarr (df-rank order;

@@ -212,8 +212,11 @@ def cluster_pair_scores(
     it joins can survive the caller's threshold. Cross-length pairs
     likewise never survive the fold (``zip_with`` NULL-pads the shorter
     side), so scoring runs per length group. Zero-denominator (NULL-score)
-    pairs ARE emitted (null ``score_raw``) so the caller's filter remains
-    the single place drop decisions happen.
+    pairs are emitted (null ``score_raw``) only when ``prefilter`` is
+    None — with a prefilter set they are dropped batch-side
+    (``keep &= ~dz``), which is outcome-equivalent because a NULL score
+    can never pass the caller's ``>= threshold`` filter; the caller's
+    filter stays the single drop point only in the prefilter-less mode.
 
     ``prefilter``: optional conservative score floor applied batch-side to
     cut the Arrow return stream (pairs are the quadratic output; survivors

@@ -51,7 +51,14 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[str]) -> Dat
     total-order contract: struct ordering is field-lexicographic with
     NULL fields FIRST — the same null placement as the window's default
     ``asc`` (nulls first) — pinned in tests/test_round12_opt.py,
-    including NULL keys (both paths group them together)."""
+    including NULL keys (both paths group them together).
+
+    FLOAT-typed KEY caveat (SPARK-32110): groupBy canonicalizes float
+    grouping keys in the OUTPUT (−0.0 → 0.0, all NaN bit patterns → one
+    canonical NaN), whereas the old window path returned the surviving
+    row's original key bytes. Observable only for float/double keys —
+    none of the engine's callers key on floats; pinned in
+    tests/test_round13_opt.py."""
     rest = [c for c in df.columns if c not in keys]
     first = F.min_by(
         F.struct(*[F.col(c) for c in rest]),

@@ -40,11 +40,21 @@ def knuth_bucket(key: str | Column, buckets: int = _BUCKETS) -> Column:
     residue for EVERY int64 key including negatives (pmod returns the
     canonical [0, m) representative, and multiplication respects
     congruence): ``pmod(key, m) < m`` so the product is bounded by
-    ``(m−1)·(K mod m) < 5.8e7`` — no overflow at any key, ever. Proven
+    ``(m−1)·(K mod m)`` — within int64 for every key at the bucket
+    counts this module supports (guarded: ``buckets`` must keep the
+    worst-case product under 2^63, i.e. buckets ≤ ~4.3e9 with this
+    K mod m < 2^32 — far above the 5/10_000 callers, whose bound is
+    < 5.8e7; a larger count raises ValueError instead of silently
+    wrapping). Proven
     value-equal to the decimal spelling over int64 extremes in
     tests/test_round12_opt.py. The SQL twins keep their HUGEINT spelling
     (``((CAST(key AS HUGEINT) * K) % m + m) % m``) — same values, so
     signed oracles are untouched."""
+    if buckets <= 0 or (buckets - 1) * (_KNUTH % buckets) >= 2**63:
+        raise ValueError(
+            f"knuth_bucket: buckets={buckets} would overflow the int64 "
+            "congruence product (m-1)*(K mod m); use a count under ~4.3e9"
+        )
     k = F.col(key) if isinstance(key, str) else key
     return F.pmod(F.pmod(k, F.lit(buckets)) * F.lit(_KNUTH % buckets), F.lit(buckets))
 

@@ -149,6 +149,7 @@ def global_midranks(
     df: DataFrame,
     value_col: str,
     out_col: str,
+    ties: str = "auto",
 ) -> DataFrame:
     """Attach the DOUBLED tie-midrank ``2r = 2·c_less + c_eq + 1`` of
     ``value_col`` to every row, without a single-reducer window and
@@ -178,14 +179,89 @@ def global_midranks(
     The ``part`` frame feeds both the local windows and the offset
     totals; the lazy persist pins one range materialization (the
     global_prefix_sum convention — two independently-sampled range
-    exchanges could draw different boundaries)."""
+    exchanges could draw different boundaries).
+
+    SKEW CONTRACT (``ties``, r13): equal values CO-LOCATE under
+    ``repartitionByRange`` by construction, so one dominant value lands
+    its whole tie group in one partition and the per-partition rank
+    window serializes on it — the in-place path is only right for
+    near-unique columns (max tie group ≪ rows/partitions, e.g. q260's
+    price).
+
+    - ``"narrow"`` — caller asserts that contract; in-place path, no
+      probe (q260's price: tie groups are ~rows/|distinct prices|, flat).
+    - ``"wide"`` — distinct-table fallback: groupBy(value) → counts
+      (map-side partial aggregation absorbs the hot value),
+      :func:`global_prefix_sum` over the |distinct|-row table, midranks
+      joined back (null-safe, no broadcast hint — a wide-tie distinct
+      table is small and broadcasts on stats; if it does not, AQE
+      skew-join splitting handles the hot probe partition, which a rank
+      WINDOW could never split).
+    - ``"auto"`` — one exact tie probe (groupBy count + max, column-
+      pruned, skew-safe via partial agg) picks: wide when the largest
+      tie group exceeds ~2 ideal partitions (``max_cnt·nparts > 2·n``).
+      The probe is an extra pass over the value column — callers on a
+      hot path with a known column should pass the contract explicitly.
+
+    Both paths produce identical ranks (same ±0.0/NaN/NULL semantics —
+    the ``__key`` normalization happens before either; pinned in
+    tests/test_round13_opt.py including a 90 %-one-value corpus)."""
     dt = dict(df.dtypes)[value_col]
     v = F.col(value_col)
     key = F.when(v == 0.0, F.lit(0.0).cast(dt)).otherwise(v) if dt in (
         "double", "float"
     ) else v
+    if ties not in ("auto", "narrow", "wide"):
+        raise ValueError(f"global_midranks: unknown ties mode {ties!r}")
+    keyed = df.withColumn("__key", key)
+    bcast = False
+    if ties == "auto":
+        nparts = df.sparkSession.sparkContext.defaultParallelism
+        probe = (
+            keyed.groupBy("__key")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.max("__c").alias("mx"),
+                F.sum("__c").alias("n"),
+                F.count(F.lit(1)).alias("ndv"),
+            )
+            .collect()[0]
+        )
+        mx, n = probe["mx"] or 0, probe["n"] or 0
+        if mx * nparts > 2 * n:
+            ties = "wide"
+            # the probe knows the exact distinct count: hint broadcast
+            # while the midrank table provably fits (~32 B/row ≪ the
+            # 64 MB threshold); past that, plain join + AQE skew split.
+            bcast = (probe["ndv"] or 0) <= 2_000_000
+        else:
+            ties = "narrow"
+    elif ties == "wide":
+        # explicit wide = caller asserts heavy ties, i.e. |distinct| ≪
+        # |rows| — the midrank table is broadcast by contract (a plain
+        # equi-join would re-co-locate the hot value's rows on one task,
+        # the exact hazard this mode exists to avoid).
+        bcast = True
+    if ties == "wide":
+        dv = keyed.groupBy("__key").agg(F.count(F.lit(1)).alias("__c"))
+        pref = global_prefix_sum(dv, "__key", ["__c"])
+        mid = pref.select(
+            F.col("__key").alias("__mkey"),
+            (2 * (F.col("__c_cum") - F.col("__c")) + F.col("__c") + 1)
+            .cast("long")
+            .alias(out_col),
+        )
+        if bcast:
+            mid = F.broadcast(mid)
+        # null-safe equi-join keeps NULL rows ranked, matching the
+        # in-place path (rank() places NULLs first and counts them);
+        # NaN matches NaN under Spark join equality, and ±0.0 is
+        # already normalized into __key on both sides.
+        return keyed.join(
+            mid, F.col("__key").eqNullSafe(F.col("__mkey"))
+        ).drop("__key", "__mkey")
     part = (
-        df.withColumn("__key", key)
+        keyed
         .repartitionByRange(F.col("__key"))
         .withColumn("__pid", F.spark_partition_id())
         .persist()

@@ -12266,7 +12266,12 @@ def q260_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (midranks/global_midranks both still COUNT null rows into every
     # c_less, exactly as the NULL group flowed through the prefix scan)
     ranked = (
-        global_midranks(r, "yv", "w")
+        # ties="narrow" asserts the near-unique contract for price
+        # (583k distinct values over 600k rows at sf0.1; tie groups stay
+        # ~rows/|distinct| at every SF, far under a partition) and skips
+        # the auto tie probe's extra pass; the wide fallback exists for
+        # constant-heavy columns (operators/windows.py::global_midranks).
+        global_midranks(r, "yv", "w", ties="narrow")
         .filter(F.col("yv").isNotNull() & F.col("x").isNotNull())
         .join(F.broadcast(midranks(r, "x", "u")), "x")
     )
